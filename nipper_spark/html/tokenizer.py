@@ -1,0 +1,334 @@
+"""WHATWG HTML5 tokenizer (pure Python, regex-accelerated).
+
+A from-scratch implementation of the tokenizer states the engine needs
+to reproduce the reference parser's observable output (the reference
+uses html5ever; we re-implement the *spec*, not the crate). Covers:
+data, tag open/name/attributes (double/single/unquoted values),
+self-closing flag, end tags, comments (incl. bogus comments), DOCTYPE,
+RAWTEXT (script/style/xmp/iframe/noembed/noframes/noscript), RCDATA
+(title/textarea), PLAINTEXT, and full character-reference decoding
+(named incl. semicolon-less legacy entities with the attribute
+exception, numeric with the C1 remap table).
+
+Token shapes (plain tuples for speed):
+    ("text", data)
+    ("start", name, attrs, self_closing)   attrs = list[[name, value]]
+    ("end", name)
+    ("comment", data)
+    ("doctype", name, public_id, system_id)
+
+Known simplification vs the spec: script "escaped script data" states
+(``<script><!-- ... --></script>`` hiding a ``</script>`` inside the
+comment) are not modeled — the first real ``</script`` ends the
+element. This does not affect any reference fixture.
+"""
+
+from __future__ import annotations
+
+import re
+from html.entities import html5 as _HTML5_ENTITIES
+
+RAWTEXT_TAGS = frozenset(
+    ["script", "style", "xmp", "iframe", "noembed", "noframes", "noscript"])
+RCDATA_TAGS = frozenset(["title", "textarea"])
+
+_TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\f />]*")
+_ATTRNAME_RE = re.compile(r"[^\t\n\f /=>]+")
+_WS_RE = re.compile(r"[\t\n\f ]+")
+_UNQUOTED_VAL_RE = re.compile(r"[^\t\n\f >]*")
+_NUMREF_RE = re.compile(r"#(?:[xX]([0-9a-fA-F]+)|([0-9]+));?")
+_NAMEDREF_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9]*;?")
+_AMP_RE = re.compile(r"&")
+
+# WHATWG numeric character reference C1 overrides
+_C1_REMAP = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
+    0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160,
+    0x8B: 0x2039, 0x8C: 0x0152, 0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019,
+    0x93: 0x201C, 0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153,
+    0x9E: 0x017E, 0x9F: 0x0178,
+}
+
+# Longest entity key without a trailing semicolon ("legacy" entities
+# decodable mid-text, e.g. "&amp" -> "&").
+_MAX_LEGACY_LEN = max(len(k) for k in _HTML5_ENTITIES if not k.endswith(";"))
+_MAX_NAMED_LEN = max(len(k) for k in _HTML5_ENTITIES)
+
+
+def _decode_numeric(cp: int) -> str:
+    if cp in _C1_REMAP:
+        cp = _C1_REMAP[cp]
+    if cp == 0 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+        return "�"
+    return chr(cp)
+
+
+def decode_charrefs(text: str, in_attr: bool) -> str:
+    """Decode character references per the WHATWG rules.
+
+    ``in_attr`` enables the attribute-value exception: a semicolon-less
+    legacy entity followed by ``[a-zA-Z0-9=]`` is left literal.
+    """
+    if "&" not in text:
+        return text
+    out: list[str] = []
+    pos = 0
+    n = len(text)
+    while True:
+        amp = text.find("&", pos)
+        if amp == -1:
+            out.append(text[pos:])
+            break
+        out.append(text[pos:amp])
+        i = amp + 1
+        m = _NUMREF_RE.match(text, i)
+        if m:
+            cp = int(m.group(1), 16) if m.group(1) is not None else int(m.group(2))
+            out.append(_decode_numeric(cp))
+            pos = m.end()
+            continue
+        m = _NAMEDREF_RE.match(text, i)
+        if m:
+            cand = m.group(0)
+            if cand.endswith(";") and cand in _HTML5_ENTITIES:
+                out.append(_HTML5_ENTITIES[cand])
+                pos = i + len(cand)
+                continue
+            # longest legacy (no-semicolon) prefix match
+            body = cand[:-1] if cand.endswith(";") else cand
+            body = body[:_MAX_LEGACY_LEN]
+            hit = None
+            for k in range(len(body), 1, -1):
+                if body[:k] in _HTML5_ENTITIES:
+                    hit = body[:k]
+                    break
+            if hit is not None:
+                nxt = text[i + len(hit): i + len(hit) + 1]
+                if in_attr and nxt and (nxt.isalnum() or nxt == "="):
+                    pass  # attribute exception: keep literal
+                else:
+                    out.append(_HTML5_ENTITIES[hit])
+                    pos = i + len(hit)
+                    continue
+        out.append("&")
+        pos = i
+    return "".join(out)
+
+
+def tokenize(html: str):
+    """Yield tokens for one document. Input newline-normalized here."""
+    s = html.replace("\r\n", "\n").replace("\r", "\n")
+    n = len(s)
+    pos = 0
+    # rawtext mode set after emitting certain start tags
+    pending_raw: str | None = None  # tag name
+    pending_rcdata = False
+    plaintext = False
+
+    while pos < n:
+        if plaintext:
+            yield ("text", s[pos:].replace("\x00", "�"))
+            return
+        if pending_raw is not None:
+            tag = pending_raw
+            m = re.compile(r"</%s(?=[\t\n\f />]|$)" % re.escape(tag),
+                           re.IGNORECASE).search(s, pos)
+            if m is None:
+                data = s[pos:]
+                end_at = n
+            else:
+                data = s[pos:m.start()]
+                end_at = m.end()
+            data = data.replace("\x00", "�")
+            if pending_rcdata:
+                data = decode_charrefs(data, in_attr=False)
+            if data:
+                yield ("text", data)
+            pending_raw = None
+            pending_rcdata = False
+            if m is None:
+                return
+            # consume the rest of the end tag (attrs ignored per spec)
+            gt = s.find(">", end_at)
+            pos = n if gt == -1 else gt + 1
+            if gt == -1:
+                return
+            yield ("end", tag)
+            continue
+
+        lt = s.find("<", pos)
+        if lt == -1:
+            yield ("text", decode_charrefs(s[pos:], False))
+            return
+        if lt > pos:
+            yield ("text", decode_charrefs(s[pos:lt], False))
+        pos = lt
+        if lt + 1 >= n:
+            yield ("text", "<")
+            return
+        c = s[lt + 1]
+
+        if c == "!":
+            pos, tok = _markup_declaration(s, lt + 2)
+            if tok is not None:
+                yield tok
+            continue
+        if c == "?":
+            # bogus comment; data includes the '?'
+            gt = s.find(">", lt + 1)
+            if gt == -1:
+                yield ("comment", s[lt + 1:])
+                return
+            yield ("comment", s[lt + 1: gt])
+            pos = gt + 1
+            continue
+        if c == "/":
+            if lt + 2 < n and s[lt + 2] == ">":
+                pos = lt + 3  # `</>` dropped
+                continue
+            m = _TAGNAME_RE.match(s, lt + 2)
+            if m is None:
+                # bogus comment until '>'
+                gt = s.find(">", lt + 2)
+                if gt == -1:
+                    yield ("comment", s[lt + 2:])
+                    return
+                yield ("comment", s[lt + 2: gt])
+                pos = gt + 1
+                continue
+            name = m.group(0).lower()
+            # skip to '>' honoring quoted attr values in end tags
+            pos2, _attrs, _sc, ok = _parse_attrs(s, m.end())
+            if not ok:
+                return  # EOF in tag: token dropped
+            pos = pos2
+            yield ("end", name)
+            continue
+        if c.isalpha():
+            m = _TAGNAME_RE.match(s, lt + 1)
+            name = m.group(0).lower()
+            pos2, attrs, self_closing, ok = _parse_attrs(s, m.end())
+            if not ok:
+                return  # EOF in tag: token dropped (fuzz: `<a a=\r\n` -> "")
+            pos = pos2
+            yield ("start", name, attrs, self_closing)
+            if name in RAWTEXT_TAGS:
+                pending_raw = name
+                pending_rcdata = False
+            elif name in RCDATA_TAGS:
+                pending_raw = name
+                pending_rcdata = True
+            elif name == "plaintext":
+                plaintext = True
+            continue
+        # lone '<'
+        yield ("text", "<")
+        pos = lt + 1
+
+    return
+
+
+def _parse_attrs(s: str, pos: int):
+    """Parse attributes after a tag name. Returns (pos_after_gt, attrs,
+    self_closing, ok). ok=False means EOF inside the tag -> drop token."""
+    n = len(s)
+    attrs: list[list[str]] = []
+    seen: set[str] = set()
+    self_closing = False
+    while True:
+        # skip whitespace and stray slashes
+        while pos < n and s[pos] in "\t\n\f /":
+            if s[pos] == "/" and pos + 1 < n and s[pos + 1] == ">":
+                return pos + 2, attrs, True, True
+            pos += 1
+        if pos >= n:
+            return pos, attrs, self_closing, False
+        ch = s[pos]
+        if ch == ">":
+            return pos + 1, attrs, self_closing, True
+        if ch == "=":
+            # '=' before attr name: becomes part of the name per spec
+            m = _ATTRNAME_RE.match(s, pos + 1)
+            name = "=" + (m.group(0) if m else "")
+            pos = m.end() if m else pos + 1
+        else:
+            m = _ATTRNAME_RE.match(s, pos)
+            name = m.group(0)
+            pos = m.end()
+        name = name.lower()
+        # after attribute name
+        while pos < n and s[pos] in "\t\n\f ":
+            pos += 1
+        value = ""
+        if pos < n and s[pos] == "=":
+            pos += 1
+            while pos < n and s[pos] in "\t\n\f ":
+                pos += 1
+            if pos >= n:
+                return pos, attrs, self_closing, False
+            q = s[pos]
+            if q == '"' or q == "'":
+                end = s.find(q, pos + 1)
+                if end == -1:
+                    return n, attrs, self_closing, False
+                value = decode_charrefs(s[pos + 1: end], True)
+                pos = end + 1
+            else:
+                m = _UNQUOTED_VAL_RE.match(s, pos)
+                value = decode_charrefs(m.group(0), True)
+                pos = m.end()
+        if name not in seen:
+            seen.add(name)
+            attrs.append([name, value])
+
+
+def _markup_declaration(s: str, pos: int):
+    """Handle `<!...`: comment / doctype / bogus comment.
+    Returns (new_pos, token_or_None)."""
+    n = len(s)
+    if s.startswith("--", pos):
+        i = pos + 2
+        # empty-comment shortcuts: <!--> and <!--->
+        if s.startswith(">", i):
+            return i + 1, ("comment", "")
+        if s.startswith("->", i):
+            return i + 2, ("comment", "")
+        m = re.compile(r"--!?>").search(s, i)
+        if m is None:
+            return n, ("comment", s[i:])
+        return m.end(), ("comment", s[i:m.start()])
+    if s[pos:pos + 7].lower() == "doctype":
+        return _doctype(s, pos + 7)
+    # bogus comment (covers <![CDATA[ in HTML content)
+    gt = s.find(">", pos)
+    if gt == -1:
+        return n, ("comment", s[pos:])
+    return gt + 1, ("comment", s[pos:gt])
+
+
+def _doctype(s: str, pos: int):
+    n = len(s)
+    gt = s.find(">", pos)
+    if gt == -1:
+        gt = n
+    body = s[pos:gt]
+    m = re.match(r"[\t\n\f ]*([^\t\n\f >]*)", body)
+    name = m.group(1).lower()
+    rest = body[m.end():]
+    public_id = ""
+    system_id = ""
+    pm = re.match(r'[\t\n\f ]*PUBLIC[\t\n\f ]*("([^"]*)"?|\'([^\']*)\'?)',
+                  rest, re.IGNORECASE)
+    if pm:
+        public_id = pm.group(2) if pm.group(2) is not None else (pm.group(3) or "")
+        rest = rest[pm.end():]
+        sm = re.match(r'[\t\n\f ]*("([^"]*)"?|\'([^\']*)\'?)', rest)
+        if sm:
+            system_id = sm.group(2) if sm.group(2) is not None else (sm.group(3) or "")
+    else:
+        sm = re.match(r'[\t\n\f ]*SYSTEM[\t\n\f ]*("([^"]*)"?|\'([^\']*)\'?)',
+                      rest, re.IGNORECASE)
+        if sm:
+            system_id = sm.group(2) if sm.group(2) is not None else (sm.group(3) or "")
+    return (gt + 1 if gt < n else n), ("doctype", name, public_id, system_id)

@@ -1,0 +1,1345 @@
+"""WHATWG HTML tree construction (pure Python) → :class:`Arena`.
+
+From-scratch implementation of the spec's tree-construction stage
+(insertion modes, open-element stack, active formatting elements with
+reconstruction and the adoption agency algorithm, table modes with
+foster parenting, implied start/end tags). The reference gets all of
+this from html5ever; our contract is to produce the *same observable
+tree* for its fixtures (tests/html-dom.rs, tests/html-tree-sink.rs)
+and for real-world pages.
+
+Semantics deliberately preserved from the reference sink:
+- adjacent text coalescing on append (src/document.rs:167-183): text
+  appended after a text node concatenates instead of creating a sibling
+  — affects node counts (``:empty``, ``children()``), not text bytes;
+- attributes added only if missing, insertion order kept
+  (src/document.rs:255-272);
+- root Document node is id 0 (src/dom_tree.rs:117-119).
+
+Known simplifications (none observable in the reference fixtures):
+- foreign content (svg/math) parses as generic elements honoring the
+  self-closing flag; no tag-name/attr case adjustment, no integration
+  points;
+- ``<template>`` children parse inline instead of into a separate
+  template-contents document;
+- frameset modes are minimal.
+"""
+
+from __future__ import annotations
+
+from nipper_spark.html.arena import (
+    Arena, COMMENT, DOCTYPE, DOCUMENT, ELEMENT, NIL, TEXT)
+from nipper_spark.html.tokenizer import RAWTEXT_TAGS, RCDATA_TAGS, tokenize
+
+# elements whose content arrives as one raw/rcdata text token; while one
+# is open we are in the spec's "text" insertion mode
+_TEXT_MODE_TAGS = RAWTEXT_TAGS | RCDATA_TAGS | {"plaintext"}
+
+MARKER = None  # active-formatting-elements scope marker
+
+SPECIAL = frozenset("""
+address applet area article aside base basefont bgsound blockquote body br
+button caption center col colgroup dd details dir div dl dt embed fieldset
+figcaption figure footer form frame frameset h1 h2 h3 h4 h5 h6 head header
+hgroup hr html iframe img input keygen li link listing main marquee menu
+meta nav noembed noframes noscript object ol p param plaintext pre script
+section select source style summary table tbody td template textarea tfoot
+th thead title tr track ul wbr xmp
+""".split())
+
+FORMATTING = frozenset(
+    ["a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
+     "strike", "strong", "tt", "u"])
+
+VOID = frozenset(
+    ["area", "base", "basefont", "bgsound", "br", "col", "embed", "frame",
+     "hr", "img", "input", "keygen", "link", "meta", "param", "source",
+     "track", "wbr"])
+
+_DEFAULT_SCOPE = frozenset(
+    ["applet", "caption", "html", "table", "td", "th", "marquee", "object",
+     "template"])
+_LIST_ITEM_SCOPE = _DEFAULT_SCOPE | {"ol", "ul"}
+_BUTTON_SCOPE = _DEFAULT_SCOPE | {"button"}
+_TABLE_SCOPE = frozenset(["html", "table", "template"])
+
+_IMPLIED_END = frozenset(
+    ["dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"])
+
+_CLOSE_P_TAGS = frozenset("""
+address article aside blockquote center details dialog dir div dl fieldset
+figcaption figure footer header hgroup main menu nav ol p section summary ul
+""".split())
+
+_BODY_END_LIST = frozenset("""
+address article aside blockquote button center details dialog dir div dl
+fieldset figcaption figure footer header hgroup listing main menu nav ol
+pre section summary ul
+""".split())
+
+_HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+
+_IN_HEAD_TAGS = frozenset(
+    ["base", "basefont", "bgsound", "link", "meta", "noframes", "script",
+     "style", "template", "title"])
+
+_TABLE_SECTIONS = frozenset(["tbody", "tfoot", "thead"])
+_TABLE_CTX = frozenset(["table", "template", "html"])
+_TBODY_CTX = frozenset(["tbody", "tfoot", "thead", "template", "html"])
+_TR_CTX = frozenset(["tr", "template", "html"])
+_TABLE_FOSTER = frozenset(["table", "tbody", "tfoot", "thead", "tr"])
+
+
+class TreeBuilder:
+    def __init__(self, fragment_context: str | None = None) -> None:
+        self.arena = Arena()
+        self.stack: list[int] = []
+        self.afe: list = []  # entries: [nid, name, attrs_snapshot] or MARKER
+        self.mode = "initial"
+        self.original_mode = ""
+        self.head_id: int | None = None
+        self.form_id: int | None = None
+        self.frag = fragment_context is not None
+        self.frag_context = fragment_context or ""
+        self.skip_next_lf = False
+        self.foster = False
+        self.frameset_ok = True
+        self.done = False
+
+        if self.frag:
+            html = self.arena.new_element("html")
+            self.arena.append_child(0, html)
+            self.stack.append(html)
+            self.mode = self._reset_mode_for_fragment()
+
+    # ==================================================================
+    # public entry points
+    # ==================================================================
+    def parse(self, html: str) -> Arena:
+        dispatch = _MODE_DISPATCH
+        for tok in tokenize(html):
+            kind = tok[0]
+            if kind == "text":
+                self._process_text(tok[1])
+            else:
+                self.skip_next_lf = False
+                dispatch[self.mode](self, tok)
+            if self.done:
+                break
+        self._finish()
+        return self.arena
+
+    # ==================================================================
+    # shared machinery
+    # ==================================================================
+    def _current(self) -> int:
+        return self.stack[-1]
+
+    def _name(self, nid: int) -> str:
+        return self.arena.name[nid] or ""
+
+    def _in_scope(self, targets, scope=_DEFAULT_SCOPE) -> bool:
+        if isinstance(targets, str):
+            targets = (targets,)
+        for nid in reversed(self.stack):
+            nm = self._name(nid)
+            if nm in targets:
+                return True
+            if nm in scope:
+                return False
+        return False
+
+    def _node_in_scope(self, target_nid: int, scope=_DEFAULT_SCOPE) -> bool:
+        for nid in reversed(self.stack):
+            if nid == target_nid:
+                return True
+            if self._name(nid) in scope:
+                return False
+        return False
+
+    def _pop_until(self, names) -> None:
+        if isinstance(names, str):
+            names = (names,)
+        while self.stack:
+            nid = self.stack.pop()
+            if self._name(nid) in names:
+                return
+
+    def _generate_implied_end_tags(self, except_: str | None = None) -> None:
+        while self.stack:
+            nm = self._name(self._current())
+            if nm in _IMPLIED_END and nm != except_:
+                self.stack.pop()
+            else:
+                return
+
+    def _close_p(self) -> None:
+        """Close a <p> element that is in button scope."""
+        self._generate_implied_end_tags(except_="p")
+        self._pop_until("p")
+
+    def _maybe_close_p(self) -> None:
+        if self._in_scope("p", _BUTTON_SCOPE):
+            self._close_p()
+
+    # ---------------- insertion --------------------------------------
+    def _appropriate_place(self, override: int | None = None):
+        """Returns ('append', parent) or ('before', ref_node)."""
+        target = override if override is not None else self._current()
+        if self.foster and self._name(target) in _TABLE_FOSTER:
+            # find last table in the stack
+            table = None
+            for nid in reversed(self.stack):
+                if self._name(nid) == "table":
+                    table = nid
+                    break
+            if table is None:
+                return ("append", self.stack[0])
+            parent = self.arena.parent[table]
+            if parent != NIL:
+                return ("before", table)
+            idx = self.stack.index(table)
+            return ("append", self.stack[idx - 1])
+        return ("append", target)
+
+    def _insert_at(self, place, nid: int) -> None:
+        if place[0] == "append":
+            self.arena.append_child(place[1], nid)
+        else:
+            self.arena.insert_before(place[1], nid)
+
+    def _insert_element(self, name: str, attrs, push: bool = True) -> int:
+        nid = self.arena.new_element(name, attrs)
+        self._insert_at(self._appropriate_place(), nid)
+        if push:
+            self.stack.append(nid)
+            # rawtext/rcdata content arrives as one text token; enter the
+            # spec's "text" insertion mode until the matching end tag
+            if name in _TEXT_MODE_TAGS and self.mode != "text":
+                self.original_mode = self.mode
+                self.mode = "text"
+        return nid
+
+    def _insert_text(self, data: str, override: int | None = None) -> None:
+        """Insert character data with adjacent-text coalescing
+        (src/document.rs:167-183, src/dom_tree.rs:71-79)."""
+        if self.skip_next_lf:
+            self.skip_next_lf = False
+            if data.startswith("\n"):
+                data = data[1:]
+        if not data:
+            return
+        a = self.arena
+        place = self._appropriate_place(override)
+        if place[0] == "append":
+            last = a.last[place[1]]
+            if last != NIL and a.kind[last] == TEXT:
+                a.text[last] = a.text[last] + data  # type: ignore[operator]
+                return
+            a.append_child(place[1], a.new_text(data))
+        else:
+            ref = place[1]
+            prev = a.prev[ref]
+            if prev != NIL and a.kind[prev] == TEXT:
+                a.text[prev] = a.text[prev] + data  # type: ignore[operator]
+                return
+            a.insert_before(ref, a.new_text(data))
+
+    def _insert_comment(self, data: str, parent: int | None = None) -> None:
+        nid = self.arena.new_node(COMMENT, text=data)
+        if parent is not None:
+            self.arena.append_child(parent, nid)
+        else:
+            self._insert_at(self._appropriate_place(), nid)
+
+    # ---------------- active formatting elements ---------------------
+    def _afe_push(self, nid: int, name: str, attrs) -> None:
+        # Noah's ark: max 3 identical entries after the last marker
+        snapshot = [list(a) for a in attrs]
+        key = (name, sorted(map(tuple, snapshot)))
+        count = 0
+        for entry in reversed(self.afe):
+            if entry is MARKER:
+                break
+            if (entry[1], sorted(map(tuple, entry[2]))) == key:
+                count += 1
+                if count == 3:
+                    self.afe.remove(entry)
+                    break
+        self.afe.append([nid, name, snapshot])
+
+    def _afe_reconstruct(self) -> None:
+        afe = self.afe
+        if not afe:
+            return
+        last = afe[-1]
+        if last is MARKER or last[0] in self.stack:
+            return
+        i = len(afe) - 1
+        while True:
+            if i == 0:
+                break
+            i -= 1
+            e = afe[i]
+            if e is MARKER or e[0] in self.stack:
+                i += 1
+                break
+        while i < len(afe):
+            entry = afe[i]
+            nid = self._insert_element(entry[1], [list(a) for a in entry[2]])
+            afe[i] = [nid, entry[1], entry[2]]
+            i += 1
+
+    def _afe_clear_to_marker(self) -> None:
+        while self.afe:
+            if self.afe.pop() is MARKER:
+                return
+
+    def _afe_find(self, name: str):
+        for entry in reversed(self.afe):
+            if entry is MARKER:
+                return None
+            if entry[1] == name:
+                return entry
+        return None
+
+    # ---------------- adoption agency --------------------------------
+    def _adoption_agency(self, subject: str) -> str | None:
+        """WHATWG 13.2.6.4.7 adoption agency algorithm.
+        Returns 'any_other' when the token must be handled by the
+        any-other-end-tag rules."""
+        a = self.arena
+        cur = self._current() if self.stack else None
+        if (cur is not None and self._name(cur) == subject
+                and all(e is MARKER or e[0] != cur for e in self.afe)):
+            self.stack.pop()
+            return None
+        for _ in range(8):
+            entry = self._afe_find(subject)
+            if entry is None:
+                return "any_other"
+            fe = entry[0]
+            if fe not in self.stack:
+                self.afe.remove(entry)
+                return None
+            if not self._node_in_scope(fe):
+                return None  # parse error; ignore token
+            idx_fe = self.stack.index(fe)
+            # furthest block: lowest node after fe that is special
+            fb = None
+            for j in range(idx_fe + 1, len(self.stack)):
+                if self._name(self.stack[j]) in SPECIAL:
+                    fb = self.stack[j]
+                    break
+            if fb is None:
+                del self.stack[idx_fe:]
+                self.afe.remove(entry)
+                return None
+            common_ancestor = self.stack[idx_fe - 1]
+            bookmark = self.afe.index(entry)
+            node = fb
+            last_node = fb
+            # element above `node` — captured before possible removal
+            node_above = self.stack[self.stack.index(fb) - 1]
+            inner = 0
+            while True:
+                inner += 1
+                node = node_above
+                if node == fe:
+                    break
+                node_above = self.stack[self.stack.index(node) - 1]
+                node_entry = None
+                for e in self.afe:
+                    if e is not MARKER and e[0] == node:
+                        node_entry = e
+                        break
+                if inner > 3 and node_entry is not None:
+                    self.afe.remove(node_entry)
+                    node_entry = None
+                if node_entry is None:
+                    self.stack.remove(node)
+                    continue
+                new = a.new_element(node_entry[1],
+                                    [list(x) for x in node_entry[2]])
+                i_afe = self.afe.index(node_entry)
+                self.afe[i_afe] = [new, node_entry[1], node_entry[2]]
+                i_stk = self.stack.index(node)
+                self.stack[i_stk] = new
+                node = new
+                if last_node == fb:
+                    bookmark = i_afe + 1
+                a.remove_from_parent(last_node)
+                a.append_child(node, last_node)
+                last_node = node
+            a.remove_from_parent(last_node)
+            self._insert_at(self._appropriate_place(common_ancestor),
+                            last_node)
+            new_fe = a.new_element(entry[1], [list(x) for x in entry[2]])
+            a.reparent_children(fb, new_fe)
+            a.append_child(fb, new_fe)
+            idx_entry = self.afe.index(entry)
+            self.afe.remove(entry)
+            if idx_entry < bookmark:
+                bookmark -= 1
+            self.afe.insert(min(bookmark, len(self.afe)),
+                            [new_fe, entry[1], entry[2]])
+            self.stack.remove(fe)
+            self.stack.insert(self.stack.index(fb) + 1, new_fe)
+        return None
+
+    # ---------------- mode resets -------------------------------------
+    def _reset_mode(self) -> str:
+        for i in range(len(self.stack) - 1, -1, -1):
+            nid = self.stack[i]
+            last = i == 0
+            name = self._name(nid)
+            if self.frag and last:
+                name = self.frag_context
+            if name == "select":
+                return "in_select"
+            if name in ("td", "th") and not last:
+                return "in_cell"
+            if name == "tr":
+                return "in_row"
+            if name in _TABLE_SECTIONS:
+                return "in_table_body"
+            if name == "caption":
+                return "in_caption"
+            if name == "colgroup":
+                return "in_column_group"
+            if name == "table":
+                return "in_table"
+            if name == "head" and not last:
+                return "in_head"
+            if name == "body":
+                return "in_body"
+            if name == "html":
+                return "before_head" if self.head_id is None else "after_head"
+            if last:
+                return "in_body"
+        return "in_body"
+
+    def _reset_mode_for_fragment(self) -> str:
+        ctx = self.frag_context
+        if ctx in ("title", "textarea", "style", "script", "xmp", "iframe",
+                   "noembed", "noframes", "noscript", "plaintext"):
+            return "in_body"  # tokenizer handles raw modes separately
+        if ctx == "select":
+            return "in_select"
+        if ctx in ("td", "th"):
+            return "in_cell"
+        if ctx == "tr":
+            return "in_row"
+        if ctx in _TABLE_SECTIONS:
+            return "in_table_body"
+        if ctx == "caption":
+            return "in_caption"
+        if ctx == "colgroup":
+            return "in_column_group"
+        if ctx == "table":
+            return "in_table"
+        if ctx == "head":
+            return "in_head"
+        return "in_body"
+
+    def _finish(self) -> None:
+        """EOF handling: materialize the implied html/head/body chain
+        (the spec's reprocess-on-EOF cascade through the startup modes)."""
+        if self.mode == "text":
+            # unclosed rawtext/rcdata element at EOF
+            if self.stack:
+                self.stack.pop()
+            self.mode = self.original_mode
+        if self.frag:
+            return
+        if self.mode in ("initial", "before_html"):
+            nid = self.arena.new_element("html")
+            self.arena.append_child(0, nid)
+            self.stack.append(nid)
+            self.mode = "before_head"
+        if self.mode == "before_head":
+            self.head_id = self._insert_element("head", [])
+            self.mode = "in_head"
+        if self.mode == "in_head":
+            if self._name(self._current()) == "head":
+                self.stack.pop()
+            self.mode = "after_head"
+        if self.mode == "after_head":
+            self._insert_element("body", [])
+            self.mode = "in_body"
+
+    # ==================================================================
+    # character handling (batched; modes that split ws/non-ws do so here)
+    # ==================================================================
+    def _process_text(self, data: str) -> None:
+        mode = self.mode
+        if mode == "text":
+            self._insert_text(data)
+            return
+        if mode in ("initial", "before_html", "before_head"):
+            stripped = data.lstrip("\t\n\f ")
+            if not stripped:
+                return
+            # non-whitespace: fall through the startup modes
+            _MODE_DISPATCH[mode](self, ("__text__", stripped))
+            return
+        if mode in ("in_head", "after_head", "in_column_group"):
+            # whitespace inserted; rest reprocessed
+            i = 0
+            n = len(data)
+            while i < n and data[i] in "\t\n\f ":
+                i += 1
+            if i:
+                self._insert_text(data[:i])
+            if i < n:
+                _MODE_DISPATCH[mode](self, ("__text__", data[i:]))
+            return
+        if mode in ("in_table", "in_table_body", "in_row"):
+            self._in_table_text(data)
+            return
+        if mode in ("after_body", "after_after_body"):
+            ws = data.strip("\t\n\f ") == ""
+            if ws:
+                # process using in_body rules
+                self.mode = "in_body"
+                self._process_text(data)
+                self.mode = mode
+                return
+            self.mode = "in_body"
+            self._process_text(data)
+            return
+        if mode == "in_select":
+            data = data.replace("\x00", "")
+            if data:
+                self._insert_text(data)
+            return
+        # in_body, in_caption, in_cell and friends
+        data = data.replace("\x00", "")
+        if not data:
+            return
+        if data.strip("\t\n\f ") != "":
+            self.frameset_ok = False
+        self._afe_reconstruct()
+        self._insert_text(data)
+
+    def _in_table_text(self, data: str) -> None:
+        data = data.replace("\x00", "")
+        if not data:
+            return
+        if data.strip("\t\n\f ") == "":
+            self._insert_text(data)
+            return
+        # non-whitespace in table: foster-parent via in-body rules
+        self.foster = True
+        self._afe_reconstruct()
+        self._insert_text(data)
+        self.foster = False
+
+
+# ======================================================================
+# insertion-mode handlers
+# ======================================================================
+
+def _mode_initial(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "doctype":
+        nid = tb.arena.new_node(
+            DOCTYPE, name=tok[1],
+            text=(tok[2] or "") + "\x00" + (tok[3] or ""))
+        tb.arena.append_child(0, nid)
+        tb.mode = "before_html"
+        return
+    if k == "comment":
+        tb._insert_comment(tok[1], parent=0)
+        return
+    tb.mode = "before_html"
+    _MODE_DISPATCH["before_html"](tb, tok)
+
+
+def _mode_before_html(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "doctype":
+        return
+    if k == "comment":
+        tb._insert_comment(tok[1], parent=0)
+        return
+    if k == "start" and tok[1] == "html":
+        nid = tb.arena.new_element("html", tok[2])
+        tb.arena.append_child(0, nid)
+        tb.stack.append(nid)
+        tb.mode = "before_head"
+        return
+    if k == "end" and tok[1] not in ("head", "body", "html", "br"):
+        return
+    nid = tb.arena.new_element("html")
+    tb.arena.append_child(0, nid)
+    tb.stack.append(nid)
+    tb.mode = "before_head"
+    _MODE_DISPATCH["before_head"](tb, tok)
+
+
+def _mode_before_head(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "comment":
+        tb._insert_comment(tok[1])
+        return
+    if k == "doctype":
+        return
+    if k == "start":
+        if tok[1] == "html":
+            tb.arena.add_attrs_if_missing(tb.stack[0], tok[2])
+            return
+        if tok[1] == "head":
+            tb.head_id = tb._insert_element("head", tok[2])
+            tb.mode = "in_head"
+            return
+    if k == "end" and tok[1] not in ("head", "body", "html", "br"):
+        return
+    tb.head_id = tb._insert_element("head", [])
+    tb.mode = "in_head"
+    _MODE_DISPATCH["in_head"](tb, tok)
+
+
+def _mode_in_head(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "comment":
+        tb._insert_comment(tok[1])
+        return
+    if k == "doctype":
+        return
+    if k == "start":
+        name = tok[1]
+        if name == "html":
+            tb.arena.add_attrs_if_missing(tb.stack[0], tok[2])
+            return
+        if name in ("base", "basefont", "bgsound", "link", "meta"):
+            tb._insert_element(name, tok[2], push=False)
+            return
+        if name in ("title", "style", "script", "noscript", "noframes",
+                    "template"):
+            # rawtext/rcdata content arrives as a single text token;
+            # pushing keeps the element current for that text.
+            tb._insert_element(name, tok[2])
+            if name == "template":
+                tb.afe.append(MARKER)
+            return
+        if name == "head":
+            return
+    if k == "end":
+        name = tok[1]
+        if name == "head":
+            tb.stack.pop()
+            tb.mode = "after_head"
+            return
+        if name in ("title", "style", "script", "noscript", "noframes",
+                    "template"):
+            if tb.stack and tb._name(tb._current()) == name:
+                tb.stack.pop()
+            if name == "template":
+                tb._afe_clear_to_marker()
+            return
+        if name not in ("body", "html", "br"):
+            return
+    if tok[0] == "__text__":
+        tok = ("text_reprocess", tok[1])
+    # anything else: pop head, switch to after_head, reprocess
+    if tb.stack and tb._name(tb._current()) == "head":
+        tb.stack.pop()
+    tb.mode = "after_head"
+    if tok[0] == "text_reprocess":
+        tb._process_text(tok[1])
+    else:
+        _MODE_DISPATCH["after_head"](tb, tok)
+
+
+def _mode_after_head(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "comment":
+        tb._insert_comment(tok[1])
+        return
+    if k == "doctype":
+        return
+    if k == "start":
+        name = tok[1]
+        if name == "html":
+            tb.arena.add_attrs_if_missing(tb.stack[0], tok[2])
+            return
+        if name == "body":
+            tb._insert_element("body", tok[2])
+            tb.mode = "in_body"
+            return
+        if name == "frameset":
+            tb._insert_element("frameset", tok[2])
+            tb.mode = "in_body"  # minimal frameset support
+            return
+        if name in _IN_HEAD_TAGS:
+            # parse error: re-enter head
+            assert tb.head_id is not None
+            tb.stack.append(tb.head_id)
+            _MODE_DISPATCH["in_head"](tb, tok)
+            if tb.stack and tb.stack[-1] == tb.head_id:
+                tb.stack.pop()
+            else:
+                try:
+                    tb.stack.remove(tb.head_id)
+                except ValueError:
+                    pass
+            return
+        if name == "head":
+            return
+    if k == "end" and tok[1] not in ("body", "html", "br"):
+        return
+    tb._insert_element("body", [])
+    tb.mode = "in_body"
+    if tok[0] == "__text__":
+        tb._process_text(tok[1])
+    else:
+        _MODE_DISPATCH["in_body"](tb, tok)
+
+
+def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
+    a = tb.arena
+    k = tok[0]
+    if k == "__text__":
+        tb._process_text(tok[1])
+        return
+    if k == "comment":
+        tb._insert_comment(tok[1])
+        return
+    if k == "doctype":
+        return
+    if k == "start":
+        name, attrs, self_closing = tok[1], tok[2], tok[3]
+        if name == "html":
+            a.add_attrs_if_missing(tb.stack[0], attrs)
+            return
+        if name in _IN_HEAD_TAGS:
+            _MODE_DISPATCH["in_head"](tb, tok)
+            return
+        if name == "body":
+            if (len(tb.stack) > 1 and tb._name(tb.stack[1]) == "body"):
+                a.add_attrs_if_missing(tb.stack[1], attrs)
+            return
+        if name in _CLOSE_P_TAGS:
+            tb._maybe_close_p()
+            tb._insert_element(name, attrs)
+            return
+        if name in _HEADINGS:
+            tb._maybe_close_p()
+            if tb._name(tb._current()) in _HEADINGS:
+                tb.stack.pop()
+            tb._insert_element(name, attrs)
+            return
+        if name in ("pre", "listing"):
+            tb._maybe_close_p()
+            tb._insert_element(name, attrs)
+            tb.skip_next_lf = True
+            return
+        if name == "form":
+            if tb.form_id is not None:
+                return
+            tb._maybe_close_p()
+            tb.form_id = tb._insert_element("form", attrs)
+            return
+        if name == "li":
+            for nid in reversed(tb.stack):
+                nm = tb._name(nid)
+                if nm == "li":
+                    tb._generate_implied_end_tags(except_="li")
+                    tb._pop_until("li")
+                    break
+                if nm in SPECIAL and nm not in ("address", "div", "p"):
+                    break
+            tb._maybe_close_p()
+            tb._insert_element("li", attrs)
+            return
+        if name in ("dd", "dt"):
+            for nid in reversed(tb.stack):
+                nm = tb._name(nid)
+                if nm in ("dd", "dt"):
+                    tb._generate_implied_end_tags(except_=nm)
+                    tb._pop_until(nm)
+                    break
+                if nm in SPECIAL and nm not in ("address", "div", "p"):
+                    break
+            tb._maybe_close_p()
+            tb._insert_element(name, attrs)
+            return
+        if name == "plaintext":
+            tb._maybe_close_p()
+            tb._insert_element("plaintext", attrs)
+            return
+        if name == "button":
+            if tb._in_scope("button"):
+                tb._generate_implied_end_tags()
+                tb._pop_until("button")
+            tb._afe_reconstruct()
+            tb._insert_element("button", attrs)
+            return
+        if name == "a":
+            entry = tb._afe_find("a")
+            if entry is not None:
+                tb._adoption_agency("a")
+                if entry in tb.afe:
+                    tb.afe.remove(entry)
+                if entry[0] in tb.stack:
+                    tb.stack.remove(entry[0])
+            tb._afe_reconstruct()
+            nid = tb._insert_element("a", attrs)
+            tb._afe_push(nid, "a", attrs)
+            return
+        if name in FORMATTING:  # b big code em font i s small strike strong tt u
+            tb._afe_reconstruct()
+            if name == "nobr" and tb._in_scope("nobr"):
+                tb._adoption_agency("nobr")
+                tb._afe_reconstruct()
+            nid = tb._insert_element(name, attrs)
+            tb._afe_push(nid, name, attrs)
+            return
+        if name in ("applet", "marquee", "object"):
+            tb._afe_reconstruct()
+            tb._insert_element(name, attrs)
+            tb.afe.append(MARKER)
+            return
+        if name == "table":
+            # non-quirks: close p first
+            tb._maybe_close_p()
+            tb._insert_element("table", attrs)
+            tb.mode = "in_table"
+            return
+        if name in ("area", "br", "embed", "img", "keygen", "wbr"):
+            tb._afe_reconstruct()
+            tb._insert_element(name, attrs, push=False)
+            return
+        if name == "input":
+            tb._afe_reconstruct()
+            tb._insert_element("input", attrs, push=False)
+            return
+        if name in ("param", "source", "track"):
+            tb._insert_element(name, attrs, push=False)
+            return
+        if name == "hr":
+            tb._maybe_close_p()
+            tb._insert_element("hr", attrs, push=False)
+            return
+        if name == "image":
+            tb._afe_reconstruct()
+            tb._insert_element("img", attrs, push=False)
+            return
+        if name == "textarea":
+            tb._insert_element("textarea", attrs)
+            tb.skip_next_lf = True
+            return
+        if name == "xmp":
+            tb._maybe_close_p()
+            tb._afe_reconstruct()
+            tb._insert_element("xmp", attrs)
+            return
+        if name in ("iframe", "noembed"):
+            tb._insert_element(name, attrs)
+            return
+        if name == "select":
+            tb._afe_reconstruct()
+            tb._insert_element("select", attrs)
+            tb.mode = "in_select"
+            return
+        if name in ("optgroup", "option"):
+            if tb._name(tb._current()) == "option":
+                tb.stack.pop()
+            tb._afe_reconstruct()
+            tb._insert_element(name, attrs)
+            return
+        if name in ("rb", "rp", "rt", "rtc"):
+            if tb._in_scope("ruby"):
+                tb._generate_implied_end_tags(
+                    except_=name if name in ("rt", "rp") else None)
+            tb._insert_element(name, attrs)
+            return
+        if name in ("math", "svg"):
+            tb._afe_reconstruct()
+            nid = tb._insert_element(name, attrs)
+            if self_closing:
+                tb.stack.pop()
+            return
+        if name in ("caption", "col", "colgroup", "frame", "head", "tbody",
+                    "td", "tfoot", "th", "thead", "tr"):
+            return  # parse error: ignore
+        # any other start tag
+        tb._afe_reconstruct()
+        nid = tb._insert_element(name, attrs)
+        if self_closing and _is_foreign_context(tb, nid):
+            tb.stack.pop()
+        return
+
+    if k == "end":
+        name = tok[1]
+        if name == "body":
+            if tb._in_scope("body"):
+                tb.mode = "after_body"
+            return
+        if name == "html":
+            if tb._in_scope("body"):
+                tb.mode = "after_body"
+                _MODE_DISPATCH["after_body"](tb, tok)
+            return
+        if name in _BODY_END_LIST:
+            if tb._in_scope(name):
+                tb._generate_implied_end_tags()
+                tb._pop_until(name)
+            return
+        if name == "form":
+            node = tb.form_id
+            tb.form_id = None
+            if node is not None and tb._node_in_scope(node):
+                tb._generate_implied_end_tags()
+                if node in tb.stack:
+                    tb.stack.remove(node)
+            return
+        if name == "p":
+            if not tb._in_scope("p", _BUTTON_SCOPE):
+                tb._insert_element("p", [])
+            tb._close_p()
+            return
+        if name == "li":
+            if tb._in_scope("li", _LIST_ITEM_SCOPE):
+                tb._generate_implied_end_tags(except_="li")
+                tb._pop_until("li")
+            return
+        if name in ("dd", "dt"):
+            if tb._in_scope(name):
+                tb._generate_implied_end_tags(except_=name)
+                tb._pop_until(name)
+            return
+        if name in _HEADINGS:
+            if tb._in_scope(_HEADINGS):
+                tb._generate_implied_end_tags()
+                tb._pop_until(_HEADINGS)
+            return
+        if name in FORMATTING or name == "a" or name == "nobr":
+            result = tb._adoption_agency(name)
+            if result != "any_other":
+                return
+            # fall through to any-other-end-tag
+        if name in ("applet", "marquee", "object"):
+            if tb._in_scope(name):
+                tb._generate_implied_end_tags()
+                tb._pop_until(name)
+                tb._afe_clear_to_marker()
+            return
+        if name == "br":
+            tb._afe_reconstruct()
+            tb._insert_element("br", [], push=False)
+            return
+        if name == "template":
+            return
+        # any other end tag
+        for i in range(len(tb.stack) - 1, -1, -1):
+            nid = tb.stack[i]
+            nm = tb._name(nid)
+            if nm == name:
+                tb._generate_implied_end_tags(except_=name)
+                del tb.stack[i:]
+                return
+            if nm in SPECIAL:
+                return
+        return
+
+
+def _is_foreign_context(tb: TreeBuilder, nid: int) -> bool:
+    """True if the node sits inside an svg/math subtree (we honor the
+    self-closing flag only there, approximating foreign content)."""
+    p = nid
+    a = tb.arena
+    while p != NIL:
+        if a.kind[p] == ELEMENT and (a.name[p] in ("svg", "math")):
+            return True
+        p = a.parent[p]
+    return False
+
+
+def _clear_stack_to(tb: TreeBuilder, ctx: frozenset) -> None:
+    while tb.stack and tb._name(tb._current()) not in ctx:
+        tb.stack.pop()
+
+
+def _mode_in_table(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "comment":
+        tb._insert_comment(tok[1])
+        return
+    if k == "doctype":
+        return
+    if k == "start":
+        name = tok[1]
+        if name == "caption":
+            _clear_stack_to(tb, _TABLE_CTX)
+            tb.afe.append(MARKER)
+            tb._insert_element("caption", tok[2])
+            tb.mode = "in_caption"
+            return
+        if name == "colgroup":
+            _clear_stack_to(tb, _TABLE_CTX)
+            tb._insert_element("colgroup", tok[2])
+            tb.mode = "in_column_group"
+            return
+        if name == "col":
+            _clear_stack_to(tb, _TABLE_CTX)
+            tb._insert_element("colgroup", [])
+            tb.mode = "in_column_group"
+            _MODE_DISPATCH["in_column_group"](tb, tok)
+            return
+        if name in _TABLE_SECTIONS:
+            _clear_stack_to(tb, _TABLE_CTX)
+            tb._insert_element(name, tok[2])
+            tb.mode = "in_table_body"
+            return
+        if name in ("td", "th", "tr"):
+            _clear_stack_to(tb, _TABLE_CTX)
+            tb._insert_element("tbody", [])
+            tb.mode = "in_table_body"
+            _MODE_DISPATCH["in_table_body"](tb, tok)
+            return
+        if name == "table":
+            if tb._in_scope("table", _TABLE_SCOPE):
+                tb._pop_until("table")
+                tb.mode = tb._reset_mode()
+                _MODE_DISPATCH[tb.mode](tb, tok)
+            return
+        if name in ("style", "script", "template"):
+            _MODE_DISPATCH["in_head"](tb, tok)
+            return
+        if name == "input":
+            typ = next((a[1] for a in tok[2] if a[0] == "type"), "")
+            if typ.lower() == "hidden":
+                tb._insert_element("input", tok[2], push=False)
+                return
+            # else fall to anything-else
+        if name == "form":
+            if tb.form_id is None:
+                tb.form_id = tb._insert_element("form", tok[2])
+                tb.stack.pop()
+            return
+    if k == "end":
+        name = tok[1]
+        if name == "table":
+            if tb._in_scope("table", _TABLE_SCOPE):
+                tb._pop_until("table")
+                tb.mode = tb._reset_mode()
+            return
+        if name in ("body", "caption", "col", "colgroup", "html", "tbody",
+                    "td", "tfoot", "th", "thead", "tr"):
+            return
+    # anything else: process via in_body with foster parenting enabled
+    tb.foster = True
+    _MODE_DISPATCH["in_body"](tb, tok)
+    tb.foster = False
+
+
+def _mode_in_caption(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "end" and tok[1] == "caption":
+        if tb._in_scope("caption", _TABLE_SCOPE):
+            tb._generate_implied_end_tags()
+            tb._pop_until("caption")
+            tb._afe_clear_to_marker()
+            tb.mode = "in_table"
+        return
+    if ((k == "start" and tok[1] in ("caption", "col", "colgroup", "tbody",
+                                     "td", "tfoot", "th", "thead", "tr"))
+            or (k == "end" and tok[1] == "table")):
+        if tb._in_scope("caption", _TABLE_SCOPE):
+            tb._generate_implied_end_tags()
+            tb._pop_until("caption")
+            tb._afe_clear_to_marker()
+            tb.mode = "in_table"
+            _MODE_DISPATCH["in_table"](tb, tok)
+        return
+    if k == "end" and tok[1] in ("body", "col", "colgroup", "html", "tbody",
+                                 "td", "tfoot", "th", "thead", "tr"):
+        return
+    _MODE_DISPATCH["in_body"](tb, tok)
+
+
+def _mode_in_column_group(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "comment":
+        tb._insert_comment(tok[1])
+        return
+    if k == "doctype":
+        return
+    if k == "start":
+        if tok[1] == "html":
+            tb.arena.add_attrs_if_missing(tb.stack[0], tok[2])
+            return
+        if tok[1] == "col":
+            tb._insert_element("col", tok[2], push=False)
+            return
+        if tok[1] == "template":
+            _MODE_DISPATCH["in_head"](tb, tok)
+            return
+    if k == "end":
+        if tok[1] == "colgroup":
+            if tb._name(tb._current()) == "colgroup":
+                tb.stack.pop()
+                tb.mode = "in_table"
+            return
+        if tok[1] == "col":
+            return
+        if tok[1] == "template":
+            return
+    if tok[0] == "__text__":
+        pass
+    if tb._name(tb._current()) == "colgroup":
+        tb.stack.pop()
+        tb.mode = "in_table"
+        if tok[0] == "__text__":
+            tb._process_text(tok[1])
+        else:
+            _MODE_DISPATCH["in_table"](tb, tok)
+
+
+def _mode_in_table_body(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "start":
+        name = tok[1]
+        if name == "tr":
+            _clear_stack_to(tb, _TBODY_CTX)
+            tb._insert_element("tr", tok[2])
+            tb.mode = "in_row"
+            return
+        if name in ("td", "th"):
+            _clear_stack_to(tb, _TBODY_CTX)
+            tb._insert_element("tr", [])
+            tb.mode = "in_row"
+            _MODE_DISPATCH["in_row"](tb, tok)
+            return
+        if name in ("caption", "col", "colgroup", "tbody", "tfoot", "thead"):
+            if tb._in_scope(_TABLE_SECTIONS, _TABLE_SCOPE):
+                _clear_stack_to(tb, _TBODY_CTX)
+                tb.stack.pop()
+                tb.mode = "in_table"
+                _MODE_DISPATCH["in_table"](tb, tok)
+            return
+    if k == "end":
+        name = tok[1]
+        if name in _TABLE_SECTIONS:
+            if tb._in_scope(name, _TABLE_SCOPE):
+                _clear_stack_to(tb, _TBODY_CTX)
+                tb.stack.pop()
+                tb.mode = "in_table"
+            return
+        if name == "table":
+            if tb._in_scope(_TABLE_SECTIONS, _TABLE_SCOPE):
+                _clear_stack_to(tb, _TBODY_CTX)
+                tb.stack.pop()
+                tb.mode = "in_table"
+                _MODE_DISPATCH["in_table"](tb, tok)
+            return
+        if name in ("body", "caption", "col", "colgroup", "html", "td",
+                    "th", "tr"):
+            return
+    _MODE_DISPATCH["in_table"](tb, tok)
+
+
+def _mode_in_row(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "start" and tok[1] in ("td", "th"):
+        _clear_stack_to(tb, _TR_CTX)
+        tb._insert_element(tok[1], tok[2])
+        tb.mode = "in_cell"
+        tb.afe.append(MARKER)
+        return
+    if k == "end" and tok[1] == "tr":
+        if tb._in_scope("tr", _TABLE_SCOPE):
+            _clear_stack_to(tb, _TR_CTX)
+            tb.stack.pop()
+            tb.mode = "in_table_body"
+        return
+    if ((k == "start" and tok[1] in ("caption", "col", "colgroup", "tbody",
+                                     "tfoot", "thead", "tr"))
+            or (k == "end" and tok[1] == "table")):
+        if tb._in_scope("tr", _TABLE_SCOPE):
+            _clear_stack_to(tb, _TR_CTX)
+            tb.stack.pop()
+            tb.mode = "in_table_body"
+            _MODE_DISPATCH["in_table_body"](tb, tok)
+        return
+    if k == "end" and tok[1] in _TABLE_SECTIONS:
+        if tb._in_scope(tok[1], _TABLE_SCOPE):
+            if tb._in_scope("tr", _TABLE_SCOPE):
+                _clear_stack_to(tb, _TR_CTX)
+                tb.stack.pop()
+                tb.mode = "in_table_body"
+                _MODE_DISPATCH["in_table_body"](tb, tok)
+        return
+    if k == "end" and tok[1] in ("body", "caption", "col", "colgroup",
+                                 "html", "td", "th"):
+        return
+    _MODE_DISPATCH["in_table"](tb, tok)
+
+
+def _close_cell(tb: TreeBuilder) -> None:
+    tb._generate_implied_end_tags()
+    tb._pop_until(("td", "th"))
+    tb._afe_clear_to_marker()
+    tb.mode = "in_row"
+
+
+def _mode_in_cell(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "end" and tok[1] in ("td", "th"):
+        if tb._in_scope(tok[1], _TABLE_SCOPE):
+            _close_cell(tb)
+        return
+    if k == "start" and tok[1] in ("caption", "col", "colgroup", "tbody",
+                                   "td", "tfoot", "th", "thead", "tr"):
+        if tb._in_scope(("td", "th"), _TABLE_SCOPE):
+            _close_cell(tb)
+            _MODE_DISPATCH[tb.mode](tb, tok)
+        return
+    if k == "end" and tok[1] in ("body", "caption", "col", "colgroup",
+                                 "html"):
+        return
+    if k == "end" and tok[1] in ("table", "tbody", "tfoot", "thead", "tr"):
+        if tb._in_scope(tok[1], _TABLE_SCOPE):
+            _close_cell(tb)
+            _MODE_DISPATCH[tb.mode](tb, tok)
+        return
+    _MODE_DISPATCH["in_body"](tb, tok)
+
+
+def _mode_in_select(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "comment":
+        tb._insert_comment(tok[1])
+        return
+    if k == "doctype":
+        return
+    if k == "start":
+        name = tok[1]
+        if name == "html":
+            tb.arena.add_attrs_if_missing(tb.stack[0], tok[2])
+            return
+        if name == "option":
+            if tb._name(tb._current()) == "option":
+                tb.stack.pop()
+            tb._insert_element("option", tok[2])
+            return
+        if name == "optgroup":
+            if tb._name(tb._current()) == "option":
+                tb.stack.pop()
+            if tb._name(tb._current()) == "optgroup":
+                tb.stack.pop()
+            tb._insert_element("optgroup", tok[2])
+            return
+        if name == "select":
+            tb._pop_until("select")
+            tb.mode = tb._reset_mode()
+            return
+        if name in ("input", "keygen", "textarea"):
+            tb._pop_until("select")
+            tb.mode = tb._reset_mode()
+            _MODE_DISPATCH[tb.mode](tb, tok)
+            return
+        if name in ("script", "template"):
+            _MODE_DISPATCH["in_head"](tb, tok)
+            return
+        return
+    if k == "end":
+        name = tok[1]
+        if name == "option":
+            if tb._name(tb._current()) == "option":
+                tb.stack.pop()
+            return
+        if name == "optgroup":
+            if tb._name(tb._current()) == "option":
+                tb.stack.pop()
+            if tb._name(tb._current()) == "optgroup":
+                tb.stack.pop()
+            return
+        if name == "select":
+            if tb._in_scope("select", frozenset(["optgroup", "option"])):
+                pass
+            tb._pop_until("select")
+            tb.mode = tb._reset_mode()
+            return
+        return
+
+
+def _mode_after_body(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "comment":
+        tb._insert_comment(tok[1], parent=tb.stack[0])
+        return
+    if k == "doctype":
+        return
+    if k == "end" and tok[1] == "html":
+        tb.mode = "after_after_body"
+        return
+    if k == "start" and tok[1] == "html":
+        tb.arena.add_attrs_if_missing(tb.stack[0], tok[2])
+        return
+    tb.mode = "in_body"
+    _MODE_DISPATCH["in_body"](tb, tok)
+
+
+def _mode_text(tb: TreeBuilder, tok) -> None:
+    """Spec "text" insertion mode: inside a rawtext/rcdata element the
+    only tokens the tokenizer can emit are its text and its end tag."""
+    if tok[0] == "end":
+        if tb.stack:
+            tb.stack.pop()
+        tb.mode = tb.original_mode
+        return
+    # anything unexpected: restore and reprocess
+    if tb.stack and tb._name(tb._current()) in _TEXT_MODE_TAGS:
+        tb.stack.pop()
+    tb.mode = tb.original_mode
+    _MODE_DISPATCH[tb.mode](tb, tok)
+
+
+def _mode_after_after_body(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "comment":
+        tb._insert_comment(tok[1], parent=0)
+        return
+    if k == "doctype":
+        return
+    if k == "start" and tok[1] == "html":
+        tb.arena.add_attrs_if_missing(tb.stack[0], tok[2])
+        return
+    tb.mode = "in_body"
+    _MODE_DISPATCH["in_body"](tb, tok)
+
+
+_MODE_DISPATCH = {
+    "initial": _mode_initial,
+    "before_html": _mode_before_html,
+    "before_head": _mode_before_head,
+    "in_head": _mode_in_head,
+    "after_head": _mode_after_head,
+    "in_body": _mode_in_body,
+    "in_table": _mode_in_table,
+    "in_caption": _mode_in_caption,
+    "in_column_group": _mode_in_column_group,
+    "in_table_body": _mode_in_table_body,
+    "in_row": _mode_in_row,
+    "in_cell": _mode_in_cell,
+    "in_select": _mode_in_select,
+    "text": _mode_text,
+    "after_body": _mode_after_body,
+    "after_after_body": _mode_after_after_body,
+}
+
+
+def parse_document(html: str) -> Arena:
+    """Parse a complete HTML document (WHATWG tree construction),
+    mirroring ``Document::from`` (src/document.rs:40-56)."""
+    return TreeBuilder().parse(html)
+
+
+def parse_fragment(html: str, context: str = "body") -> Arena:
+    """Parse an HTML fragment; content hangs under the ``html`` root
+    element (id 1), mirroring ``parse_html!`` (src/manipulation.rs:13-33,
+    context element name "", doctype dropped)."""
+    return TreeBuilder(fragment_context=context).parse(html)
