@@ -1,0 +1,229 @@
+"""Arrow-batched pandas UDFs wrapping the HTML kernel.
+
+The process-boundary discipline (SURVEY.md §3.1): raw html crosses
+from the JVM to the Python worker ONCE per pipeline; parse, selection,
+extraction — and mutation when a pipeline needs it — are fused into a
+single UDF so a page is never re-parsed. Catalyst cannot push
+predicates through a Python UDF, so callers should filter/prune on
+native columns (``lang``, ``length(html)``) *before* these run.
+
+Everything is vectorized at the Arrow-batch level; there is no
+row-at-a-time Spark Python UDF anywhere in the engine
+(BASELINE.json input_hint: "no per-row Python").
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType
+
+from nipper_spark.functions.url import resolve_and_canonicalize
+from nipper_spark.html import Document
+from nipper_spark.html.document import _matcher
+
+
+def _to_text(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", errors="replace")
+    return v
+
+
+# ----------------------------------------------------------------------
+# scalar selector UDF factories (compile the selector once per batch —
+# the Matcher-reuse optimization of src/traversal.rs:53-58)
+# ----------------------------------------------------------------------
+
+def select_count_udf(selector: str):
+    """COUNT of matched nodes per document — ``doc.select(sel).length``."""
+    _matcher(selector)  # validate eagerly on the driver
+
+    @F.pandas_udf(IntegerType())
+    def _count(html: pd.Series) -> pd.Series:
+        m = _matcher(selector)
+        out = []
+        for h in html:
+            doc = Document.from_html(_to_text(h))
+            out.append(len(doc.select_matcher(m).ids))
+        return pd.Series(out, dtype="int32")
+
+    return _count
+
+
+def select_text_udf(selector: str):
+    """Concatenated text() of ALL matched nodes (src/property.rs:94-102)."""
+    _matcher(selector)
+
+    @F.pandas_udf(StringType())
+    def _text(html: pd.Series) -> pd.Series:
+        m = _matcher(selector)
+        out = []
+        for h in html:
+            doc = Document.from_html(_to_text(h))
+            out.append(doc.select_matcher(m).text())
+        return pd.Series(out)
+
+    return _text
+
+
+def select_attr_udf(selector: str, attr: str):
+    """Attr of the FIRST matched node, null if absent
+    (src/property.rs:22-24)."""
+    _matcher(selector)
+
+    @F.pandas_udf(StringType())
+    def _attr(html: pd.Series) -> pd.Series:
+        m = _matcher(selector)
+        out = []
+        for h in html:
+            doc = Document.from_html(_to_text(h))
+            out.append(doc.select_matcher(m).attr(attr))
+        return pd.Series(out, dtype="object")
+
+    return _attr
+
+
+def select_html_udf(selector: str):
+    """Serialized HTML of the FIRST matched node, "" if none
+    (src/property.rs:84-90)."""
+    _matcher(selector)
+
+    @F.pandas_udf(StringType())
+    def _html(html: pd.Series) -> pd.Series:
+        m = _matcher(selector)
+        out = []
+        for h in html:
+            doc = Document.from_html(_to_text(h))
+            out.append(doc.select_matcher(m).html())
+        return pd.Series(out)
+
+    return _html
+
+
+# ----------------------------------------------------------------------
+# fused page extraction: parse once → text + outlinks (+ counters)
+# ----------------------------------------------------------------------
+
+EXTRACTED_SCHEMA = ("url string, text string, outlinks array<string>, "
+                    "n_nodes int, n_anchors int")
+
+
+def extract_pages(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """pages(url, html, …) → extracted(url, text, outlinks, n_nodes,
+    n_anchors).
+
+    One fused ``mapInPandas`` pass: WHATWG parse, root-element text
+    (the byte-identity invariant), ``a[href]`` selection, href
+    resolution + canonicalization, dedup preserving first-occurrence
+    (document) order. Input is column-pruned to (url, html) so the
+    parquet scan reads only what the UDF needs.
+    """
+    src = pages.select(F.col(url_col).alias("url"),
+                       F.col(html_col).alias("html"))
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = _matcher("a[href]")
+        for pdf in batches:
+            urls, texts, links_col = [], [], []
+            n_nodes, n_anchors = [], []
+            for url, h in zip(pdf["url"], pdf["html"]):
+                doc = Document.from_html(_to_text(h))
+                texts.append(_root_text(doc))
+                anchors = doc.select_matcher(m)
+                seen: set[str] = set()
+                links: list[str] = []
+                a = doc.arena
+                for nid in anchors.ids:
+                    href = a.get_attr(nid, "href")
+                    canon = resolve_and_canonicalize(url, href or "")
+                    if canon is not None and canon not in seen:
+                        seen.add(canon)
+                        links.append(canon)
+                urls.append(url)
+                links_col.append(links)
+                n_nodes.append(len(a.kind))
+                n_anchors.append(len(anchors.ids))
+            yield pd.DataFrame({
+                "url": urls, "text": texts, "outlinks": links_col,
+                "n_nodes": pd.Series(n_nodes, dtype="int32"),
+                "n_anchors": pd.Series(n_anchors, dtype="int32")})
+
+    return src.mapInPandas(_extract, schema=EXTRACTED_SCHEMA)
+
+
+def _root_text(doc: Document) -> str:
+    """Extracted text of a page = text() of the root <html> element
+    (pre-order DFS concat of descendant Text nodes — the byte-identity
+    contract; Document.text() itself is "" by reference quirk)."""
+    return doc.body_text()
+
+
+# ----------------------------------------------------------------------
+# row-wise record extraction (the hacker-news pipeline shape):
+# one page → N records via a row selector + per-field chained selects
+# ----------------------------------------------------------------------
+
+def extract_records(pages: DataFrame, row_selector: str,
+                    fields: dict[str, tuple[str, str, str | None]],
+                    url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """FIXTURES.md §4 extraction spec: ``fields`` maps output column →
+    (selector, op, arg) with op ∈ {'text','attr','html'}; selectors are
+    evaluated as chained selects under each row match (ChildrenOnly,
+    exactly the examples/hacker_news.rs:7-13 loop).
+
+    Output: (url, seq, <field>...) — ``seq`` is the 0-based document-
+    order index of the row match, making output order deterministic.
+    """
+    _matcher(row_selector)
+    for name, (sel, op, arg) in fields.items():
+        _matcher(sel)
+        if op not in ("text", "attr", "html"):
+            raise ValueError("bad op %r for field %r" % (op, name))
+
+    field_items = sorted(fields.items())
+    schema = ("url string, seq int, " +
+              ", ".join(f"{name} string" for name, _ in field_items))
+    src = pages.select(F.col(url_col).alias("url"),
+                       F.col(html_col).alias("html"))
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        row_m = _matcher(row_selector)
+        field_ms = [(name, _matcher(sel), op, arg)
+                    for name, (sel, op, arg) in field_items]
+        for pdf in batches:
+            data: dict[str, list] = {"url": [], "seq": []}
+            for name, _, _, _ in field_ms:
+                data[name] = []
+            for url, h in zip(pdf["url"], pdf["html"]):
+                doc = Document.from_html(_to_text(h))
+                for seq, row in enumerate(doc.select_matcher(row_m).iter()):
+                    data["url"].append(url)
+                    data["seq"].append(seq)
+                    for name, m, op, arg in field_ms:
+                        sub = row.select_matcher(m)
+                        if op == "text":
+                            data[name].append(sub.text())
+                        elif op == "attr":
+                            data[name].append(sub.attr(arg))
+                        else:
+                            data[name].append(sub.html())
+            data["seq"] = pd.Series(data["seq"], dtype="int32")
+            yield pd.DataFrame(data)
+
+    return src.mapInPandas(_rows, schema=schema)
+
+
+def hacker_news_stories(pages: DataFrame) -> DataFrame:
+    """The flagship query (README.md:45-51, examples/hacker_news.rs):
+    every tr.athing → (title text of '.title a', href of '.storylink')."""
+    return extract_records(
+        pages, "tr.athing",
+        {"title": (".title a", "text", None),
+         "href": (".storylink", "attr", "href")})

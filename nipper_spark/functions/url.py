@@ -1,0 +1,96 @@
+"""URL canonicalization + hashing (engine-side; required by the
+north rule: scheme/host lowercasing, percent-decode, fragment strip,
+sorted query — BASELINE.json north_star).
+
+Pure functions here are the single source of truth: the same code runs
+vectorized inside pandas UDFs on executors AND inside the
+single-threaded crawl oracle, so "Spark matches the oracle" can never
+diverge on canonicalization.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import (
+    parse_qsl, quote, unquote, urlencode, urljoin, urlsplit, urlunsplit)
+
+# characters never re-encoded in paths (RFC 3986 unreserved + sub-delims
+# commonly left literal by crawlers)
+_PATH_SAFE = "/:@!$&'()*+,;=~-._"
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(url: str) -> str | None:
+    """Deterministic canonical form; None for non-http(s)/unparseable.
+
+    Rules (documented for the oracle): lowercase scheme+host, strip
+    fragment and userinfo, drop default port, percent-decode then
+    re-encode the path with a fixed safe set, sort query params by
+    (key, value), empty path → "/".
+    """
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = parts.hostname
+    if not host:
+        return None
+    host = host.lower().rstrip(".")
+    port = parts.port
+    netloc = host
+    try:
+        if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+            netloc = "%s:%d" % (host, port)
+    except ValueError:
+        return None
+    path = quote(unquote(parts.path), safe=_PATH_SAFE) or "/"
+    query = ""
+    if parts.query:
+        pairs = sorted(parse_qsl(parts.query, keep_blank_values=True))
+        query = urlencode(pairs)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def resolve_and_canonicalize(base_url: str, href: str) -> str | None:
+    """Resolve a (possibly relative) href against its page URL, then
+    canonicalize. The outlink-extraction invariant of the engine."""
+    href = (href or "").strip()
+    if not href or href.startswith(("#", "javascript:", "mailto:", "data:")):
+        return None
+    try:
+        absolute = urljoin(base_url, href)
+    except ValueError:
+        return None
+    return canonicalize_url(absolute)
+
+
+def host_of(url: str) -> str:
+    """Lowercased host (no port/userinfo) — the politeness key."""
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+def url_hash64(url: str) -> int:
+    """Stable 64-bit signed hash (blake2b-8), process-independent —
+    used for the URL-seen key and bloom indexing. (Spark-side columns
+    use F.xxhash64; the two never need to agree because each structure
+    is probed with the hash that built it.)"""
+    h = hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest()
+    v = int.from_bytes(h, "big", signed=True)
+    return v
+
+
+def host_bucket(host: str, n_buckets: int) -> int:
+    """Deterministic host → bucket; one host always lands in one bucket
+    so politeness accounting is partition-local."""
+    h = hashlib.blake2b(host.encode("utf-8"), digest_size=8,
+                        person=b"hostbkt_").digest()
+    return int.from_bytes(h, "big") % n_buckets

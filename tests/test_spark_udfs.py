@@ -1,0 +1,126 @@
+"""Spark-side extraction tests: the UDF layer over the pages table.
+
+Covers the flagship hacker-news query (FIXTURES.md §4: 30 story rows,
+byte-exact title/href), selector-count golden values evaluated
+DataFrame-side, and fused text+outlink extraction with
+canonicalization on the synthetic graph.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nipper_spark.functions.html_udfs import (
+    extract_pages, extract_records, hacker_news_stories,
+    select_attr_udf, select_count_udf, select_text_udf)
+from nipper_spark.functions.url import (
+    canonicalize_url, host_of, resolve_and_canonicalize)
+from nipper_spark.sources.synthetic import pages_df
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from nipper_spark.session import build_session
+    s = build_session("nipper-tests", master="local[4]",
+                      shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_df(spark, include_fixtures=True, n_pages=50).cache()
+
+
+class TestCanonicalize:
+    def test_vectors(self):
+        # FIXTURES.md §5 canonicalization vectors
+        assert canonicalize_url("HTTP://Host.Test/a?b=2&a=1#f") == \
+            "http://host.test/a?a=1&b=2"
+        assert canonicalize_url("https://x.test:443/p") == "https://x.test/p"
+        assert canonicalize_url("http://x.test:8080/p") == \
+            "http://x.test:8080/p"
+        assert canonicalize_url("http://x.test") == "http://x.test/"
+        assert canonicalize_url("ftp://x.test/") is None
+        assert canonicalize_url("javascript:void(0)") is None
+        assert canonicalize_url("http://x.test/%41b") == "http://x.test/Ab"
+
+    def test_resolve(self):
+        assert resolve_and_canonicalize(
+            "http://h.test/dir/page", "../other?z=1&a=2") == \
+            "http://h.test/other?a=2&z=1"
+        assert resolve_and_canonicalize("http://h.test/", "#frag") is None
+        assert resolve_and_canonicalize("http://h.test/", "mailto:x") is None
+
+    def test_host(self):
+        assert host_of("http://HostA.test:8080/x") == "hosta.test"
+
+
+class TestSelectorUdfs:
+    def test_golden_counts(self, spark, pages):
+        """Reference golden counts, evaluated through the Spark UDFs."""
+        fx = pages.filter(F.col("url").startswith("http://fixture.test/"))
+        out = {r["url"]: r for r in fx.select(
+            "url",
+            select_count_udf("div.row-fluid")("html").alias("rowfluid"),
+            select_count_udf("li")("html").alias("li"),
+            select_count_udf("span")("html").alias("span"),
+            select_count_udf("tr.athing")("html").alias("athing"),
+        ).collect()}
+        assert out["http://fixture.test/page"]["rowfluid"] == 9
+        assert out["http://fixture.test/rustwiki"]["li"] == 420
+        assert out["http://fixture.test/rustwiki"]["span"] == 706
+        assert out["http://fixture.test/hn"]["athing"] == 30
+
+    def test_text_and_attr(self, spark, pages):
+        fx = pages.filter(F.col("url") == "http://fixture.test/page")
+        row = fx.select(
+            select_text_udf("h1")("html").alias("t"),
+            select_attr_udf("a", "href")("html").alias("href"),
+            select_attr_udf("div.row-fluid", "href")("html").alias("nohref"),
+        ).collect()[0]
+        assert row["t"].strip() == "Provok.in"
+        assert row["href"] is not None
+        assert row["nohref"] is None
+
+
+class TestFlagship:
+    def test_hacker_news_30_rows(self, spark, pages):
+        hn = pages.filter(F.col("url") == "http://fixture.test/hn")
+        stories = hacker_news_stories(hn).orderBy("seq").collect()
+        assert len(stories) == 30
+        assert stories[0]["href"] == \
+            "https://www.engadget.com/2020/03/03/undead-gadgets/"
+        assert stories[0]["title"].startswith("Gadgets That Refuse to Die")
+        assert all(s["href"] for s in stories)
+
+    def test_extract_records_order_deterministic(self, spark, pages):
+        hn = pages.filter(F.col("url") == "http://fixture.test/hn")
+        a = hacker_news_stories(hn).orderBy("seq").collect()
+        b = hacker_news_stories(hn.repartition(4)).orderBy("seq").collect()
+        assert [r["href"] for r in a] == [r["href"] for r in b]
+
+
+class TestExtractPages:
+    def test_outlinks_canonical(self, spark, pages):
+        synth = pages.filter(~F.col("url").startswith("http://fixture"))
+        ext = extract_pages(synth).cache()
+        rows = ext.collect()
+        assert len(rows) == 50
+        for r in rows:
+            for link in r["outlinks"]:
+                # canonical fixed point: canonicalize(link) == link
+                assert canonicalize_url(link) == link
+                assert "#" not in link
+        # every synthetic page has text and at least one link
+        assert all(r["text"] for r in rows)
+        assert all(r["n_anchors"] >= 1 for r in rows)
+
+    def test_text_matches_kernel_bytes(self, spark, pages):
+        """Byte-identity: Spark-extracted text == single-threaded kernel
+        text for the same page (the north-star invariant)."""
+        from nipper_spark.html import Document
+        from nipper_spark.sources.synthetic import fixture_pages_rows
+        ext = {r["url"]: r["text"]
+               for r in extract_pages(pages).collect()}
+        for url, _, html, _, _ in fixture_pages_rows():
+            doc = Document.from_html(html)
+            assert ext[url] == doc.body_text(), url
