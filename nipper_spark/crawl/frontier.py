@@ -1,0 +1,298 @@
+"""The frontier engine: a crawl priority queue driven in batch rounds.
+
+One round (SURVEY.md §4.3), entirely declarative DataFrame ops plus the
+fused extraction UDF:
+
+    frontier(r) ──select_wave──▶ wave ─┬─▶ schedule(r)   [ordering record]
+        │residual                      │broadcast-join pages ("fetch")
+        │                              ▼
+        │                       extract (fused Arrow UDF)
+        │                              │ explode outlinks
+        │                              ▼
+        │                    candidates (min depth, max score per url)
+        │                              │ robots + depth cap
+        │                              │ bloom prefilter (cogroup/bucket)
+        │                              │ exact LEFT ANTI JOIN vs seen
+        │                              ▼
+        └────────── union ──▶ frontier(r+1);  seen += fresh; bloom |= fresh
+
+Scale notes (the parts that must survive 1000 executors / 10^10 URLs):
+- wave size is bounded by Σ host budgets → broadcast-joinable against
+  the pages scan; the big pages table is never shuffled;
+- per-host top-k is salted two-phase (operators/topk.py) so Zipf-hot
+  hosts can't pin a partition; AQE skew-join covers the joins;
+- the bloom prefilter cuts anti-join shuffle volume; the exact
+  anti-join stays the authority so the seen set is exact;
+- all state writes are whole-round-partition overwrites → idempotent
+  replay, exact resume from MANIFEST high-water mark;
+- determinism: every emitted table has an explicit total order key
+  (depth, -score, url); no `first()`-without-sort anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nipper_spark.crawl import bloom as B
+from nipper_spark.crawl.politeness import (
+    CrawlPolicy, budgets_df, robots_filter, select_wave, wave_order)
+from nipper_spark.crawl.state import (
+    BLOOM_SCHEMA, FRONTIER_SCHEMA, ROUND_LOG_SCHEMA, SCHEDULE_SCHEMA,
+    SEEN_SCHEMA, CrawlState)
+from nipper_spark.functions.html_udfs import extract_pages
+from nipper_spark.functions.url import (
+    canonicalize_url, host_bucket, host_of, url_hash64)
+
+
+@dataclass
+class RoundStats:
+    round: int
+    scheduled: int = 0
+    fetched: int = 0
+    candidates: int = 0
+    bloom_hits: int = 0
+    fresh: int = 0
+    residual: int = 0
+    frontier_next: int = 0
+
+
+def _host_cols(df: DataFrame, policy: CrawlPolicy) -> DataFrame:
+    """Derive host (native regexp — canonical URLs have lowercase
+    hosts, no UDF needed) + host_bucket/url_hash (vectorized pandas
+    UDF sharing the oracle's exact hash functions)."""
+    n = policy.n_buckets
+
+    @F.pandas_udf("int")
+    def _bucket(host: pd.Series) -> pd.Series:
+        return pd.Series([host_bucket(h, n) for h in host], dtype="int32")
+
+    @F.pandas_udf("long")
+    def _uhash(url: pd.Series) -> pd.Series:
+        return pd.Series([url_hash64(u) for u in url], dtype="int64")
+
+    return (df
+            .withColumn("host", F.regexp_extract("url",
+                                                 r"^https?://([^/:]+)", 1))
+            .withColumn("host_bucket", _bucket("host"))
+            .withColumn("url_hash", _uhash("url")))
+
+
+class FrontierEngine:
+    def __init__(self, spark: SparkSession, pages: DataFrame,
+                 state_dir: str, policy: CrawlPolicy) -> None:
+        self.spark = spark
+        self.pages = pages
+        self.state = CrawlState(spark, state_dir)
+        self.policy = policy
+        self._budgets = budgets_df(spark, policy)
+
+    # ------------------------------------------------------------------
+    def bootstrap(self, seeds: list[tuple[str, float]]) -> None:
+        """Round-0 state from a seed list (canonicalized, deduped,
+        robots-filtered — seeds count as 'seen' immediately)."""
+        pol = self.policy
+        rows = []
+        taken = set()
+        for url, score in seeds:
+            canon = canonicalize_url(url)
+            if canon is None or canon in taken:
+                continue
+            host = host_of(canon)
+            if not pol.allowed(host, canon):
+                continue
+            taken.add(canon)
+            rows.append((canon, host, host_bucket(host, pol.n_buckets),
+                         0, float(score), 0))
+        frontier = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        self.state.write("frontier", 0, frontier)
+        seen = self.spark.createDataFrame(
+            [(u, b, url_hash64(u), 0) for (u, h, b, d, s, r) in rows],
+            SEEN_SCHEMA)
+        self.state.write("seen", 0, seen)
+        m_bits = B.bloom_sizing(max(len(rows), 1024) * 4,
+                                pol.bloom_bits_per_key)
+        by_bucket: dict[int, list[str]] = {}
+        for (u, h, b, d, s, r) in rows:
+            by_bucket.setdefault(b, []).append(u)
+        payloads = [(b, B.bloom_build(urls, m_bits), len(urls))
+                    for b, urls in sorted(by_bucket.items())]
+        self.state.write("bloom", 0,
+                         self.spark.createDataFrame(payloads, BLOOM_SCHEMA))
+        self.state.commit_round(-1)
+
+    # ------------------------------------------------------------------
+    def resume_round(self) -> int:
+        """Next round to run; cleans any uncommitted partial writes."""
+        last = self.state.last_committed_round()
+        nxt = last + 1
+        for t in ("frontier", "seen", "bloom"):
+            self.state.truncate_after(nxt, tables=(t,))
+        for t in ("schedule", "round_log"):
+            self.state.truncate_after(last, tables=(t,))
+        return nxt
+
+    # ------------------------------------------------------------------
+    def run_round(self, r: int) -> RoundStats:
+        st, pol = self.state, self.policy
+        stats = RoundStats(round=r)
+        frontier = st.read("frontier", r, FRONTIER_SCHEMA).cache()
+
+        wave, residual = select_wave(frontier, self._budgets, pol)
+        wave = wave.cache()
+        residual = residual.cache()
+        stats.scheduled = wave.count()
+        stats.residual = residual.count()
+
+        # ordering record — global window is safe: the wave is bounded
+        # by Σ politeness budgets, not by frontier size
+        schedule = wave.select(
+            F.lit(r).alias("round"),
+            (F.row_number().over(Window.orderBy(*wave_order())) - 1)
+            .cast("long").alias("seq"),
+            "url", "host", "depth", "score")
+        st.write("schedule", r, schedule)
+
+        if stats.scheduled == 0:
+            st.write("frontier", r + 1,
+                     self.spark.createDataFrame([], FRONTIER_SCHEMA))
+            st.write("seen", r + 1,
+                     self.spark.createDataFrame([], SEEN_SCHEMA))
+            st.write("bloom", r + 1, st.read("bloom", r, BLOOM_SCHEMA))
+            st.write("round_log", r, self._log_df(r, stats, []))
+            st.commit_round(r)
+            frontier.unpersist()
+            wave.unpersist()
+            residual.unpersist()
+            return stats
+
+        # "fetch" = broadcast the (small) wave against the big pages scan
+        fetched = self.pages.join(F.broadcast(wave.select("url")), "url") \
+            .select("url", "html")
+        ext = extract_pages(fetched).cache()
+        stats.fetched = ext.count()
+
+        links = (ext.select("url", F.explode("outlinks").alias("dst"))
+                 .join(F.broadcast(wave.select("url", "depth", "score")),
+                       "url"))
+        cand = (links
+                .select(F.col("dst").alias("url"),
+                        (F.col("depth") + 1).alias("depth"),
+                        (F.col("score") * pol.score_decay).alias("score"))
+                .groupBy("url")
+                .agg(F.min("depth").alias("depth"),
+                     F.max("score").alias("score")))
+        cand = _host_cols(cand, pol)
+        cand = robots_filter(cand, pol).filter(
+            F.col("depth") <= pol.max_depth).cache()
+        stats.candidates = cand.count()
+
+        # bloom prefilter: bucket-cogrouped probe (state and candidates
+        # share the host_bucket partitioning → no broadcast of payloads)
+        bloom_df = st.read("bloom", r, BLOOM_SCHEMA)
+        probed = (cand.groupBy("host_bucket")
+                  .cogroup(bloom_df.groupBy("host_bucket"))
+                  .applyInPandas(_probe_fn, schema=(
+                      "url string, depth int, score double, host string, "
+                      "host_bucket int, url_hash long, bloom_hit boolean"))
+                  .cache())
+        maybe_seen = probed.filter("bloom_hit")
+        definitely_new = probed.filter("NOT bloom_hit").drop("bloom_hit")
+        stats.bloom_hits = maybe_seen.count()
+
+        # exact authority: only bloom-hits pay the anti-join shuffle
+        seen = st.read_all_rounds("seen", r, SEEN_SCHEMA)
+        confirmed_new = maybe_seen.drop("bloom_hit").join(
+            seen.select("url"), "url", "left_anti")
+        fresh = definitely_new.unionByName(confirmed_new).cache()
+        stats.fresh = fresh.count()
+
+        next_frontier = residual.unionByName(
+            fresh.select("url", "host", "host_bucket", "depth", "score",
+                         F.lit(r + 1).alias("discovered_round")))
+        st.write("frontier", r + 1, next_frontier)
+        stats.frontier_next = stats.residual + stats.fresh
+
+        st.write("seen", r + 1, fresh.select(
+            "url", "host_bucket", "url_hash", F.lit(r + 1).alias("round")))
+
+        # bloom |= fresh, per bucket. The cogroup emits every bucket key
+        # present on either side, so it alone produces exactly one row
+        # per bucket: fresh-only → new payload, both → merged, bloom-only
+        # → old payload echoed.
+        new_bloom = (fresh.groupBy("host_bucket")
+                     .cogroup(bloom_df.groupBy("host_bucket"))
+                     .applyInPandas(_bloom_merge_fn, schema=BLOOM_SCHEMA))
+        st.write("bloom", r + 1, new_bloom)
+
+        per_bucket = [(row["host_bucket"], row["n"]) for row in
+                      fresh.groupBy("host_bucket").agg(
+                          F.count("*").alias("n")).collect()]
+        st.write("round_log", r, self._log_df(r, stats, per_bucket))
+        st.commit_round(r)
+
+        for df in (frontier, wave, residual, ext, cand, probed, fresh):
+            df.unpersist()
+        return stats
+
+    # ------------------------------------------------------------------
+    def run(self, max_rounds: int = 32) -> list[RoundStats]:
+        out = []
+        r = self.resume_round()
+        for _ in range(max_rounds):
+            stats = self.run_round(r)
+            out.append(stats)
+            if stats.frontier_next == 0 and stats.scheduled == 0:
+                break
+            r += 1
+        return out
+
+    # ------------------------------------------------------------------
+    def _log_df(self, r: int, stats: RoundStats,
+                per_bucket: list[tuple[int, int]]) -> DataFrame:
+        total_fresh = sum(n for _, n in per_bucket) or 1
+        max_share = max((n / total_fresh for _, n in per_bucket),
+                        default=0.0)
+        rows = [(r, int(b), 0, 0, int(n), 0, 0, 0, 0.0)
+                for b, n in sorted(per_bucket)]
+        rows.append((r, -1, stats.candidates, stats.bloom_hits,
+                     stats.fresh, stats.scheduled, stats.fetched,
+                     stats.residual, float(max_share)))
+        return self.spark.createDataFrame(rows, ROUND_LOG_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# cogrouped pandas kernels (bucket-local: one host bucket per call)
+# ----------------------------------------------------------------------
+
+def _probe_fn(cand: pd.DataFrame, blooms: pd.DataFrame) -> pd.DataFrame:
+    cols = ["url", "depth", "score", "host", "host_bucket", "url_hash"]
+    out = cand[cols].copy()
+    if len(blooms) == 0 or len(cand) == 0:
+        out["bloom_hit"] = pd.Series([False] * len(cand), dtype="bool")
+        return out
+    payload = blooms["payload"].iloc[0]
+    out["bloom_hit"] = B.bloom_might_contain(payload, list(cand["url"]))
+    return out
+
+
+def _bloom_merge_fn(fresh: pd.DataFrame, blooms: pd.DataFrame) -> pd.DataFrame:
+    if len(fresh) == 0:
+        # bucket had no fresh keys this round: echo the old payload(s)
+        return blooms[["host_bucket", "payload", "n_items"]].head(1)
+    bucket = int(fresh["host_bucket"].iloc[0])
+    urls = list(fresh["url"])
+    if len(blooms):
+        payload = blooms["payload"].iloc[0]
+        n_old = int(blooms["n_items"].iloc[0])
+        m_bits = len(payload) * 8
+        new = B.bloom_add(payload, urls, m_bits)
+    else:
+        m_bits = B.bloom_sizing(max(len(urls) * 4, 1024))
+        new = B.bloom_build(urls, m_bits)
+        n_old = 0
+    return pd.DataFrame({"host_bucket": [bucket], "payload": [new],
+                         "n_items": [n_old + len(urls)]})

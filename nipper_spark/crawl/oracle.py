@@ -1,0 +1,96 @@
+"""Single-threaded crawl oracle.
+
+A sequential reference implementation of exactly the semantics the
+Spark frontier engine distributes. It shares the *same* pure kernels —
+``extract_text_and_links`` (parse + select + canonicalize) and the
+``CrawlPolicy`` budget/robots rules — so any divergence between engine
+and oracle isolates a distribution bug (ordering, dedup, partitioning),
+never a semantics bug. This is the fixture generator for
+FIXTURES.md §5 (expected_order / expected_seen) and the correctness
+gate for the north rule ("matching the reference's crawl ordering and
+URL-seen set under the same seed list + politeness budget").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from nipper_spark.crawl.politeness import CrawlPolicy
+from nipper_spark.functions.html_udfs import extract_text_and_links
+from nipper_spark.functions.url import canonicalize_url, host_of
+
+
+@dataclass
+class OracleResult:
+    # per round: ordered list of (url, host, depth, score) actually fetched
+    schedules: list[list[tuple[str, str, int, float]]] = field(
+        default_factory=list)
+    seen: set[str] = field(default_factory=set)
+    rounds: int = 0
+
+
+def crawl_oracle(pages: dict[str, bytes | str],
+                 seeds: list[tuple[str, float]],
+                 policy: CrawlPolicy,
+                 max_rounds: int = 32) -> OracleResult:
+    """BFS in politeness-budgeted rounds with the deterministic total
+    order (depth asc, score desc, url asc)."""
+    res = OracleResult()
+    frontier: dict[str, tuple[int, float]] = {}  # url -> (depth, score)
+    for url, score in seeds:
+        canon = canonicalize_url(url)
+        if canon is None or canon in frontier:
+            continue
+        if not policy.allowed(host_of(canon), canon):
+            continue
+        frontier[canon] = (0, float(score))
+    res.seen = set(frontier)
+
+    for _ in range(max_rounds):
+        if not frontier:
+            break
+        # wave: per-host top-k under (depth, -score, url)
+        by_host: dict[str, list[tuple[int, float, str]]] = {}
+        for url, (d, s) in frontier.items():
+            by_host.setdefault(host_of(url), []).append((d, s, url))
+        wave: list[tuple[str, str, int, float]] = []
+        for host, items in by_host.items():
+            items.sort(key=lambda t: (t[0], -t[1], t[2]))
+            for d, s, url in items[:policy.tokens(host)]:
+                wave.append((url, host, d, s))
+        wave.sort(key=lambda t: (t[2], -t[3], t[0]))
+        res.schedules.append(wave)
+        res.rounds += 1
+        for url, _, _, _ in wave:
+            del frontier[url]
+
+        # fetch + extract (same kernel as the Spark UDF)
+        cand: dict[str, tuple[int, float]] = {}
+        for url, host, d, s in wave:
+            html = pages.get(url)
+            if html is None:
+                continue
+            _, links, _, _ = extract_text_and_links(url, html)
+            for dst in links:
+                nd, ns = d + 1, s * policy.score_decay
+                if dst in cand:
+                    od, os_ = cand[dst]
+                    cand[dst] = (min(od, nd), max(os_, ns))
+                else:
+                    cand[dst] = (nd, ns)
+
+        # robots + depth cap + URL-seen dedup
+        for dst in sorted(cand):
+            d, s = cand[dst]
+            if d > policy.max_depth:
+                continue
+            if not policy.allowed(host_of(dst), dst):
+                continue
+            if dst in res.seen:
+                continue
+            res.seen.add(dst)
+            frontier[dst] = (d, s)
+
+        if not frontier:
+            break
+    return res

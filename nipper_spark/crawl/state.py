@@ -1,0 +1,109 @@
+"""Checkpointed crawl state with atomic per-round commits.
+
+Directory layout (an Iceberg-table emulation the sandbox can run;
+every write is staged then atomically renamed, and the manifest's
+high-water mark makes restarts exact — north rule: "resumable from
+checkpoint with per-partition lineage + metrics"):
+
+    state_dir/
+      frontier/round=K/   next-round priority queue (delta table)
+      seen/round=K/       newly-seen URL delta (cumulative union = seen set)
+      bloom/round=K/      per-host-bucket bloom payloads (full snapshot)
+      schedule/round=K/   the wave actually fetched in round K (ordering!)
+      round_log/round=K/  per-bucket lineage counters + skew stats
+      MANIFEST.json       {"last_committed_round": K}
+
+On a real cluster these are five Iceberg tables; ``round=K`` maps to a
+partition, the staged-rename to a snapshot commit. The engine only
+appends/overwrites whole round partitions, so replaying round K after
+a crash is idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("frontier", "seen", "bloom", "schedule", "round_log")
+
+FRONTIER_SCHEMA = ("url string, host string, host_bucket int, depth int, "
+                   "score double, discovered_round int")
+SEEN_SCHEMA = "url string, host_bucket int, url_hash long, round int"
+BLOOM_SCHEMA = "host_bucket int, payload binary, n_items long"
+SCHEDULE_SCHEMA = ("round int, seq long, url string, host string, "
+                   "depth int, score double")
+ROUND_LOG_SCHEMA = ("round int, host_bucket int, candidates long, "
+                    "bloom_hits long, fresh long, scheduled long, "
+                    "fetched long, residual long, max_bucket_share double")
+
+
+class CrawlState:
+    def __init__(self, spark: SparkSession, state_dir: str) -> None:
+        self.spark = spark
+        self.dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, "MANIFEST.json")
+
+    def last_committed_round(self) -> int:
+        """-1 = nothing committed (fresh crawl)."""
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)["last_committed_round"]
+        except (OSError, KeyError, ValueError):
+            return -1
+
+    def commit_round(self, r: int) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_committed_round": r}, f)
+        os.replace(tmp, self._manifest_path)  # atomic on POSIX
+
+    # -- table IO ------------------------------------------------------
+    def _round_dir(self, table: str, r: int) -> str:
+        return os.path.join(self.dir, table, "round=%d" % r)
+
+    def write(self, table: str, r: int, df: DataFrame) -> None:
+        """Stage-then-rename: a half-written round is never visible."""
+        final = self._round_dir(table, r)
+        tmp = final + ".staging"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(final, ignore_errors=True)  # idempotent re-run
+        os.replace(tmp, final)
+
+    def read(self, table: str, r: int, schema: str) -> DataFrame:
+        path = self._round_dir(table, r)
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def read_all_rounds(self, table: str, upto: int, schema: str) -> DataFrame:
+        """Union of round deltas ≤ upto (e.g. the full seen set)."""
+        paths = [self._round_dir(table, r) for r in range(upto + 1)]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def truncate_after(self, r: int, tables=TABLES) -> None:
+        """Drop uncommitted round dirs > r (crash cleanup on resume)."""
+        for table in tables:
+            base = os.path.join(self.dir, table)
+            if not os.path.isdir(base):
+                continue
+            for entry in os.listdir(base):
+                if entry.startswith("round="):
+                    try:
+                        k = int(entry.split("=", 1)[1].split(".")[0])
+                    except ValueError:
+                        continue
+                    if k > r:
+                        shutil.rmtree(os.path.join(base, entry),
+                                      ignore_errors=True)

@@ -1,0 +1,231 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Shapes chosen for 100 TB, not for 60k rows:
+
+- exact dedup is a hash-groupBy (one shuffle on a 16-byte key, never
+  on the text itself);
+- MinHash signatures are computed in one Arrow pass (numpy, vectorized
+  over shingle hash matrices); LSH banding turns all-pairs similarity
+  into an equi-join on (band, band_hash) — candidate pairs only, then
+  exact Jaccard verification on the candidates;
+- SimHash gives 64-bit sketches; near-dup candidates come from k-bit
+  prefix bucketing (table-scale Hamming search without a cross join);
+- embedding near-dup reuses the ANN module's LSH bucketing.
+
+Every candidate-generation step is an equi-join Catalyst can shuffle
+on a small key; no operator ever cross-joins the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------------
+# exact dedup — pure Catalyst
+# ----------------------------------------------------------------------
+
+def normalized_text(col) -> "F.Column":
+    """Whitespace-collapse + lowercase: the exact-dup equivalence class."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """→ (text_hash, n_dups, keep_id, dup_ids): groups with >1 member.
+    Shuffles md5 keys + ids only — the text never moves."""
+    h = docs.select(F.col(id_col).alias("doc_id"),
+                    F.md5(normalized_text(text_col)).alias("text_hash"))
+    return (h.groupBy("text_hash")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keep_id"),
+                 F.sort_array(F.collect_list("doc_id")).alias("dup_ids"))
+            .filter(F.col("n_dups") > 1))
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep min-id representative per equivalence class (deterministic,
+    no dropDuplicates — its survivor choice is partition-order-dependent)."""
+    w_hash = F.md5(normalized_text(text_col)).alias("_h")
+    ranked = docs.select("*", w_hash).groupBy("_h").agg(
+        F.min(F.col(id_col)).alias(id_col))
+    return docs.join(ranked, on=id_col, how="left_semi")
+
+
+# ----------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ----------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Word n-gram shingles → stable 64-bit hashes (blake2b, process-
+    independent)."""
+    words = text.lower().split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, num_perm: int, ngram: int,
+                      params=None) -> list[int]:
+    """num_perm-wide MinHash signature over word-ngram shingles; one
+    numpy (num_perm × n_shingles) pass per document."""
+    a, b = params if params is not None else _minhash_params(num_perm)
+    sh = _shingle_hashes(text, ngram)
+    if len(sh) == 0:
+        return [0] * num_perm
+    # (P,1)*(1,S) mod mersenne — uint64 wraparound is fine for min
+    vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1).astype(np.int64).tolist()
+
+
+def minhash_udf(num_perm: int = 64, ngram: int = 3, seed: int = 42):
+    @F.pandas_udf("array<long>")
+    def _mh(text: pd.Series) -> pd.Series:
+        params = _minhash_params(num_perm, seed)
+        return pd.Series([
+            minhash_signature(str(t) if t is not None else "", num_perm,
+                              ngram, params)
+            for t in text])
+
+    return _mh
+
+
+def ngram_jaccard(a: str, b: str, ngram: int = 3) -> float:
+    """Exact word-ngram Jaccard — the verifier behind MinHash/LSH."""
+    sa = set(_shingle_hashes(a, ngram).tolist())
+    sb = set(_shingle_hashes(b, ngram).tolist())
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 64,
+                      bands: int = 16, ngram: int = 3,
+                      threshold: float = 0.5,
+                      seed: int = 42) -> DataFrame:
+    """Near-dup pairs via MinHash → LSH banding → exact verification.
+
+    shuffle profile: explode to B rows/doc keyed by (band, hash of the
+    band's rows) → groupBy that small key → within-bucket pairs →
+    verified with exact Jaccard recomputed from the two texts.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    rows_per_band = num_perm // bands
+    sig = docs.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("text"),
+                      minhash_udf(num_perm, ngram, seed)(
+                          F.col(text_col)).alias("sig"))
+    banded = sig.select(
+        "id", "text",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        )).alias("band", "band_sig"))
+    banded = banded.withColumn("band_hash", F.xxhash64("band_sig")) \
+        .drop("band_sig")
+    pairs = (banded.alias("l")
+             .join(banded.alias("r"),
+                   (F.col("l.band") == F.col("r.band")) &
+                   (F.col("l.band_hash") == F.col("r.band_hash")) &
+                   (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("id_a"),
+                     F.col("r.id").alias("id_b"),
+                     F.col("l.text").alias("text_a"),
+                     F.col("r.text").alias("text_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+
+    @F.pandas_udf("double")
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series([ngram_jaccard(str(x), str(y), ngram)
+                          for x, y in zip(ta, tb)])
+
+    return (pairs
+            .withColumn("jaccard", _jac("text_a", "text_b"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+
+def simhash(text: str, ngram: int = 2) -> int:
+    """64-bit SimHash over word-ngram shingles (sign of per-bit sums)."""
+    sh = _shingle_hashes(text, ngram)
+    if len(sh) == 0:
+        return 0
+    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+    sums = bits.sum(axis=0) * 2 - len(sh)
+    v = 0
+    for i in range(64):
+        if sums[i] > 0:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def simhash_udf(ngram: int = 2):
+    @F.pandas_udf("long")
+    def _sh(text: pd.Series) -> pd.Series:
+        return pd.Series([simhash(str(t) if t is not None else "", ngram)
+                          for t in text], dtype="int64")
+
+    return _sh
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3,
+                      prefix_bits: int = 16, ngram: int = 2) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidates come from equality on each of the 4 16-bit chunks
+    (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks equal), so
+    the join key is small and the corpus is never cross-joined.
+    Output: (id_a, id_b, hamming).
+    """
+    sh = docs.select(F.col(id_col).alias("id"),
+                     simhash_udf(ngram)(F.col(text_col)).alias("sim"))
+    chunks = sh.select(
+        "id", "sim",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("sim", k * prefix_bits)
+            .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+            for k in range(64 // prefix_bits)])).alias("chunk_no", "chunk"))
+    cand = (chunks.alias("l")
+            .join(chunks.alias("r"),
+                  (F.col("l.chunk_no") == F.col("r.chunk_no")) &
+                  (F.col("l.chunk") == F.col("r.chunk")) &
+                  (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"),
+                    F.col("r.id").alias("id_b"),
+                    F.col("l.sim").alias("sim_a"),
+                    F.col("r.sim").alias("sim_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -113,6 +113,27 @@ EXTRACTED_SCHEMA = ("url string, text string, outlinks array<string>, "
                     "n_nodes int, n_anchors int")
 
 
+def extract_text_and_links(url: str, html) -> tuple[str, list[str], int, int]:
+    """Pure single-document extraction — THE shared kernel: the Spark
+    UDF below and the single-threaded crawl oracle both call this, so
+    'Spark matches the oracle' can never diverge on extraction.
+
+    Returns (root-element text, canonical outlinks deduped in document
+    order, node count, anchor count)."""
+    doc = Document.from_html(_to_text(html))
+    m = _matcher("a[href]")
+    anchors = doc.select_matcher(m)
+    a = doc.arena
+    seen: set[str] = set()
+    links: list[str] = []
+    for nid in anchors.ids:
+        canon = resolve_and_canonicalize(url, a.get_attr(nid, "href") or "")
+        if canon is not None and canon not in seen:
+            seen.add(canon)
+            links.append(canon)
+    return _root_text(doc), links, len(a.kind), len(anchors.ids)
+
+
 def extract_pages(pages: DataFrame, url_col: str = "url",
                   html_col: str = "html") -> DataFrame:
     """pages(url, html, …) → extracted(url, text, outlinks, n_nodes,
@@ -128,27 +149,16 @@ def extract_pages(pages: DataFrame, url_col: str = "url",
                        F.col(html_col).alias("html"))
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        m = _matcher("a[href]")
         for pdf in batches:
             urls, texts, links_col = [], [], []
             n_nodes, n_anchors = [], []
             for url, h in zip(pdf["url"], pdf["html"]):
-                doc = Document.from_html(_to_text(h))
-                texts.append(_root_text(doc))
-                anchors = doc.select_matcher(m)
-                seen: set[str] = set()
-                links: list[str] = []
-                a = doc.arena
-                for nid in anchors.ids:
-                    href = a.get_attr(nid, "href")
-                    canon = resolve_and_canonicalize(url, href or "")
-                    if canon is not None and canon not in seen:
-                        seen.add(canon)
-                        links.append(canon)
+                text, links, nn, na = extract_text_and_links(url, h)
                 urls.append(url)
+                texts.append(text)
                 links_col.append(links)
-                n_nodes.append(len(a.kind))
-                n_anchors.append(len(anchors.ids))
+                n_nodes.append(nn)
+                n_anchors.append(na)
             yield pd.DataFrame({
                 "url": urls, "text": texts, "outlinks": links_col,
                 "n_nodes": pd.Series(n_nodes, dtype="int32"),

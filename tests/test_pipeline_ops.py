@@ -1,0 +1,195 @@
+"""Training-data pipeline operators over the driver-generated tables:
+dedup (exact / minhash-LSH / simhash / embedding), similarity search
+(brute vs LSH recall), text analysis, multimodal plumbing.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from nipper_spark.session import build_session
+    return build_session("ops-tests", master="local[4]",
+                         shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestTextAnalysis:
+    def test_features(self, spark, docs):
+        from nipper_spark.functions.text_udfs import with_text_features
+        out = with_text_features(docs).cache()
+        row = out.first()
+        assert row["ws_tokens"] >= 1
+        assert row["bpe_tokens"] >= row["ws_tokens"] - 1
+        assert 0.0 <= row["quality"] <= 1.0
+        assert out.filter("fingerprint = 0").count() == 0
+        # determinism: same text -> same fingerprint
+        a = out.select("doc_id", "fingerprint").collect()
+        b = with_text_features(docs).select("doc_id", "fingerprint").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_lang_id_english_docs(self, spark, docs):
+        from nipper_spark.functions.text_udfs import lang_id_udf
+        out = docs.select(lang_id_udf()(F.col("text")).alias("pred"))
+        frac_en = out.filter("pred = 'en'").count() / out.count()
+        assert frac_en > 0.5  # synthetic corpus is english-ish word salad
+
+    def test_fingerprint_pure_matches_udf(self, spark, docs):
+        from nipper_spark.functions.text_udfs import (
+            fingerprint, fingerprint_udf)
+        rows = docs.select("doc_id", "text").limit(20).collect()
+        spark_fp = {r["doc_id"]: v["fp"] for r, v in zip(
+            rows,
+            docs.limit(20).select(
+                fingerprint_udf()(F.col("text")).alias("fp")).collect())}
+        for r in rows:
+            assert fingerprint(r["text"]) == spark_fp[r["doc_id"]]
+
+
+class TestDedup:
+    def test_exact_groups_vs_duckdb(self, spark, docs):
+        import duckdb
+        from nipper_spark.functions.dedup import exact_dup_groups
+        got = {(r["text_hash"], r["n_dups"]) for r in
+               exact_dup_groups(docs).collect()}
+        con = duckdb.connect()
+        exp = set(con.execute(f"""
+            SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+                   count(*) FROM '{SF_DIR}/documents.parquet'
+            GROUP BY 1 HAVING count(*) > 1""").fetchall())
+        assert got == exp
+
+    def test_dedup_exact_keeps_min_id(self, spark, docs):
+        from nipper_spark.functions.dedup import dedup_exact, exact_dup_groups
+        kept = dedup_exact(docs)
+        groups = exact_dup_groups(docs).collect()
+        kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        for g in groups:
+            ids = g["dup_ids"]
+            assert min(ids) in kept_ids
+            assert all(i not in kept_ids for i in ids if i != min(ids))
+
+    def test_minhash_lsh_finds_exact_dups(self, spark, docs):
+        from nipper_spark.functions.dedup import (
+            exact_dup_groups, minhash_lsh_pairs, ngram_jaccard)
+        pairs = minhash_lsh_pairs(docs, threshold=0.9).collect()
+        found = {(p["id_a"], p["id_b"]) for p in pairs}
+        # every exact-dup pair must be found (jaccard 1.0 -> all bands agree)
+        for g in exact_dup_groups(docs).collect():
+            ids = sorted(g["dup_ids"])
+            for i in range(len(ids) - 1):
+                assert (ids[i], ids[i + 1]) in found or \
+                    (ids[0], ids[i + 1]) in found
+        # and every reported pair truly passes the threshold (verified)
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        for p in pairs:
+            assert ngram_jaccard(texts[p["id_a"]], texts[p["id_b"]]) >= 0.9
+            assert abs(p["jaccard"] -
+                       ngram_jaccard(texts[p["id_a"]], texts[p["id_b"]])) \
+                < 1e-12
+
+    def test_simhash_near_dups(self, spark, docs):
+        from nipper_spark.functions.dedup import (
+            exact_dup_groups, simhash_near_dups)
+        pairs = {(p["id_a"], p["id_b"]): p["hamming"]
+                 for p in simhash_near_dups(docs).collect()}
+        for g in exact_dup_groups(docs).collect():
+            ids = sorted(g["dup_ids"])
+            assert pairs.get((ids[0], ids[1])) == 0  # identical text
+
+
+class TestSimilarity:
+    def test_brute_topk_matches_numpy(self, spark, emb):
+        import numpy as np
+        from nipper_spark.functions.similarity import ann_brute_topk
+        rows = emb.orderBy("vec_id").limit(3).collect()
+        queries = [(r["vec_id"], r["embedding"]) for r in rows]
+        got = ann_brute_topk(emb, queries, k=5).collect()
+        # single-node numpy oracle
+        all_rows = emb.collect()
+        ids = np.array([r["vec_id"] for r in all_rows])
+        m = np.array([r["embedding"] for r in all_rows], dtype=np.float32)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        for qid, qv in queries:
+            q = np.asarray(qv, dtype=np.float32)
+            q = q / np.linalg.norm(q)
+            sims = m @ q
+            order = sorted(zip(-sims, ids))
+            expect = [int(i) for _, i in order[:5]]
+            mine = [r["vec_id"] for r in sorted(
+                (x for x in got if x["query_id"] == qid),
+                key=lambda x: x["rank"])]
+            assert mine == expect
+            # self-match first with cosine ~1
+            assert mine[0] == qid
+
+    def test_lsh_recall_vs_brute(self, spark, emb):
+        from nipper_spark.functions.similarity import (
+            ann_brute_topk, ann_lsh_topk)
+        rows = emb.orderBy("vec_id").limit(5).collect()
+        queries = [(r["vec_id"], r["embedding"]) for r in rows]
+        brute = ann_brute_topk(emb, queries, k=5).collect()
+        lsh = ann_lsh_topk(emb, queries, k=5, n_bits=16, bands=8).collect()
+        b = {(r["query_id"], r["vec_id"]) for r in brute}
+        l = {(r["query_id"], r["vec_id"]) for r in lsh}
+        recall = len(b & l) / len(b)
+        assert recall >= 0.5, f"LSH recall too low: {recall}"
+        # top-1 (self) always recalled
+        for qid, _ in queries:
+            assert (qid, qid) in l
+
+    def test_embedding_near_dup_self(self, spark, emb):
+        from nipper_spark.functions.similarity import embedding_near_dup_pairs
+        # duplicate a vector under a new id -> must be reported
+        dup = emb.limit(1).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding",
+            "label")
+        pairs = embedding_near_dup_pairs(
+            emb.unionByName(dup), threshold=0.999).collect()
+        assert any(p["id_b"] - p["id_a"] == 1000000 for p in pairs)
+
+
+class TestMultimodal:
+    def test_image_features_plumbing(self, spark):
+        from nipper_spark.functions.multimodal import (
+            image_features, synth_media_df)
+        media = synth_media_df(spark, n=30)
+        feats = image_features(media).collect()
+        assert len(feats) == len([1 for i in range(30) if i % 3 == 0])
+        assert all(len(f["features"]) == 32 for f in feats)
+        # deterministic across runs
+        again = image_features(synth_media_df(spark, n=30)).collect()
+        assert sorted(f["sha256"] for f in feats) == \
+            sorted(f["sha256"] for f in again)
+
+    def test_real_decoder_is_marked_stub(self, spark):
+        from nipper_spark.functions.multimodal import _decode_image_real
+        with pytest.raises(NotImplementedError):
+            _decode_image_real(b"xx")
+
+    def test_frame_sampling(self, spark):
+        from nipper_spark.functions.multimodal import (
+            sample_frames, synth_media_df)
+        media = synth_media_df(spark, n=30)
+        frames = sample_frames(media).collect()
+        assert frames
+        by_media = {}
+        for fr in frames:
+            by_media.setdefault(fr["media_id"], []).append(fr)
+        for mid, frs in by_media.items():
+            nos = sorted(f["frame_no"] for f in frs)
+            assert nos == list(range(len(nos)))
