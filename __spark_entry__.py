@@ -1,38 +1,868 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship pipeline on /root/testdata/sf0.001.
+``queries``  — one entry per implemented operator family (SURVEY.md §2
+               + the training-data ops); each callable: (spark, sf_dir)
+               → DataFrame.
+``oracle_sql`` — DuckDB-runnable equivalents. Three oracle flavors:
+  1. plain ANSI SQL over the pre-registered parquet views
+     (relational ops, exact dedup, token/quality features);
+  2. golden VALUES byte-locked from the reference's own test suite
+     (selector counts, property semantics, serializer round-trips,
+     the hacker-news extraction — nipper_spark/fixtures_goldens.py);
+  3. VALUES computed at call time by the SINGLE-THREADED oracle
+     implementations (crawl ordering, minhash/simhash/ANN) — the
+     distributed engine must match the sequential reference exactly.
+Python-computed oracles read /root/testdata/sf0.01 directly because
+the driver runs the comparison at sf=0.01 (TESTDATA.md).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — nested pandas UDF annotations resolve here
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF001 = "/root/testdata/sf0.001"
+ORACLE_SF = "/root/testdata/sf0.01"  # driver compares at sf=0.01
+
+# ----------------------------------------------------------------------
+# shared fixed configs (engine and oracles must agree)
+# ----------------------------------------------------------------------
+CRAWL_PAGES = dict(n_pages=40, links_per_page=4, n_hosts=8, seed=42)
+CRAWL_ROUNDS = 3
+MINHASH = dict(num_perm=64, bands=16, ngram=3, threshold=0.9, seed=42)
+SIMHASH = dict(max_hamming=3, prefix_bits=16, ngram=2)
+ANN = dict(k=5, n_queries=3)
+LSH_ANN = dict(k=5, n_bits=16, bands=8, seed=42)
+NEARDUP = dict(threshold=0.98, n_bits=16, bands=8, seed=42)
+
+CANON_VECTORS = [
+    "HTTP://Host.Test/a?b=2&a=1#f",
+    "https://x.test:443/p",
+    "http://x.test:8080/p",
+    "http://x.test",
+    "http://x.test/%41b/%7Euser",
+    "http://X.test/a/../b",
+    "ftp://x.test/",
+    "javascript:void(0)",
+    "http://h.test/a?z=&y=2",
+    "  http://pad.test/x  ",
+]
+
+
+def _crawl_policy():
+    from nipper_spark.crawl.politeness import CrawlPolicy
+    return CrawlPolicy(default_tokens=6, host_tokens={"host00.test": 3},
+                       robots_disallow={"host03.test": ["/page/3"]},
+                       n_buckets=4, max_depth=16)
+
+
+def _fixture_pages(spark):
+    from nipper_spark.sources.synthetic import (
+        PAGES_SCHEMA, fixture_pages_rows)
+    return spark.createDataFrame(fixture_pages_rows(), PAGES_SCHEMA)
+
+
+def _synth_pages(spark):
+    from nipper_spark.sources.synthetic import PAGES_SCHEMA, synth_pages_rows
+    return spark.createDataFrame(synth_pages_rows(**CRAWL_PAGES),
+                                 PAGES_SCHEMA)
+
+
+def _page_html_map():
+    from nipper_spark.sources.synthetic import fixture_pages_rows
+    short = {"http://fixture.test/page": "page",
+             "http://fixture.test/page2": "page2",
+             "http://fixture.test/rustwiki": "rustwiki",
+             "http://fixture.test/hn": "hn",
+             "http://fixture.test/wisburg": "wisburg"}
+    return {short[u]: bytes(h).decode("utf-8")
+            for (u, _, h, _, _) in fixture_pages_rows()}
+
+
+def _sql_quote(s) -> str:
+    if s is None:
+        return "NULL"
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def _values_sql(rows, cols_with_types) -> str:
+    """Build `SELECT * FROM (VALUES ...) t(...)` with explicit casts on
+    the first row so DuckDB picks exact types (DOUBLE not DECIMAL…)."""
+    names = [c for c, _ in cols_with_types]
+    out_rows = []
+    for i, row in enumerate(rows):
+        items = []
+        for (name, typ), val in zip(cols_with_types, row):
+            if val is None:
+                lit = "NULL"
+            elif typ in ("INTEGER", "BIGINT"):
+                lit = str(int(val))
+            elif typ == "DOUBLE":
+                # cast from STRING: a bare 17-digit literal parses as
+                # DECIMAL first and loses the low bits (even inside
+                # CAST(lit AS DOUBLE)); strtod on the repr is bit-exact
+                items.append(f"CAST('{float(val)!r}' AS DOUBLE)")
+                continue
+            elif typ == "BOOLEAN":
+                lit = "TRUE" if val else "FALSE"
+            else:
+                lit = _sql_quote(val)
+            items.append(f"CAST({lit} AS {typ})" if i == 0 or lit == "NULL"
+                         else lit)
+        out_rows.append("(" + ", ".join(items) + ")")
+    if not out_rows:
+        casts = ", ".join(f"CAST(NULL AS {t})" for _, t in cols_with_types)
+        return (f"SELECT * FROM (SELECT {casts}) t({', '.join(names)}) "
+                "WHERE 1=0")
+    return ("SELECT * FROM (VALUES " + ", ".join(out_rows) +
+            f") t({', '.join(names)})")
+
+
+# ======================================================================
+# entry — flagship smoke query
+# ======================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Text-pipeline flagship over sf0.001 documents: features + quality
+    + language ID + fingerprint + exact-dup group marking."""
+    from nipper_spark.functions.dedup import exact_dup_groups
+    from nipper_spark.functions.text_udfs import with_text_features
+    docs = spark.read.parquet(f"{SF001}/documents.parquet") \
+        .drop("n_chars")  # recomputed by the feature projection
+    feats = with_text_features(docs)
+    dups = exact_dup_groups(docs).select(
+        F.explode("dup_ids").alias("doc_id"),
+        F.lit(True).alias("is_dup"))
+    return (feats.join(dups, "doc_id", "left")
+            .withColumn("is_dup", F.coalesce("is_dup", F.lit(False)))
+            .orderBy("doc_id"))
+
+
+# ======================================================================
+# queries
+# ======================================================================
+
+def _q_sel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector-engine golden counts, computed live through the
+    selector UDFs over the reference fixture pages."""
+    from nipper_spark.fixtures_goldens import SELECTOR_COUNT_CASES
+    from nipper_spark.functions.html_udfs import select_count_udf
+    from nipper_spark.html import Document
+    htmls = _page_html_map()
+    pages = spark.createDataFrame(
+        [(k, v) for k, v in sorted(htmls.items())], "page string, html string")
+    outs = []
+    for case_id, page, roots, sel, _expected in SELECTOR_COUNT_CASES:
+        if roots is None:
+            col = select_count_udf(sel)("html")
+        else:
+            # chained select runs in one fused pandas UDF
+            import pandas as pd
+
+            def make(roots=roots, sel=sel):
+                @F.pandas_udf("int")
+                def _chained(html: pd.Series) -> pd.Series:
+                    out = []
+                    for h in html:
+                        doc = Document.from_html(h)
+                        out.append(len(doc.select(roots).select(sel).ids))
+                    return pd.Series(out, dtype="int32")
+                return _chained
+            col = make()("html")
+        outs.append(pages.filter(F.col("page") == page).select(
+            F.lit(case_id).alias("case_id"), col.alias("cnt")))
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df
+
+
+def _q_hn_stories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship hacker-news extraction (README.md:45-51)."""
+    from nipper_spark.functions.html_udfs import hacker_news_stories
+    pages = _fixture_pages(spark).filter(
+        F.col("url") == "http://fixture.test/hn")
+    return hacker_news_stories(pages).select(
+        F.col("seq").cast("int").alias("seq"), "title", "href")
+
+
+def _q_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse→serialize round-trip byte-identity (tests/html-dom.rs)."""
+    import pandas as pd
+    from nipper_spark.fixtures_goldens import SERIALIZE_CASES
+    from nipper_spark.html import parse_fragment
+    from nipper_spark.html.serializer import serialize as ser
+
+    rows = [(name, inp) for name, inp, _exp in SERIALIZE_CASES]
+    df = spark.createDataFrame(rows, "case_id string, input string")
+
+    @F.pandas_udf("string")
+    def _roundtrip(html: pd.Series) -> pd.Series:
+        out = []
+        for h in html:
+            arena = parse_fragment(h)
+            first = arena.children_of(0)[0]
+            out.append(ser(arena, first, include_node=False))
+        return pd.Series(out)
+
+    return df.select("case_id", _roundtrip("input").alias("out_html"))
+
+
+def _q_extract_text_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE byte-identity invariant: md5 of the extracted text per url,
+    fixture + synthetic pages, via the fused extraction UDF."""
+    from nipper_spark.functions.html_udfs import extract_pages
+    pages = _fixture_pages(spark).unionByName(_synth_pages(spark))
+    return extract_pages(pages).select(
+        "url", F.md5("text").alias("text_md5"),
+        F.col("n_anchors").cast("int").alias("n_anchors"))
+
+
+def _q_extract_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + canonicalization over the synthetic graph."""
+    from nipper_spark.functions.html_udfs import extract_pages
+    return extract_pages(_synth_pages(spark)).select(
+        "url",
+        F.size("outlinks").cast("int").alias("n_links"),
+        F.array_join("outlinks", "|").alias("links"))
+
+
+def _q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from nipper_spark.functions.url import canonicalize_url
+    df = spark.createDataFrame([(u,) for u in CANON_VECTORS], "url string")
+
+    @F.pandas_udf("string")
+    def _canon(u: pd.Series) -> pd.Series:
+        return pd.Series([canonicalize_url(x) for x in u], dtype="object")
+
+    return df.select("url", _canon("url").alias("canonical"))
+
+
+def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three frontier rounds on the synthetic graph: the engine's crawl
+    ordering record (round, seq, url, host, depth, score)."""
+    from nipper_spark.crawl.frontier import FrontierEngine
+    from nipper_spark.crawl.state import SCHEDULE_SCHEMA, CrawlState
+    pages = _synth_pages(spark)
+    seeds = _crawl_seeds()
+    state_dir = tempfile.mkdtemp(prefix="nipper_crawl_q_")
+    eng = FrontierEngine(spark, pages, state_dir, _crawl_policy())
+    eng.bootstrap(seeds)
+    for r in range(CRAWL_ROUNDS):
+        eng.run_round(r)
+    st = CrawlState(spark, state_dir)
+    sched = st.read_all_rounds("schedule", CRAWL_ROUNDS - 1, SCHEDULE_SCHEMA)
+    return sched.select(F.col("round").cast("int").alias("round"),
+                        F.col("seq").cast("int").alias("seq"),
+                        "url", "host",
+                        F.col("depth").cast("int").alias("depth"), "score")
+
+
+def _crawl_seeds():
+    from nipper_spark.sources.synthetic import synth_pages_rows
+    rows = synth_pages_rows(**CRAWL_PAGES)
+    return [(rows[0][0], 1.0), (rows[1][0], 0.9), (rows[2][0], 0.8)]
+
+
+def _q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.dedup import exact_dup_groups
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = exact_dup_groups(docs)
+    return g.select(
+        "text_hash",
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+        F.array_join(F.transform("dup_ids", lambda x: x.cast("string")),
+                     ",").alias("dup_ids"))
+
+
+def _q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.dedup import dedup_exact
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_exact(docs).select(F.col("doc_id").cast("bigint")
+                                    .alias("doc_id"))
+
+
+def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.text_udfs import (
+        bpe_ish_token_count, whitespace_token_count)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        whitespace_token_count("text").cast("int").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("int").alias("bpe_tokens"))
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.text_udfs import quality_columns, quality_score
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        *[c for c in quality_columns("text")],
+        quality_score("text"),
+    ).select("doc_id",
+             F.col("n_chars").cast("int").alias("n_chars"),
+             F.col("n_words").cast("int").alias("n_words"),
+             "punct_ratio", "stopword_ratio", "quality")
+
+
+def _q_doc_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.text_udfs import lang_id_udf
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.select(lang_id_udf()(F.col("text")).alias("lang_pred"))
+            .groupBy("lang_pred")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .orderBy("lang_pred"))
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.text_udfs import fingerprint_udf
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       fingerprint_udf()(F.col("text")).alias("fingerprint"))
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.dedup import minhash_lsh_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(
+        docs, num_perm=MINHASH["num_perm"], bands=MINHASH["bands"],
+        ngram=MINHASH["ngram"], threshold=MINHASH["threshold"],
+        seed=MINHASH["seed"]).select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"), "jaccard")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.dedup import simhash_near_dups
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dups(
+        docs, max_hamming=SIMHASH["max_hamming"],
+        prefix_bits=SIMHASH["prefix_bits"], ngram=SIMHASH["ngram"]).select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"))
+
+
+def _ann_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()[:ANN["n_queries"]]
+    vecs = t["embedding"].to_pylist()[:ANN["n_queries"]]
+    return list(zip(ids, vecs))
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.similarity import ann_brute_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_brute_topk(emb, _ann_queries(sf_dir), k=ANN["k"]).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"))
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.similarity import ann_lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(emb, _ann_queries(sf_dir), k=LSH_ANN["k"],
+                        n_bits=LSH_ANN["n_bits"], bands=LSH_ANN["bands"],
+                        seed=LSH_ANN["seed"]).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"))
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.similarity import embedding_near_dup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(
+        emb, threshold=NEARDUP["threshold"], n_bits=NEARDUP["n_bits"],
+        bands=NEARDUP["bands"], seed=NEARDUP["seed"]).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"))
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier-wave operator on relational data: top-3 orders per
+    customer by (totalprice desc, orderkey) via the salted two-phase
+    top-k (identical results to a plain window, skew-safe plan)."""
+    from nipper_spark.operators.topk import topk_per_key
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = topk_per_key(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey",
+        [F.desc("o_totalprice"), F.asc("o_orderkey")], 3, salt=8)
+    return out.select(F.col("o_custkey").cast("bigint").alias("custkey"),
+                      F.col("rk").cast("int").alias("rk"),
+                      F.col("o_orderkey").cast("bigint").alias("orderkey"),
+                      F.col("o_totalprice").alias("totalprice"))
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL-seen dedup pattern: anti-join (customers with no orders)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select(F.col("c_custkey").cast("bigint").alias("custkey")))
+
+
+def _q_round_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round_log counter pattern: grouped counts + exact sums."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (e.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .orderBy("event_type"))
+
+
+def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast star join (dimension tables broadcast like the
+    politeness budget dim)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"),
+                     F.col("n_name").alias("nation"))
+            .agg(F.count("*").cast("bigint").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("acctbal"))
+            .orderBy("region", "nation"))
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.multimodal import (
+        image_features, synth_media_df)
+    return image_features(synth_media_df(spark, n=60)).select(
+        F.col("media_id").cast("bigint").alias("media_id"), "sha256",
+        F.col("n_bytes").cast("int").alias("n_bytes"))
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.multimodal import (
+        sample_frames, synth_media_df)
+    return sample_frames(synth_media_df(spark, n=60)).select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("frame_no").cast("int").alias("frame_no"), "frame_sha")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # HTML kernel / selector engine (SURVEY.md §2.2-2.6)
+        "sel_counts": _q_sel_counts,
+        "hn_stories": _q_hn_stories,
+        "serialize_goldens": _q_serialize,
+        "extract_text_hash": _q_extract_text_hash,
+        "extract_outlinks": _q_extract_outlinks,
+        # crawl layer (SURVEY.md §2.8, north rule)
+        "canonicalize_urls": _q_canonicalize,
+        "crawl_schedule": _q_crawl_schedule,
+        # training-data ops: dedup family
+        "doc_exact_dup_groups": _q_doc_exact_dups,
+        "dedup_exact_survivors": _q_dedup_exact_survivors,
+        "dedup_minhash_lsh": _q_minhash,
+        "dedup_simhash": _q_simhash,
+        "embedding_near_dup": _q_embedding_neardup,
+        # text analysis
+        "doc_token_counts": _q_doc_tokens,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_pred": _q_doc_lang,
+        "doc_fingerprints": _q_doc_fingerprints,
+        # similarity search
+        "ann_brute_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,
+        # relational primitives the frontier is built from
+        "topk_per_group": _q_topk_per_group,
+        "anti_join_dedup": _q_anti_join,
+        "round_counters": _q_round_counters,
+        "star_join_broadcast": _q_star_join,
+        # multimodal plumbing (rows-only check: stubbed codecs)
+        "media_image_features": _q_media_features,
+        "media_frame_samples": _q_media_frames,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ======================================================================
+# oracles
+# ======================================================================
+
+def _o_sel_counts() -> str:
+    from nipper_spark.fixtures_goldens import SELECTOR_COUNT_CASES
+    rows = [(c[0], c[4]) for c in SELECTOR_COUNT_CASES]
+    return _values_sql(rows, [("case_id", "VARCHAR"), ("cnt", "INTEGER")])
+
+
+def _o_hn_stories() -> str:
+    from nipper_spark.fixtures_goldens import HN_STORIES
+    return _values_sql(HN_STORIES, [("seq", "INTEGER"),
+                                    ("title", "VARCHAR"),
+                                    ("href", "VARCHAR")])
+
+
+def _o_serialize() -> str:
+    from nipper_spark.fixtures_goldens import SERIALIZE_CASES
+    rows = [(name, exp if exp is not None else inp)
+            for name, inp, exp in SERIALIZE_CASES]
+    return _values_sql(rows, [("case_id", "VARCHAR"),
+                              ("out_html", "VARCHAR")])
+
+
+def _o_extract_text_hash() -> str:
+    import hashlib
+    from nipper_spark.functions.html_udfs import extract_text_and_links
+    from nipper_spark.sources.synthetic import (
+        fixture_pages_rows, synth_pages_rows)
+    rows = []
+    for (url, _, html, _, _) in (fixture_pages_rows() +
+                                 synth_pages_rows(**CRAWL_PAGES)):
+        text, links, _, na = extract_text_and_links(url, html)
+        rows.append((url, hashlib.md5(text.encode("utf-8")).hexdigest(), na))
+    return _values_sql(rows, [("url", "VARCHAR"), ("text_md5", "VARCHAR"),
+                              ("n_anchors", "INTEGER")])
+
+
+def _o_extract_outlinks() -> str:
+    from nipper_spark.functions.html_udfs import extract_text_and_links
+    from nipper_spark.sources.synthetic import synth_pages_rows
+    rows = []
+    for (url, _, html, _, _) in synth_pages_rows(**CRAWL_PAGES):
+        _, links, _, _ = extract_text_and_links(url, html)
+        rows.append((url, len(links), "|".join(links)))
+    return _values_sql(rows, [("url", "VARCHAR"), ("n_links", "INTEGER"),
+                              ("links", "VARCHAR")])
+
+
+def _o_canonicalize() -> str:
+    from nipper_spark.functions.url import canonicalize_url
+    rows = [(u, canonicalize_url(u)) for u in CANON_VECTORS]
+    return _values_sql(rows, [("url", "VARCHAR"), ("canonical", "VARCHAR")])
+
+
+def _o_crawl_schedule() -> str:
+    from nipper_spark.crawl.oracle import crawl_oracle
+    from nipper_spark.sources.synthetic import synth_pages_rows
+    pages = {u: h for (u, _, h, _, _) in synth_pages_rows(**CRAWL_PAGES)}
+    res = crawl_oracle(pages, _crawl_seeds(), _crawl_policy(),
+                       max_rounds=CRAWL_ROUNDS)
+    rows = []
+    for r, wave in enumerate(res.schedules):
+        for seq, (url, host, depth, score) in enumerate(wave):
+            rows.append((r, seq, url, host, depth, score))
+    return _values_sql(rows, [
+        ("round", "INTEGER"), ("seq", "INTEGER"), ("url", "VARCHAR"),
+        ("host", "VARCHAR"), ("depth", "INTEGER"), ("score", "DOUBLE")])
+
+
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+_O_EXACT_DUPS = f"""
+SELECT md5({_NORM}) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+_O_EXACT_SURVIVORS = f"""
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY md5({_NORM})
+"""
+
+_O_TOKENS = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+           AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+           AS INTEGER) AS bpe_tokens
+FROM documents
+"""
+
+_STOPLIST_SQL = ("['the','a','of','to','and','in','is','for','on','with',"
+                 "'as','at','by','an','it']")
+
+_O_QUALITY = f"""
+WITH w AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS n_punct,
+         text
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, len(words) AS n_words, n_punct,
+         len(list_filter(words, w -> list_contains({_STOPLIST_SQL},
+                                                   lower(w)))) AS stop_hits
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS INTEGER) AS n_chars,
+       CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_punct AS DOUBLE) / greatest(n_words, 1) AS punct_ratio,
+       CAST(stop_hits AS DOUBLE) / greatest(n_words, 1) AS stopword_ratio,
+       (least(CAST(n_words AS DOUBLE) / 64.0, 1.0) +
+        least(CAST(stop_hits AS DOUBLE) / greatest(CAST(n_words AS DOUBLE),
+              1.0) * 4.0, 1.0)) / 2.0 AS quality
+FROM s
+"""
+
+
+def _read_docs_sf001():
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{ORACLE_SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+
+def _o_doc_lang() -> str:
+    # replicate the UDF's trigram heuristic single-threaded
+    from collections import Counter
+    from nipper_spark.functions.text_udfs import _LANG_PROFILES
+    profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+    _, texts = _read_docs_sf001()
+    counts: Counter = Counter()
+    for t in texts:
+        if not t:
+            counts["und"] += 1
+            continue
+        s = " " + str(t)[:2000].lower() + " "
+        if any(0x4E00 <= ord(ch) <= 0x9FFF for ch in s[:200]):
+            counts["zh"] += 1
+            continue
+        tris = {s[i:i + 3] for i in range(len(s) - 2)}
+        best, best_hits = "und", 2
+        for lang, prof in profiles.items():
+            hits = len(tris & prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        counts[best] += 1
+    rows = sorted(counts.items())
+    return _values_sql(rows, [("lang_pred", "VARCHAR"), ("n", "BIGINT")])
+
+
+def _o_doc_fingerprints() -> str:
+    from nipper_spark.functions.text_udfs import fingerprint
+    ids, texts = _read_docs_sf001()
+    rows = [(i, fingerprint(t if t is not None else ""))
+            for i, t in zip(ids, texts)]
+    return _values_sql(rows, [("doc_id", "BIGINT"),
+                              ("fingerprint", "BIGINT")])
+
+
+def _o_minhash() -> str:
+    from nipper_spark.functions.dedup import (
+        _minhash_params, minhash_signature, ngram_jaccard)
+    ids, texts = _read_docs_sf001()
+    params = _minhash_params(MINHASH["num_perm"], MINHASH["seed"])
+    rpb = MINHASH["num_perm"] // MINHASH["bands"]
+    buckets: dict = {}
+    sigs = {}
+    for i, t in zip(ids, texts):
+        sig = minhash_signature(str(t or ""), MINHASH["num_perm"],
+                                MINHASH["ngram"], params)
+        sigs[i] = sig
+        for b in range(MINHASH["bands"]):
+            key = (b, tuple(sig[b * rpb:(b + 1) * rpb]))
+            buckets.setdefault(key, []).append(i)
+    textmap = dict(zip(ids, texts))
+    pairs = set()
+    for key, members in buckets.items():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                pairs.add((members[x], members[y]))
+    rows = []
+    for a, b in sorted(pairs):
+        j = ngram_jaccard(str(textmap[a] or ""), str(textmap[b] or ""),
+                          MINHASH["ngram"])
+        if j >= MINHASH["threshold"]:
+            rows.append((a, b, j))
+    return _values_sql(rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"),
+                              ("jaccard", "DOUBLE")])
+
+
+def _o_simhash() -> str:
+    from nipper_spark.functions.dedup import simhash
+    ids, texts = _read_docs_sf001()
+    sims = {i: simhash(str(t or ""), SIMHASH["ngram"])
+            for i, t in zip(ids, texts)}
+    pb = SIMHASH["prefix_bits"]
+    buckets: dict = {}
+    for i, s in sims.items():
+        u = s & ((1 << 64) - 1)
+        for k in range(64 // pb):
+            key = (k, (u >> (k * pb)) & ((1 << pb) - 1))
+            buckets.setdefault(key, []).append(i)
+    pairs = set()
+    for key, members in buckets.items():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                pairs.add((members[x], members[y]))
+    rows = []
+    for a, b in sorted(pairs):
+        ham = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= SIMHASH["max_hamming"]:
+            rows.append((a, b, ham))
+    return _values_sql(rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"),
+                              ("hamming", "INTEGER")])
+
+
+def _read_emb_sf001():
+    import numpy as np
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{ORACLE_SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    m = np.asarray(t["embedding"].to_pylist(), dtype="float32")
+    return ids, m
+
+
+def _o_ann_brute() -> str:
+    import numpy as np
+    ids, m = _read_emb_sf001()
+    norm = m / np.where(
+        np.linalg.norm(m, axis=1, keepdims=True) == 0, 1.0,
+        np.linalg.norm(m, axis=1, keepdims=True))
+    rows = []
+    for qi in range(ANN["n_queries"]):
+        sims = norm @ norm[qi]
+        order = sorted(zip(-sims.astype(float), ids))
+        for rank, (negs, vid) in enumerate(order[:ANN["k"]], start=1):
+            rows.append((int(ids[qi]), rank, int(vid)))
+    return _values_sql(rows, [("query_id", "BIGINT"), ("rank", "INTEGER"),
+                              ("vec_id", "BIGINT")])
+
+
+def _o_ann_lsh() -> str:
+    import numpy as np
+    from nipper_spark.functions.similarity import _hyperplanes
+    ids, m = _read_emb_sf001()
+    dim = m.shape[1]
+    planes = _hyperplanes(dim, LSH_ANN["n_bits"], LSH_ANN["seed"])
+    bits_per_band = LSH_ANN["n_bits"] // LSH_ANN["bands"]
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+    signs = (m @ planes) > 0
+
+    def codes(row):
+        return [int((row[b * bits_per_band:(b + 1) * bits_per_band]
+                     * weights).sum()) + (b << 24)
+                for b in range(LSH_ANN["bands"])]
+
+    corpus_codes = [set(codes(signs[i])) for i in range(len(ids))]
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norm = m / np.where(norms == 0, 1.0, norms)
+    rows = []
+    for qi in range(ANN["n_queries"]):
+        qcodes = corpus_codes[qi]
+        cand = [i for i in range(len(ids)) if corpus_codes[i] & qcodes]
+        sims = [(float((norm[i] * norm[qi]).sum()), int(ids[i]))
+                for i in cand]
+        order = sorted(((-s, v) for s, v in sims))
+        for rank, (negs, vid) in enumerate(order[:LSH_ANN["k"]], start=1):
+            rows.append((int(ids[qi]), rank, vid))
+    return _values_sql(rows, [("query_id", "BIGINT"), ("rank", "INTEGER"),
+                              ("vec_id", "BIGINT")])
+
+
+def _o_embedding_neardup() -> str:
+    import numpy as np
+    from nipper_spark.functions.similarity import _hyperplanes
+    ids, m = _read_emb_sf001()
+    dim = m.shape[1]
+    planes = _hyperplanes(dim, NEARDUP["n_bits"], NEARDUP["seed"])
+    bits_per_band = NEARDUP["n_bits"] // NEARDUP["bands"]
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+    signs = (m @ planes) > 0
+    buckets: dict = {}
+    for i in range(len(ids)):
+        for b in range(NEARDUP["bands"]):
+            code = int((signs[i][b * bits_per_band:(b + 1) * bits_per_band]
+                        * weights).sum()) + (b << 24)
+            buckets.setdefault(code, []).append(i)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norm = m / np.where(norms == 0, 1.0, norms)
+    pairs = set()
+    for members in buckets.values():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                if int(ids[a]) < int(ids[b]):
+                    pairs.add((a, b))
+                else:
+                    pairs.add((b, a))
+    rows = []
+    for a, b in sorted(pairs, key=lambda p: (int(ids[p[0]]), int(ids[p[1]]))):
+        cos = float((norm[a] * norm[b]).sum())
+        if cos >= NEARDUP["threshold"]:
+            rows.append((int(ids[a]), int(ids[b])))
+    return _values_sql(rows, [("id_a", "BIGINT"), ("id_b", "BIGINT")])
+
+
+_O_TOPK = """
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(rk AS INTEGER) AS rk,
+       CAST(o_orderkey AS BIGINT) AS orderkey,
+       o_totalprice AS totalprice
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rk
+      FROM orders) WHERE rk <= 3
+"""
+
+_O_ANTI = """
+SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+_O_COUNTERS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+_O_STAR = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles; media_* queries are intentionally omitted
+    (stubbed codecs → rows-only check)."""
+    return {
+        "sel_counts": _o_sel_counts(),
+        "hn_stories": _o_hn_stories(),
+        "serialize_goldens": _o_serialize(),
+        "extract_text_hash": _o_extract_text_hash(),
+        "extract_outlinks": _o_extract_outlinks(),
+        "canonicalize_urls": _o_canonicalize(),
+        "crawl_schedule": _o_crawl_schedule(),
+        "doc_exact_dup_groups": _O_EXACT_DUPS,
+        "dedup_exact_survivors": _O_EXACT_SURVIVORS,
+        "dedup_minhash_lsh": _o_minhash(),
+        "dedup_simhash": _o_simhash(),
+        "embedding_near_dup": _o_embedding_neardup(),
+        "doc_token_counts": _O_TOKENS,
+        "doc_quality": _O_QUALITY,
+        "doc_lang_pred": _o_doc_lang(),
+        "doc_fingerprints": _o_doc_fingerprints(),
+        "ann_brute_topk": _o_ann_brute(),
+        "ann_lsh_topk": _o_ann_lsh(),
+        "topk_per_group": _O_TOPK,
+        "anti_join_dedup": _O_ANTI,
+        "round_counters": _O_COUNTERS,
+        "star_join_broadcast": _O_STAR,
+    }

@@ -146,12 +146,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band)
         )).alias("band", "band_sig"))
-    banded = banded.withColumn("band_hash", F.xxhash64("band_sig")) \
-        .drop("band_sig")
+    # join directly on the band signature array: Catalyst hashes array
+    # keys for the shuffle, and candidates stay exactly reproducible by
+    # a single-threaded oracle (no engine-private hash in the semantics)
     pairs = (banded.alias("l")
              .join(banded.alias("r"),
                    (F.col("l.band") == F.col("r.band")) &
-                   (F.col("l.band_hash") == F.col("r.band_hash")) &
+                   (F.col("l.band_sig") == F.col("r.band_sig")) &
                    (F.col("l.id") < F.col("r.id")))
              .select(F.col("l.id").alias("id_a"),
                      F.col("r.id").alias("id_b"),
