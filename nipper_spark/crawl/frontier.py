@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nipper_spark.crawl import bloom as B
+from nipper_spark.crawl import cuckoo as CK
 from nipper_spark.crawl.politeness import (
     CrawlPolicy, budgets_df, robots_filter, select_wave, wave_order)
 from nipper_spark.crawl.state import (
@@ -58,6 +59,18 @@ class RoundStats:
     fresh: int = 0
     residual: int = 0
     frontier_next: int = 0
+
+
+def _obs_long(obs, key: str, fallback) -> int:
+    """Read an Observation metric; fall back to recomputing when AQE's
+    empty-relation propagation pruned the CollectMetrics node (happens
+    on degenerate rounds where an intermediate result is empty — the
+    recompute is then tiny by construction)."""
+    try:
+        v = obs.get[key]
+        return int(v) if v is not None else 0
+    except Exception:  # noqa: BLE001 — missing metrics row
+        return int(fallback())
 
 
 def _host_cols(df: DataFrame, policy: CrawlPolicy) -> DataFrame:
@@ -113,13 +126,18 @@ class FrontierEngine:
             [(u, b, url_hash64(u), 0) for (u, h, b, d, s, r) in rows],
             SEEN_SCHEMA)
         self.state.write("seen", 0, seen)
-        m_bits = B.bloom_sizing(max(len(rows), 1024) * 4,
-                                pol.bloom_bits_per_key)
         by_bucket: dict[int, list[str]] = {}
         for (u, h, b, d, s, r) in rows:
             by_bucket.setdefault(b, []).append(u)
-        payloads = [(b, B.bloom_build(urls, m_bits), len(urls))
-                    for b, urls in sorted(by_bucket.items())]
+        if pol.filter_kind == "cuckoo":
+            payloads = [(b, CK.cuckoo_build(urls, max(len(rows), 1024) * 4),
+                         len(urls))
+                        for b, urls in sorted(by_bucket.items())]
+        else:
+            m_bits = B.bloom_sizing(max(len(rows), 1024) * 4,
+                                    pol.bloom_bits_per_key)
+            payloads = [(b, B.bloom_build(urls, m_bits), len(urls))
+                        for b, urls in sorted(by_bucket.items())]
         self.state.write("bloom", 0,
                          self.spark.createDataFrame(payloads, BLOOM_SCHEMA))
         self.state.commit_round(-1)
@@ -137,15 +155,33 @@ class FrontierEngine:
 
     # ------------------------------------------------------------------
     def run_round(self, r: int) -> RoundStats:
+        """One batch round. Counter discipline: every lineage counter
+        rides an Observation on a write we run anyway (the free-counter
+        pattern, SURVEY.md §2.9) — a round costs ~6 Spark jobs total,
+        not one job per statistic, so per-round fixed latency stays flat
+        as cluster size grows."""
+        from pyspark.sql import Observation
+
         st, pol = self.state, self.policy
         stats = RoundStats(round=r)
-        frontier = st.read("frontier", r, FRONTIER_SCHEMA).cache()
+        frontier = st.read("frontier", r, FRONTIER_SCHEMA)
+
+        if frontier.isEmpty():
+            # terminal round: a zero-task plan emits no observation
+            # metrics, so handle it before attaching observers
+            st.write("schedule", r,
+                     self.spark.createDataFrame([], SCHEDULE_SCHEMA))
+            st.write("frontier", r + 1, frontier)
+            st.write("seen", r + 1,
+                     self.spark.createDataFrame([], SEEN_SCHEMA))
+            st.write("bloom", r + 1, st.read("bloom", r, BLOOM_SCHEMA))
+            st.write("round_log", r, self._log_df(r, stats, []))
+            st.commit_round(r)
+            return stats
 
         wave, residual = select_wave(frontier, self._budgets, pol)
-        wave = wave.cache()
-        residual = residual.cache()
-        stats.scheduled = wave.count()
-        stats.residual = residual.count()
+        obs_wave = Observation()
+        wave = wave.observe(obs_wave, F.count(F.lit(1)).alias("n")).cache()
 
         # ordering record — global window is safe: the wave is bounded
         # by Σ politeness budgets, not by frontier size
@@ -155,25 +191,24 @@ class FrontierEngine:
             .cast("long").alias("seq"),
             "url", "host", "depth", "score")
         st.write("schedule", r, schedule)
+        stats.scheduled = _obs_long(obs_wave, "n", wave.count)
 
         if stats.scheduled == 0:
-            st.write("frontier", r + 1,
-                     self.spark.createDataFrame([], FRONTIER_SCHEMA))
+            st.write("frontier", r + 1, frontier)
             st.write("seen", r + 1,
                      self.spark.createDataFrame([], SEEN_SCHEMA))
             st.write("bloom", r + 1, st.read("bloom", r, BLOOM_SCHEMA))
             st.write("round_log", r, self._log_df(r, stats, []))
             st.commit_round(r)
-            frontier.unpersist()
             wave.unpersist()
-            residual.unpersist()
             return stats
 
         # "fetch" = broadcast the (small) wave against the big pages scan
         fetched = self.pages.join(F.broadcast(wave.select("url")), "url") \
             .select("url", "html")
-        ext = extract_pages(fetched).cache()
-        stats.fetched = ext.count()
+        obs_fetch = Observation()
+        ext = extract_pages(fetched).observe(
+            obs_fetch, F.count(F.lit(1)).alias("n"))
 
         links = (ext.select("url", F.explode("outlinks").alias("dst"))
                  .join(F.broadcast(wave.select("url", "depth", "score")),
@@ -187,34 +222,51 @@ class FrontierEngine:
                      F.max("score").alias("score")))
         cand = _host_cols(cand, pol)
         cand = robots_filter(cand, pol).filter(
-            F.col("depth") <= pol.max_depth).cache()
-        stats.candidates = cand.count()
+            F.col("depth") <= pol.max_depth)
 
         # bloom prefilter: bucket-cogrouped probe (state and candidates
         # share the host_bucket partitioning → no broadcast of payloads)
         bloom_df = st.read("bloom", r, BLOOM_SCHEMA)
+        obs_probe = Observation()
         probed = (cand.groupBy("host_bucket")
                   .cogroup(bloom_df.groupBy("host_bucket"))
-                  .applyInPandas(_probe_fn, schema=(
+                  .applyInPandas(_make_probe_fn(pol.filter_kind), schema=(
                       "url string, depth int, score double, host string, "
                       "host_bucket int, url_hash long, bloom_hit boolean"))
+                  .observe(obs_probe,
+                           F.count(F.lit(1)).alias("candidates"),
+                           F.sum(F.col("bloom_hit").cast("long"))
+                           .alias("hits"))
+                  # cache: both union branches below must share ONE
+                  # materialization, or the observe node (and the whole
+                  # fetch→extract chain above it) executes twice and the
+                  # observation receives duplicate metric rows
                   .cache())
-        maybe_seen = probed.filter("bloom_hit")
+        maybe_seen = probed.filter("bloom_hit").drop("bloom_hit")
         definitely_new = probed.filter("NOT bloom_hit").drop("bloom_hit")
-        stats.bloom_hits = maybe_seen.count()
 
         # exact authority: only bloom-hits pay the anti-join shuffle
         seen = st.read_all_rounds("seen", r, SEEN_SCHEMA)
-        confirmed_new = maybe_seen.drop("bloom_hit").join(
+        confirmed_new = maybe_seen.join(
             seen.select("url"), "url", "left_anti")
         fresh = definitely_new.unionByName(confirmed_new).cache()
-        stats.fresh = fresh.count()
 
+        obs_residual = Observation()
+        residual = residual.observe(
+            obs_residual, F.count(F.lit(1)).alias("n"))
         next_frontier = residual.unionByName(
             fresh.select("url", "host", "host_bucket", "depth", "score",
                          F.lit(r + 1).alias("discovered_round")))
+        # this single write materializes fetch→extract→candidates→probe→
+        # anti-join and populates the fresh cache; every observation above
+        # resolves here for free
         st.write("frontier", r + 1, next_frontier)
-        stats.frontier_next = stats.residual + stats.fresh
+        stats.fetched = _obs_long(obs_fetch, "n", ext.count)
+        stats.candidates = _obs_long(obs_probe, "candidates", probed.count)
+        stats.bloom_hits = _obs_long(
+            obs_probe, "hits",
+            lambda: probed.filter("bloom_hit").count())
+        stats.residual = _obs_long(obs_residual, "n", residual.count)
 
         st.write("seen", r + 1, fresh.select(
             "url", "host_bucket", "url_hash", F.lit(r + 1).alias("round")))
@@ -225,17 +277,21 @@ class FrontierEngine:
         # → old payload echoed.
         new_bloom = (fresh.groupBy("host_bucket")
                      .cogroup(bloom_df.groupBy("host_bucket"))
-                     .applyInPandas(_bloom_merge_fn, schema=BLOOM_SCHEMA))
+                     .applyInPandas(_make_merge_fn(pol.filter_kind),
+                                    schema=BLOOM_SCHEMA))
         st.write("bloom", r + 1, new_bloom)
 
         per_bucket = [(row["host_bucket"], row["n"]) for row in
                       fresh.groupBy("host_bucket").agg(
                           F.count("*").alias("n")).collect()]
+        stats.fresh = sum(n for _, n in per_bucket)
+        stats.frontier_next = stats.residual + stats.fresh
         st.write("round_log", r, self._log_df(r, stats, per_bucket))
         st.commit_round(r)
 
-        for df in (frontier, wave, residual, ext, cand, probed, fresh):
-            df.unpersist()
+        wave.unpersist()
+        probed.unpersist()
+        fresh.unpersist()
         return stats
 
     # ------------------------------------------------------------------
@@ -268,31 +324,43 @@ class FrontierEngine:
 # cogrouped pandas kernels (bucket-local: one host bucket per call)
 # ----------------------------------------------------------------------
 
-def _probe_fn(cand: pd.DataFrame, blooms: pd.DataFrame) -> pd.DataFrame:
-    cols = ["url", "depth", "score", "host", "host_bucket", "url_hash"]
-    out = cand[cols].copy()
-    if len(blooms) == 0 or len(cand) == 0:
-        out["bloom_hit"] = pd.Series([False] * len(cand), dtype="bool")
+def _make_probe_fn(filter_kind: str):
+    """Bucket-local prefilter probe (bloom or cuckoo payloads, same
+    contract: False = definitely unseen; never a false negative)."""
+    def _probe(cand: pd.DataFrame, blooms: pd.DataFrame) -> pd.DataFrame:
+        cols = ["url", "depth", "score", "host", "host_bucket", "url_hash"]
+        out = cand[cols].copy()
+        if len(blooms) == 0 or len(cand) == 0:
+            out["bloom_hit"] = pd.Series([False] * len(cand), dtype="bool")
+            return out
+        payload = bytes(blooms["payload"].iloc[0])
+        urls = list(cand["url"])
+        if filter_kind == "cuckoo":
+            out["bloom_hit"] = CK.cuckoo_might_contain(payload, urls)
+        else:
+            out["bloom_hit"] = B.bloom_might_contain(payload, urls)
         return out
-    payload = blooms["payload"].iloc[0]
-    out["bloom_hit"] = B.bloom_might_contain(payload, list(cand["url"]))
-    return out
+    return _probe
 
 
-def _bloom_merge_fn(fresh: pd.DataFrame, blooms: pd.DataFrame) -> pd.DataFrame:
-    if len(fresh) == 0:
-        # bucket had no fresh keys this round: echo the old payload(s)
-        return blooms[["host_bucket", "payload", "n_items"]].head(1)
-    bucket = int(fresh["host_bucket"].iloc[0])
-    urls = list(fresh["url"])
-    if len(blooms):
-        payload = blooms["payload"].iloc[0]
-        n_old = int(blooms["n_items"].iloc[0])
-        m_bits = len(payload) * 8
-        new = B.bloom_add(payload, urls, m_bits)
-    else:
-        m_bits = B.bloom_sizing(max(len(urls) * 4, 1024))
-        new = B.bloom_build(urls, m_bits)
-        n_old = 0
-    return pd.DataFrame({"host_bucket": [bucket], "payload": [new],
-                         "n_items": [n_old + len(urls)]})
+def _make_merge_fn(filter_kind: str):
+    """Bucket-local payload |= fresh keys (bloom OR-in / cuckoo insert)."""
+    def _merge(fresh: pd.DataFrame, blooms: pd.DataFrame) -> pd.DataFrame:
+        if len(fresh) == 0:
+            # bucket had no fresh keys this round: echo the old payload
+            return blooms[["host_bucket", "payload", "n_items"]].head(1)
+        bucket = int(fresh["host_bucket"].iloc[0])
+        urls = list(fresh["url"])
+        payload = bytes(blooms["payload"].iloc[0]) if len(blooms) else None
+        n_old = int(blooms["n_items"].iloc[0]) if len(blooms) else 0
+        if filter_kind == "cuckoo":
+            new = CK.cuckoo_add(payload, urls,
+                                n_items_hint=max(len(urls) * 4, 1024))
+        elif payload is not None:
+            new = B.bloom_add(payload, urls, len(payload) * 8)
+        else:
+            new = B.bloom_build(urls, B.bloom_sizing(max(len(urls) * 4,
+                                                         1024)))
+        return pd.DataFrame({"host_bucket": [bucket], "payload": [new],
+                             "n_items": [n_old + len(urls)]})
+    return _merge

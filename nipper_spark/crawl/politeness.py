@@ -40,6 +40,9 @@ class CrawlPolicy:
     max_depth: int = 64
     bloom_bits_per_key: int = 10
     salt: int = 16
+    # URL-seen prefilter layer: "bloom" (insert-only) or "cuckoo"
+    # (delete-capable, saturates instead of false-negating on overflow)
+    filter_kind: str = "bloom"
 
     def tokens(self, host: str) -> int:
         return self.host_tokens.get(host, self.default_tokens)

@@ -14,8 +14,13 @@ Two row sources, both fully deterministic (seed 42, FIXTURES.md §1):
    (uppercase scheme/host, fragments, unsorted query params, relative
    paths) to exercise canonicalization, politeness, and salting.
 
-At 100 TB this table is an Iceberg table bucketed by host hash; here
-the generator stands in for the scan, with the same schema.
+Every generated page is a PURE FUNCTION of ``(i, params)`` — the same
+bytes whether built on the driver (oracle path) or inside executors
+(``synth_pages_df`` generates distributed via ``spark.range`` +
+``mapInPandas``, which is how the bench corpus scales without pushing
+hundreds of MB through the driver). At 100 TB this table is an
+Iceberg table bucketed by host hash; the generator stands in for the
+scan with the same schema.
 """
 
 from __future__ import annotations
@@ -39,6 +44,11 @@ _EPOCH = datetime.datetime(2024, 1, 1)
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
 
+_WORDS = ("crawl frontier spark arrow parquet shuffle partition bloom "
+          "politeness budget host queue depth score lineage checkpoint "
+          "skew salt broadcast catalyst tungsten codegen scan filter "
+          "page link anchor text body title meta header footer nav").split()
+
 
 def fixture_pages_rows() -> list[tuple]:
     """The five reference test pages as pages-table rows."""
@@ -53,77 +63,107 @@ def fixture_pages_rows() -> list[tuple]:
     return rows
 
 
-def _zipf_host(rng: random.Random, n_hosts: int, skew: float) -> int:
-    """Zipf(skew)-distributed host index (host 0 is the hot host)."""
-    # inverse-CDF-free rejection-light approximation, deterministic
+def page_host_index(i: int, n_hosts: int, skew: float, seed: int) -> int:
+    """Zipf(skew)-distributed host index for page i — pure in (i,
+    params), so executors and the driver-side oracle agree byte-for-
+    byte. Host 0 is the hot host."""
+    rng = random.Random((seed * 1000003 + i * 2654435761) & 0xFFFFFFFF)
     while True:
         k = int(rng.paretovariate(skew))
         if k <= n_hosts:
             return k - 1
 
 
-_WORDS = ("crawl frontier spark arrow parquet shuffle partition bloom "
-          "politeness budget host queue depth score lineage checkpoint "
-          "skew salt broadcast catalyst tungsten codegen scan filter "
-          "page link anchor text body title meta header footer nav").split()
+def page_url(i: int, n_hosts: int, skew: float, seed: int) -> str:
+    h = page_host_index(i, n_hosts, skew, seed)
+    return f"http://host{h:02d}.test/page/{i}"
+
+
+def synth_page(i: int, n_pages: int, links_per_page: int, n_hosts: int,
+               skew: float, seed: int) -> tuple[str, str]:
+    """→ (url, html). Hrefs are intentionally messy — canonicalizing
+    them folds back into the same URL space."""
+    rng = random.Random((seed << 20) ^ (i * 0x9E3779B9))
+    my_host = f"host{page_host_index(i, n_hosts, skew, seed):02d}.test"
+    url = f"http://{my_host}/page/{i}"
+
+    paras = []
+    for _ in range(1 + rng.randrange(3)):
+        words = " ".join(rng.choice(_WORDS)
+                         for _ in range(5 + rng.randrange(20)))
+        paras.append(f"<p>{words}</p>")
+    links = []
+    for _ in range(links_per_page):
+        j = rng.randrange(n_pages)
+        th = f"host{page_host_index(j, n_hosts, skew, seed):02d}.test"
+        style = rng.randrange(5)
+        if style == 0:
+            href = f"http://{th}/page/{j}"
+        elif style == 1:  # uppercase scheme+host → canonicalization
+            href = f"HTTP://{th.upper()}/page/{j}"
+        elif style == 2:  # fragment to strip
+            href = f"http://{th}/page/{j}#frag{rng.randrange(9)}"
+        elif style == 3:  # unsorted query params to sort
+            href = (f"http://{th}/page/{j}?b={rng.randrange(9)}"
+                    f"&a={rng.randrange(9)}")
+        else:  # relative when same host
+            href = f"/page/{j}" if th == my_host else f"http://{th}/page/{j}"
+        links.append(f'<a href="{href}">link {j}</a>')
+    html = ("<!DOCTYPE html><html><head><title>Page %d</title></head>"
+            "<body><h1>Page %d</h1>%s<div class=\"links\">%s</div>"
+            "</body></html>"
+            % (i, i, "".join(paras), " ".join(links)))
+    return url, html
 
 
 def synth_pages_rows(n_pages: int = 200, links_per_page: int = 8,
                      n_hosts: int = 20, skew: float = 1.2,
                      seed: int = 42) -> list[tuple]:
-    """Generate the seeded link graph (FIXTURES.md §1 'scaled synthetic
-    rows'). Page i lives on a Zipf-skewed host; hrefs are intentionally
-    messy — canonicalizing them yields links into the same url space.
-    """
-    rng = random.Random(seed)
-    hosts = [f"host{h:02d}.test" for h in range(n_hosts)]
-    page_host = [_zipf_host(rng, n_hosts, skew) for _ in range(n_pages)]
-    urls = [f"http://{hosts[page_host[i]]}/page/{i}" for i in range(n_pages)]
-
+    """Driver-side generation (FIXTURES.md §1 'scaled synthetic rows');
+    identical bytes to the distributed generator."""
     rows = []
     for i in range(n_pages):
-        n_para = 1 + rng.randrange(3)
-        paras = []
-        for _ in range(n_para):
-            words = " ".join(rng.choice(_WORDS)
-                             for _ in range(5 + rng.randrange(20)))
-            paras.append(f"<p>{words}</p>")
-        links = []
-        for _ in range(links_per_page):
-            j = rng.randrange(n_pages)
-            style = rng.randrange(5)
-            target_host = hosts[page_host[j]]
-            if style == 0:  # clean absolute
-                href = f"http://{target_host}/page/{j}"
-            elif style == 1:  # uppercase scheme+host → canonicalization
-                href = f"HTTP://{target_host.upper()}/page/{j}"
-            elif style == 2:  # fragment to strip
-                href = f"http://{target_host}/page/{j}#frag{rng.randrange(9)}"
-            elif style == 3:  # unsorted query params to sort
-                href = (f"http://{target_host}/page/{j}?b={rng.randrange(9)}"
-                        f"&a={rng.randrange(9)}")
-            else:  # relative (same host only)
-                if target_host == hosts[page_host[i]]:
-                    href = f"/page/{j}"
-                else:
-                    href = f"http://{target_host}/page/{j}"
-            links.append(f'<a href="{href}">link {j}</a>')
-        html = ("<!DOCTYPE html><html><head><title>Page %d</title></head>"
-                "<body><h1>Page %d</h1>%s<div class=\"links\">%s</div>"
-                "</body></html>"
-                % (i, i, "".join(paras), " ".join(links)))
-        rows.append((urls[i],
-                     _EPOCH + datetime.timedelta(seconds=i),
+        url, html = synth_page(i, n_pages, links_per_page, n_hosts, skew,
+                               seed)
+        rows.append((url, _EPOCH + datetime.timedelta(seconds=i),
                      html.encode("utf-8"), None, "en"))
     return rows
+
+
+def synth_pages_df(spark, n_pages: int, links_per_page: int = 8,
+                   n_hosts: int = 20, skew: float = 1.2, seed: int = 42,
+                   partitions: int | None = None):
+    """Distributed generation: executors build their own shard of the
+    corpus from index ranges (nothing big crosses the driver)."""
+    import pandas as pd
+
+    params = (n_pages, links_per_page, n_hosts, skew, seed)
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def _gen(batches):
+        for pdf in batches:
+            urls, tss, htmls = [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                url, html = synth_page(i, *params)
+                urls.append(url)
+                tss.append(_EPOCH + datetime.timedelta(seconds=i))
+                htmls.append(html.encode("utf-8"))
+            yield pd.DataFrame({
+                "url": urls, "warc_ts": tss, "html": htmls,
+                "text": pd.Series([None] * len(urls), dtype="object"),
+                "lang": ["en"] * len(urls)})
+
+    return (spark.range(0, n_pages, numPartitions=parts)
+            .mapInPandas(_gen, schema=PAGES_SCHEMA))
 
 
 def pages_df(spark, include_fixtures: bool = True, n_pages: int = 200,
              links_per_page: int = 8, n_hosts: int = 20,
              seed: int = 42, partitions: int | None = None):
-    """Build the pages DataFrame. In production this is
-    ``spark.read.table("pages")`` (Iceberg, bucketed by host hash);
-    partition count models that bucketing for the sandbox."""
+    """Small-scale pages DataFrame (fixtures + driver-side synth). In
+    production this is ``spark.read.table("pages")`` (Iceberg, bucketed
+    by host hash); use ``synth_pages_df`` for big benchmark corpora."""
     rows = synth_pages_rows(n_pages, links_per_page, n_hosts, seed=seed)
     if include_fixtures:
         rows = fixture_pages_rows() + rows

@@ -1,0 +1,125 @@
+"""Physical-plan assertions: the scale claims as tests.
+
+`.explain("formatted")` is part of the engine's contract — these pin
+(a) column pruning + predicate pushdown into the parquet scan BEFORE
+any Python UDF, (b) broadcast of the wave in the fetch join, (c) that
+fused pipelines cross the Python boundary once, not per step.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nipper_spark.plans.inspect import (
+    has_broadcast_hash_join, plan_string, pushed_filters,
+    python_eval_count, read_schema_columns)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark(tmp_path_factory):
+    from nipper_spark.session import build_session
+    return build_session("plan-tests", master="local[4]",
+                         shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    """pages table persisted as parquet so scans have real pushdown."""
+    from nipper_spark.sources.synthetic import pages_df
+    path = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
+    pages_df(spark, include_fixtures=False, n_pages=50).write \
+        .mode("overwrite").parquet(path)
+    return path
+
+
+class TestPruningAndPushdown:
+    def test_extraction_scan_reads_only_url_html(self, spark,
+                                                 pages_parquet):
+        """extract_pages prunes its input to (url, html): the parquet
+        scan must not read warc_ts/text/lang."""
+        from nipper_spark.functions.html_udfs import extract_pages
+        pages = spark.read.parquet(pages_parquet)
+        ext = extract_pages(pages)
+        schemas = read_schema_columns(ext)
+        assert schemas, "no parquet scan found in plan"
+        for cols in schemas:
+            assert set(cols) <= {"url", "html"}, cols
+
+    def test_lang_filter_pushed_below_udf(self, spark, pages_parquet):
+        """Native filters run at the scan, before ArrowEvalPython."""
+        from nipper_spark.functions.html_udfs import extract_pages
+        pages = spark.read.parquet(pages_parquet).filter(
+            F.col("lang") == "en")
+        ext = extract_pages(pages)
+        filters = pushed_filters(ext)
+        assert any("lang" in f for f in filters), filters
+
+    def test_doc_scan_prunes_to_used_columns(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        from nipper_spark.functions.dedup import exact_dup_groups
+        g = exact_dup_groups(docs)
+        for cols in read_schema_columns(g):
+            assert set(cols) <= {"doc_id", "text"}, cols
+
+
+class TestJoinStrategies:
+    def test_fetch_join_broadcasts_wave(self, spark, pages_parquet):
+        """The frontier fetch: big pages scan ⋈ small wave must be a
+        BroadcastHashJoin — the pages table is never shuffled."""
+        pages = spark.read.parquet(pages_parquet)
+        wave = spark.createDataFrame(
+            [(f"http://host00.test/page/{i}",) for i in range(10)],
+            "url string")
+        fetched = pages.join(F.broadcast(wave), "url").select("url", "html")
+        assert has_broadcast_hash_join(fetched)
+        plan = plan_string(fetched)
+        # no shuffle of the pages side
+        assert "Exchange hashpartitioning(url" not in plan, plan
+
+    def test_budget_dim_broadcasts(self, spark):
+        from nipper_spark.crawl.politeness import (
+            CrawlPolicy, budgets_df, select_wave)
+        frontier = spark.createDataFrame(
+            [(f"http://h{i % 3}.test/p/{i}", f"h{i % 3}.test", i % 4, 1,
+              1.0, 0) for i in range(20)],
+            "url string, host string, host_bucket int, depth int, "
+            "score double, discovered_round int")
+        pol = CrawlPolicy(default_tokens=2, host_tokens={"h0.test": 1})
+        wave, _ = select_wave(frontier, budgets_df(spark, pol), pol)
+        assert has_broadcast_hash_join(wave)
+
+
+class TestPythonBoundary:
+    def test_fused_extraction_crosses_once(self, spark, pages_parquet):
+        """Parse+text+outlinks+counters is ONE Python boundary."""
+        from nipper_spark.functions.html_udfs import extract_pages
+        pages = spark.read.parquet(pages_parquet)
+        assert python_eval_count(extract_pages(pages)) == 1
+
+    def test_record_extraction_crosses_once(self, spark, pages_parquet):
+        """The flagship row-extraction (row selector + 2 field selects)
+        is also ONE boundary, not three."""
+        from nipper_spark.functions.html_udfs import hacker_news_stories
+        pages = spark.read.parquet(pages_parquet)
+        assert python_eval_count(hacker_news_stories(pages)) == 1
+
+
+class TestTopkEquivalence:
+    def test_salted_equals_plain_window(self, spark):
+        """The salted two-phase top-k must return exactly the plain
+        window's rows (top-k is monotone under union)."""
+        from nipper_spark.operators.topk import topk_per_key
+        df = spark.range(2000).select(
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") * 37 % 1000).alias("v"),
+            F.col("id").alias("id"))
+        order = [F.desc("v"), F.asc("id")]
+        salted = {(r["k"], r["id"]) for r in
+                  topk_per_key(df, "k", order, 5, salt=16).collect()}
+        plain = {(r["k"], r["id"]) for r in
+                 topk_per_key(df, "k", order, 5, salt=0).collect()}
+        assert salted == plain
+        assert len(plain) == 35
