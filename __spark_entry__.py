@@ -437,6 +437,36 @@ def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("region", "nation"))
 
 
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone select→mutate→re-select pipeline (examples/
+    readability.rs port) over the fixture pages; content pinned by md5."""
+    from nipper_spark.functions.readability import readability_articles
+    pages = _fixture_pages(spark)
+    return readability_articles(pages).select(
+        "url", "title",
+        F.coalesce("author", F.lit("")).alias("author"),
+        F.coalesce("cover", F.lit("")).alias("cover"),
+        F.md5("content_html").alias("content_md5"),
+        F.length("content_text").cast("int").alias("text_len"))
+
+
+def _o_readability() -> str:
+    import hashlib
+    from nipper_spark.functions.readability import extract_article
+    from nipper_spark.sources.synthetic import fixture_pages_rows
+    rows = []
+    for (url, _, html, _, _) in fixture_pages_rows():
+        rec = extract_article(html)
+        rows.append((url, rec["title"], rec["author"] or "",
+                     rec["cover"] or "",
+                     hashlib.md5(rec["content_html"].encode()).hexdigest(),
+                     len(rec["content_text"])))
+    return _values_sql(rows, [
+        ("url", "VARCHAR"), ("title", "VARCHAR"), ("author", "VARCHAR"),
+        ("cover", "VARCHAR"), ("content_md5", "VARCHAR"),
+        ("text_len", "INTEGER")])
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nipper_spark.functions.multimodal import (
         image_features, synth_media_df)
@@ -478,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        # capstone complex query (select→mutate→re-select in one UDF)
+        "readability": _q_readability,
         # relational primitives the frontier is built from
         "topk_per_group": _q_topk_per_group,
         "anti_join_dedup": _q_anti_join,
@@ -861,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _o_doc_fingerprints(),
         "ann_brute_topk": _o_ann_brute(),
         "ann_lsh_topk": _o_ann_lsh(),
+        "readability": _o_readability(),
         "topk_per_group": _O_TOPK,
         "anti_join_dedup": _O_ANTI,
         "round_counters": _O_COUNTERS,
