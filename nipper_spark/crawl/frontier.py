@@ -144,7 +144,9 @@ class FrontierEngine:
 
     # ------------------------------------------------------------------
     def resume_round(self) -> int:
-        """Next round to run; cleans any uncommitted partial writes."""
+        """Next round to run; cleans any uncommitted partial writes and
+        finishes any crash-interrupted compaction."""
+        self.state.recover_compaction()
         last = self.state.last_committed_round()
         nxt = last + 1
         for t in ("frontier", "seen", "bloom"):
@@ -288,6 +290,10 @@ class FrontierEngine:
         stats.frontier_next = stats.residual + stats.fresh
         st.write("round_log", r, self._log_df(r, stats, per_bucket))
         st.commit_round(r)
+
+        # periodic seen-delta compaction (crash-safe; bounds file count)
+        if pol.compact_every and (r + 1) % pol.compact_every == 0:
+            st.compact("seen", r + 1, SEEN_SCHEMA)
 
         wave.unpersist()
         probed.unpersist()

@@ -43,6 +43,9 @@ class CrawlPolicy:
     # URL-seen prefilter layer: "bloom" (insert-only) or "cuckoo"
     # (delete-capable, saturates instead of false-negating on overflow)
     filter_kind: str = "bloom"
+    # fold seen-table round deltas every K rounds (0 = never): bounds
+    # the per-round file count the exact anti-join has to list
+    compact_every: int = 8
 
     def tokens(self, host: str) -> int:
         return self.host_tokens.get(host, self.default_tokens)

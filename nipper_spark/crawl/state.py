@@ -92,6 +92,57 @@ class CrawlState:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def compact(self, table: str, upto: int, schema: str) -> None:
+        """Fold round deltas ≤ upto into the round=upto partition and
+        drop the older ones. Union-of-deltas semantics are preserved
+        (read_all_rounds returns identical rows), so resume stays exact;
+        without this, a 10^10-URL crawl's seen table accretes one delta
+        directory per round forever.
+
+        Crash-safe protocol: (1) write the consolidated copy to
+        ``round=K.new`` — from that instant it is the authoritative
+        union; (2) delete old deltas incl. ``round=K``; (3) rename
+        ``.new`` → ``round=K``. A crash anywhere is healed by
+        :meth:`recover_compaction` (runs on resume): a surviving
+        ``.new`` dir simply finishes steps 2-3.
+        """
+        merged = self.read_all_rounds(table, upto, schema)
+        final = self._round_dir(table, upto)
+        staging = final + ".new"
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(staging)
+        self._finish_compaction(table, upto)
+
+    def _finish_compaction(self, table: str, upto: int) -> None:
+        final = self._round_dir(table, upto)
+        staging = final + ".new"
+        base = os.path.join(self.dir, table)
+        for entry in os.listdir(base):
+            if entry.startswith("round=") and not entry.endswith(".new"):
+                try:
+                    k = int(entry.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if k <= upto:
+                    shutil.rmtree(os.path.join(base, entry),
+                                  ignore_errors=True)
+        os.replace(staging, final)
+
+    def recover_compaction(self) -> None:
+        """Complete any compaction a crash interrupted (the ``.new``
+        dir is the authoritative consolidated copy)."""
+        for table in TABLES:
+            base = os.path.join(self.dir, table)
+            if not os.path.isdir(base):
+                continue
+            for entry in os.listdir(base):
+                if entry.startswith("round=") and entry.endswith(".new"):
+                    try:
+                        k = int(entry.split("=", 1)[1].split(".")[0])
+                    except ValueError:
+                        continue
+                    self._finish_compaction(table, k)
+
     def truncate_after(self, r: int, tables=TABLES) -> None:
         """Drop uncommitted round dirs > r (crash cleanup on resume)."""
         for table in tables:

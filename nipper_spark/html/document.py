@@ -214,6 +214,23 @@ class Selection:
         v = self.attr(name)
         return v if v is not None else default
 
+    def attrs(self) -> list[tuple[str, str]]:
+        """All attributes of the first matched node, insertion order
+        (Node::attrs, src/dom_tree.rs:857-862)."""
+        if not self.ids:
+            return []
+        a = self.doc.arena.attrs[self.ids[0]]
+        return [tuple(x) for x in (a or [])]
+
+    def node_name(self) -> str | None:
+        """Element local name of the first matched node; None for
+        non-elements (Node::node_name, src/dom_tree.rs:755-763)."""
+        if not self.ids:
+            return None
+        if self.doc.arena.kind[self.ids[0]] != ELEMENT:
+            return None
+        return self.doc.arena.name[self.ids[0]]
+
     def text(self) -> str:
         a = self.doc.arena
         return "".join(a.text_of(i) for i in self.ids)
