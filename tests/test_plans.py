@@ -57,8 +57,15 @@ class TestPruningAndPushdown:
         filters = pushed_filters(ext)
         assert any("lang" in f for f in filters), filters
 
-    def test_doc_scan_prunes_to_used_columns(self, spark):
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    def test_doc_scan_prunes_to_used_columns(self, spark,
+                                             tmp_path_factory):
+        # fresh parquet path: a `.cache()` of the shared sf dir in
+        # another test module would otherwise substitute the cached
+        # all-column InMemoryRelation for this scan
+        path = str(tmp_path_factory.mktemp("docs") / "documents.parquet")
+        spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+            .write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
         from nipper_spark.functions.dedup import exact_dup_groups
         g = exact_dup_groups(docs)
         for cols in read_schema_columns(g):
