@@ -100,7 +100,7 @@ def bench_queries(spark) -> tuple[dict, dict]:
     sched = dedup = 0
     rounds = 3
     for r in range(rounds):
-        stats = eng.run_round(r)
+        stats = eng.run_round(r, known_nonempty=r > 0)
         sched += stats.scheduled
         dedup += stats.fresh
     dt = time.time() - t0

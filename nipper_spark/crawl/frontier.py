@@ -75,23 +75,26 @@ def _obs_long(obs, key: str, fallback) -> int:
 
 def _host_cols(df: DataFrame, policy: CrawlPolicy) -> DataFrame:
     """Derive host (native regexp — canonical URLs have lowercase
-    hosts, no UDF needed) + host_bucket/url_hash (vectorized pandas
-    UDF sharing the oracle's exact hash functions)."""
+    hosts, no UDF needed) + host_bucket/url_hash in ONE vectorized
+    pandas UDF (one Python boundary, not two) sharing the oracle's
+    exact hash functions."""
     n = policy.n_buckets
 
-    @F.pandas_udf("int")
-    def _bucket(host: pd.Series) -> pd.Series:
-        return pd.Series([host_bucket(h, n) for h in host], dtype="int32")
-
-    @F.pandas_udf("long")
-    def _uhash(url: pd.Series) -> pd.Series:
-        return pd.Series([url_hash64(u) for u in url], dtype="int64")
+    @F.pandas_udf("struct<host_bucket:int, url_hash:long>")
+    def _keys(host: pd.Series, url: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host_bucket": pd.Series(
+                [host_bucket(h, n) for h in host], dtype="int32"),
+            "url_hash": pd.Series(
+                [url_hash64(u) for u in url], dtype="int64")})
 
     return (df
             .withColumn("host", F.regexp_extract("url",
                                                  r"^https?://([^/:]+)", 1))
-            .withColumn("host_bucket", _bucket("host"))
-            .withColumn("url_hash", _uhash("url")))
+            .withColumn("_k", _keys("host", "url"))
+            .withColumn("host_bucket", F.col("_k.host_bucket"))
+            .withColumn("url_hash", F.col("_k.url_hash"))
+            .drop("_k"))
 
 
 class FrontierEngine:
@@ -156,19 +159,21 @@ class FrontierEngine:
         return nxt
 
     # ------------------------------------------------------------------
-    def run_round(self, r: int) -> RoundStats:
+    def run_round(self, r: int, known_nonempty: bool = False) -> RoundStats:
         """One batch round. Counter discipline: every lineage counter
         rides an Observation on a write we run anyway (the free-counter
         pattern, SURVEY.md §2.9) — a round costs ~6 Spark jobs total,
         not one job per statistic, so per-round fixed latency stays flat
-        as cluster size grows."""
+        as cluster size grows. ``known_nonempty`` skips the emptiness
+        probe job when the caller already proved it (previous round's
+        frontier_next > 0)."""
         from pyspark.sql import Observation
 
         st, pol = self.state, self.policy
         stats = RoundStats(round=r)
         frontier = st.read("frontier", r, FRONTIER_SCHEMA)
 
-        if frontier.isEmpty():
+        if not known_nonempty and frontier.isEmpty():
             # terminal round: a zero-task plan emits no observation
             # metrics, so handle it before attaching observers
             st.write("schedule", r,
@@ -304,11 +309,13 @@ class FrontierEngine:
     def run(self, max_rounds: int = 32) -> list[RoundStats]:
         out = []
         r = self.resume_round()
+        known_nonempty = False
         for _ in range(max_rounds):
-            stats = self.run_round(r)
+            stats = self.run_round(r, known_nonempty=known_nonempty)
             out.append(stats)
             if stats.frontier_next == 0 and stats.scheduled == 0:
                 break
+            known_nonempty = stats.frontier_next > 0
             r += 1
         return out
 

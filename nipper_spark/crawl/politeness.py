@@ -81,10 +81,13 @@ def select_wave(frontier: DataFrame, budgets: DataFrame,
                                           F.lit(policy.default_tokens))) \
         .drop("tokens")
     ranked = topk_per_key(
-        f, "host", wave_order(), F.col("_tokens") + F.lit(0),
+        f, "host", wave_order(), F.col("_tokens"),
         salt=policy.salt, rank_col="_rk")
     wave = ranked.drop("_rk", "_tokens")
-    residual = frontier.join(wave.select("url"), "url", "left_anti")
+    # wave is budget-bounded → broadcast the anti-join so the (much
+    # larger) frontier is never shuffled just to compute the residual
+    residual = frontier.join(F.broadcast(wave.select("url")), "url",
+                             "left_anti")
     return wave, residual
 
 
