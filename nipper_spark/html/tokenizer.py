@@ -205,7 +205,7 @@ def tokenize(html: str):
             pos = pos2
             yield ("end", name)
             continue
-        if c.isalpha():
+        if "a" <= c <= "z" or "A" <= c <= "Z":  # spec: ASCII alpha only
             m = _TAGNAME_RE.match(s, lt + 1)
             name = m.group(0).lower()
             pos2, attrs, self_closing, ok = _parse_attrs(s, m.end())

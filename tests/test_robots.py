@@ -1,0 +1,116 @@
+"""robots.txt parsing + policy folding + engine/oracle agreement when
+rules come from the corpus itself."""
+
+import datetime
+
+import pytest
+
+from nipper_spark.crawl.politeness import CrawlPolicy
+from nipper_spark.crawl.robots import (
+    harvest_robots, parse_robots_txt)
+
+ROBOTS = """
+# comment
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /private/ok/
+Crawl-delay: 10
+
+User-agent: evilbot
+Disallow: /
+"""
+
+
+class TestParse:
+    def test_groups_and_rules(self):
+        r = parse_robots_txt(ROBOTS)
+        assert r.disallow == ["/private/", "/tmp"]
+        assert r.allow == ["/private/ok/"]
+        assert r.crawl_delay == 10.0
+
+    def test_agent_specific(self):
+        r = parse_robots_txt(ROBOTS, agent="evilbot")
+        assert r.disallow == ["/"]
+
+    def test_allowed_longest_prefix(self):
+        r = parse_robots_txt(ROBOTS)
+        assert r.allowed("/public/x")
+        assert not r.allowed("/private/x")
+        assert r.allowed("/private/ok/x")
+        assert not r.allowed("/tmp/y")
+
+    def test_stacked_agents_share_group(self):
+        r = parse_robots_txt(
+            "User-agent: a\nUser-agent: *\nDisallow: /x\n")
+        assert r.disallow == ["/x"]
+
+    def test_bytes_and_garbage(self):
+        assert parse_robots_txt(b"\xff\xfegarbage").disallow == []
+        assert parse_robots_txt("Disallow: /orphan\n").disallow == []
+
+
+class TestHarvest:
+    def test_fold_into_policy(self):
+        policy = CrawlPolicy(default_tokens=20)
+        harvest_robots(
+            [("http://a.test/robots.txt", ROBOTS),
+             ("http://b.test/robots.txt",
+              "User-agent: *\nCrawl-delay: 2\n")],
+            policy, round_seconds=60.0)
+        assert policy.robots_disallow["a.test"] == ["/private/", "/tmp"]
+        # delay 10 → 6 tokens; delay 2 → capped at default 20 → 30→20
+        assert policy.host_tokens["a.test"] == 6
+        assert policy.host_tokens["b.test"] == 20
+
+    def test_engine_oracle_agree_with_harvested_robots(self, tmp_path):
+        from nipper_spark.crawl.frontier import FrontierEngine
+        from nipper_spark.crawl.oracle import crawl_oracle
+        from nipper_spark.crawl.robots import harvest_robots_from_pages
+        from nipper_spark.crawl.state import SCHEDULE_SCHEMA, CrawlState
+        from nipper_spark.session import build_session
+        from nipper_spark.sources.synthetic import (
+            PAGES_SCHEMA, synth_pages_rows)
+
+        spark = build_session("robots-tests", master="local[4]",
+                              shuffle_partitions=4)
+        rows = synth_pages_rows(n_pages=30, links_per_page=4, n_hosts=6,
+                                seed=11)
+        # one host publishes robots.txt disallowing a page prefix and a
+        # crawl delay that throttles it
+        host = rows[0][0].split("/page/")[0]  # http://hostNN.test
+        robots_row = (f"{host}/robots.txt",
+                      datetime.datetime(2024, 1, 1),
+                      b"User-agent: *\nDisallow: /page/1\nCrawl-delay: 30\n",
+                      None, "en")
+        all_rows = rows + [robots_row]
+        pages = spark.createDataFrame(all_rows, PAGES_SCHEMA)
+
+        policy = CrawlPolicy(default_tokens=5, n_buckets=4)
+        policy = harvest_robots_from_pages(pages, policy,
+                                           round_seconds=60.0)
+        hostname = host.split("//")[1]
+        assert policy.robots_disallow[hostname] == ["/page/1"]
+        assert policy.host_tokens[hostname] == 2  # 60/30
+
+        seeds = [(rows[0][0], 1.0), (rows[1][0], 0.9)]
+        oracle = crawl_oracle({u: h for (u, _, h, _, _) in all_rows},
+                              seeds, policy, max_rounds=6)
+        d = str(tmp_path / "state")
+        eng = FrontierEngine(spark, pages, d, policy)
+        eng.bootstrap(seeds)
+        for r in range(6):
+            eng.run_round(r)
+        st = CrawlState(spark, d)
+        sched = st.read_all_rounds("schedule", 5, SCHEDULE_SCHEMA) \
+            .orderBy("round", "seq").collect()
+        got = {}
+        for x in sched:
+            got.setdefault(x["round"], []).append(
+                (x["url"], x["host"], x["depth"], x["score"]))
+        for r, wave in enumerate(oracle.schedules[:6]):
+            assert got.get(r, []) == wave, f"round {r}"
+        # robots honored: the disallowed prefix never scheduled
+        for waves in got.values():
+            for url, h, _, _ in waves:
+                assert policy.allowed(h, url)
