@@ -11,8 +11,22 @@ diverge on canonicalization.
 from __future__ import annotations
 
 import hashlib
+import re
 from urllib.parse import (
     parse_qsl, quote, unquote, urlencode, urljoin, urlsplit, urlunsplit)
+
+# already-canonical fast path: lowercase scheme+host, rootful path with
+# no percent-escapes / query / fragment / port / userinfo — the
+# overwhelmingly common shape of canonical outlinks, checked with one
+# C-speed regex instead of urlsplit+quote round-trips
+_CANONICAL_RE = re.compile(
+    r"^(https?)://([a-z0-9]([a-z0-9.-]*[a-z0-9])?)"
+    r"(/[A-Za-z0-9/:@!$&'()*+,;=~\-._]*)$")
+
+# origin of an already-canonical base URL (crawl bases always are) —
+# used to fast-path root-relative hrefs without urljoin
+_ORIGIN_RE = re.compile(r"^https?://[a-z0-9]([a-z0-9.-]*[a-z0-9])?(?=/|$)")
+_DOT_SEGMENT_RE = re.compile(r"/\.")
 
 # characters never re-encoded in paths (RFC 3986 unreserved + sub-delims
 # commonly left literal by crawlers)
@@ -31,6 +45,9 @@ def canonicalize_url(url: str) -> str | None:
     """
     if not url:
         return None
+    m = _CANONICAL_RE.match(url)
+    if m is not None:
+        return url  # provably a fixed point of the slow path
     try:
         parts = urlsplit(url.strip())
     except ValueError:
@@ -42,13 +59,13 @@ def canonicalize_url(url: str) -> str | None:
     if not host:
         return None
     host = host.lower().rstrip(".")
-    port = parts.port
-    netloc = host
     try:
-        if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
-            netloc = "%s:%d" % (host, port)
+        port = parts.port  # raises on non-numeric port garbage
     except ValueError:
         return None
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc = "%s:%d" % (host, port)
     path = quote(unquote(parts.path), safe=_PATH_SAFE) or "/"
     query = ""
     if parts.query:
@@ -63,6 +80,18 @@ def resolve_and_canonicalize(base_url: str, href: str) -> str | None:
     href = (href or "").strip()
     if not href or href.startswith(("#", "javascript:", "mailto:", "data:")):
         return None
+    # root-relative fast path: origin + href, valid only when the
+    # result is provably already canonical (same fixed-point argument
+    # as _CANONICAL_RE in canonicalize_url)
+    if href.startswith("/") and not href.startswith("//") \
+            and ";" not in href and _DOT_SEGMENT_RE.search(href) is None:
+        # ";" gets RFC-1808 params treatment and "." / ".." segments
+        # get normalized by urljoin — both must take the slow path
+        m = _ORIGIN_RE.match(base_url)
+        if m is not None:
+            candidate = m.group(0) + href
+            if _CANONICAL_RE.match(candidate):
+                return candidate
     try:
         absolute = urljoin(base_url, href)
     except ValueError:

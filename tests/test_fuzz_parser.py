@@ -57,3 +57,54 @@ def test_selector_errors_are_selector_errors(s):
     never anything else (try_select's contract)."""
     doc = Document.from_html("<p>x</p>")
     doc.try_select(s)  # must not raise anything
+
+
+# ----------------------------------------------------------------------
+# URL fast-path equivalence: the regex fast paths in functions/url.py
+# must be exact fixed points of the slow (urllib) path
+# ----------------------------------------------------------------------
+
+def _slow_canonicalize(url):
+    import re
+    import nipper_spark.functions.url as U
+    orig = U._CANONICAL_RE
+    U._CANONICAL_RE = re.compile(r"(?!)")
+    try:
+        return U.canonicalize_url(url)
+    finally:
+        U._CANONICAL_RE = orig
+
+
+def _slow_resolve(base, href):
+    import re
+    import nipper_spark.functions.url as U
+    o1, o2 = U._CANONICAL_RE, U._ORIGIN_RE
+    U._CANONICAL_RE = re.compile(r"(?!)")
+    U._ORIGIN_RE = re.compile(r"(?!)")
+    try:
+        return U.resolve_and_canonicalize(base, href)
+    finally:
+        U._CANONICAL_RE, U._ORIGIN_RE = o1, o2
+
+
+_url_chars = st.text(alphabet=st.sampled_from(
+    list("abcXYZ09:/?#[]@!$&'()*+,;=-._~% é")), max_size=30)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_url_chars)
+def test_canonicalize_fast_path_equivalence(suffix):
+    from nipper_spark.functions.url import canonicalize_url
+    for base in ("http://", "https://", "http://h.test"):
+        u = base + suffix
+        assert canonicalize_url(u) == _slow_canonicalize(u), u
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sampled_from(["http://h.test/", "http://h.test/dir/page",
+                        "https://a-b.test/x?q=1", "http://h.test:8080/p"]),
+       _url_chars)
+def test_resolve_fast_path_equivalence(base, href):
+    from nipper_spark.functions.url import resolve_and_canonicalize
+    assert resolve_and_canonicalize(base, href) == \
+        _slow_resolve(base, href), (base, href)
