@@ -339,6 +339,41 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_b").cast("bigint").alias("id_b"), "jaccard")
 
 
+NGRAM_J = dict(ngram=3, threshold=0.8, block_words=5)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(
+        docs, ngram=NGRAM_J["ngram"], threshold=NGRAM_J["threshold"],
+        block_words=NGRAM_J["block_words"]).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"), "jaccard")
+
+
+def _o_ngram_jaccard() -> str:
+    from nipper_spark.functions.dedup import ngram_jaccard
+    ids, texts = _read_docs_sf001()
+    blocks: dict = {}
+    for i, t in zip(ids, texts):
+        words = str(t or "").strip().lower().split()
+        key = " ".join(words[:NGRAM_J["block_words"]])
+        blocks.setdefault(key, []).append((i, str(t or "")))
+    rows = []
+    for members in blocks.values():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                j = ngram_jaccard(members[x][1], members[y][1],
+                                  NGRAM_J["ngram"])
+                if j >= NGRAM_J["threshold"]:
+                    rows.append((members[x][0], members[y][0], j))
+    rows.sort()
+    return _values_sql(rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"),
+                              ("jaccard", "DOUBLE")])
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nipper_spark.functions.dedup import simhash_near_dups
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -498,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dup_groups": _q_doc_exact_dups,
         "dedup_exact_survivors": _q_dedup_exact_survivors,
         "dedup_minhash_lsh": _q_minhash,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
         "embedding_near_dup": _q_embedding_neardup,
         # text analysis
@@ -885,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dup_groups": _O_EXACT_DUPS,
         "dedup_exact_survivors": _O_EXACT_SURVIVORS,
         "dedup_minhash_lsh": _o_minhash(),
+        "dedup_ngram_jaccard": _o_ngram_jaccard(),
         "dedup_simhash": _o_simhash(),
         "embedding_near_dup": _o_embedding_neardup(),
         "doc_token_counts": _O_TOKENS,

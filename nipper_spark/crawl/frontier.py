@@ -123,7 +123,9 @@ class FrontierEngine:
             taken.add(canon)
             rows.append((canon, host, host_bucket(host, pol.n_buckets),
                          0, float(score), 0))
-        frontier = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        frontier = (self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+                    .repartition(pol.n_buckets, "host_bucket")
+                    .sortWithinPartitions("depth", F.desc("score"), "url"))
         self.state.write("frontier", 0, frontier)
         seen = self.spark.createDataFrame(
             [(u, b, url_hash64(u), 0) for (u, h, b, d, s, r) in rows],
@@ -261,9 +263,15 @@ class FrontierEngine:
         obs_residual = Observation()
         residual = residual.observe(
             obs_residual, F.count(F.lit(1)).alias("n"))
-        next_frontier = residual.unionByName(
+        # the frontier IS the priority queue: host-bucketed files, each
+        # internally (depth, -score, url)-ordered (north star: "host-
+        # bucketed, depth/score-ordered table"), so the next round's
+        # per-host top-k scans presorted bucket-local data
+        next_frontier = (residual.unionByName(
             fresh.select("url", "host", "host_bucket", "depth", "score",
                          F.lit(r + 1).alias("discovered_round")))
+            .repartition(pol.n_buckets, "host_bucket")
+            .sortWithinPartitions("depth", F.desc("score"), "url"))
         # this single write materializes fetch→extract→candidates→probe→
         # anti-join and populates the fresh cache; every observation above
         # resolves here for free

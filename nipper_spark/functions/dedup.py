@@ -171,6 +171,44 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", ngram: int = 3,
+                        threshold: float = 0.8,
+                        block_words: int = 5) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs with prefix blocking.
+
+    Blocking: only documents sharing their first ``block_words``
+    (lowercased) words are compared — an equi-join on a small key, so
+    the corpus is never cross-joined. Recall is bounded by the blocker
+    (documents differing in their opening words are not compared);
+    MinHash+LSH is the recall-oriented path, this is the cheap
+    high-precision one.
+
+    Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
+    """
+    key = F.lower(F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.col(text_col)), r"\s+"), 1,
+                     block_words))).alias("block_key")
+    t = docs.select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("text"), key)
+    pairs = (t.alias("l").join(t.alias("r"),
+                               (F.col("l.block_key") == F.col("r.block_key"))
+                               & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("id_a"),
+                     F.col("r.id").alias("id_b"),
+                     F.col("l.text").alias("text_a"),
+                     F.col("r.text").alias("text_b")))
+
+    @F.pandas_udf("double")
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series([ngram_jaccard(str(x), str(y), ngram)
+                          for x, y in zip(ta, tb)])
+
+    return (pairs.withColumn("jaccard", _jac("text_a", "text_b"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
 # ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------

@@ -120,18 +120,22 @@ def extract_text_and_links(url: str, html) -> tuple[str, list[str], int, int]:
 
     Returns (root-element text, canonical outlinks deduped in document
     order, node count, anchor count)."""
+    from nipper_spark.html.arena import ELEMENT
     doc = Document.from_html(_to_text(html))
-    m = _matcher("a[href]")
-    anchors = doc.select_matcher(m)
     a = doc.arena
+    # fused single walk: text + anchor hrefs in document order
+    root = next((c for c in a.children_of(0) if a.kind[c] == ELEMENT), None)
+    if root is None:
+        return "", [], len(a.kind), 0
+    text, hrefs = a.text_and_anchor_hrefs(root)
     seen: set[str] = set()
     links: list[str] = []
-    for nid in anchors.ids:
-        canon = resolve_and_canonicalize(url, a.get_attr(nid, "href") or "")
+    for href in hrefs:
+        canon = resolve_and_canonicalize(url, href)
         if canon is not None and canon not in seen:
             seen.add(canon)
             links.append(canon)
-    return _root_text(doc), links, len(a.kind), len(anchors.ids)
+    return text, links, len(a.kind), len(hrefs)
 
 
 def extract_pages(pages: DataFrame, url_col: str = "url",

@@ -217,6 +217,32 @@ class Arena:
                 parts.append(text[i])  # type: ignore[arg-type]
         return "".join(parts)
 
+    def text_and_anchor_hrefs(self, nid: int) -> tuple[str, list[str]]:
+        """One pre-order walk collecting BOTH the text (identical bytes
+        to :meth:`text_of`) and the href of every descendant <a[href]>
+        in document order — the fused fast path of the page extractor
+        (avoids a second full DFS through the selector engine)."""
+        kind, text, name, attrs = self.kind, self.text, self.name, self.attrs
+        parts: list[str] = []
+        hrefs: list[str] = []
+        stack = [nid]
+        while stack:
+            i = stack.pop()
+            k = kind[i]
+            if k == ELEMENT:
+                if name[i] == "a":
+                    for a in attrs[i]:  # type: ignore[union-attr]
+                        if a[0] == "href":
+                            hrefs.append(a[1])
+                            break
+                c = self.last[i]
+                while c != NIL:
+                    stack.append(c)
+                    c = self.prev[c]
+            elif k == TEXT:
+                parts.append(text[i])  # type: ignore[arg-type]
+        return "".join(parts), hrefs
+
     # ------------------------------------------------------------------
     # attribute helpers (linear scan like Node::attr, src/dom_tree.rs:846-855)
     # ------------------------------------------------------------------

@@ -198,8 +198,13 @@ def tokenize(html: str):
                 pos = gt + 1
                 continue
             name = m.group(0).lower()
+            e = m.end()
+            if e < n and s[e] == ">":  # overwhelmingly common: `</tag>`
+                pos = e + 1
+                yield ("end", name)
+                continue
             # skip to '>' honoring quoted attr values in end tags
-            pos2, _attrs, _sc, ok = _parse_attrs(s, m.end())
+            pos2, _attrs, _sc, ok = _parse_attrs(s, e)
             if not ok:
                 return  # EOF in tag: token dropped
             pos = pos2
@@ -208,10 +213,16 @@ def tokenize(html: str):
         if "a" <= c <= "z" or "A" <= c <= "Z":  # spec: ASCII alpha only
             m = _TAGNAME_RE.match(s, lt + 1)
             name = m.group(0).lower()
-            pos2, attrs, self_closing, ok = _parse_attrs(s, m.end())
-            if not ok:
-                return  # EOF in tag: token dropped (fuzz: `<a a=\r\n` -> "")
-            pos = pos2
+            e = m.end()
+            if e < n and s[e] == ">":  # bare `<tag>` fast path
+                pos = e + 1
+                attrs = []
+                self_closing = False
+            else:
+                pos2, attrs, self_closing, ok = _parse_attrs(s, e)
+                if not ok:
+                    return  # EOF in tag: dropped (fuzz `<a a=\r\n` -> "")
+                pos = pos2
             yield ("start", name, attrs, self_closing)
             if name in RAWTEXT_TAGS:
                 pending_raw = name
@@ -229,6 +240,9 @@ def tokenize(html: str):
     return
 
 
+_WS_SLASH_RE = re.compile(r"[\t\n\f ]+")
+
+
 def _parse_attrs(s: str, pos: int):
     """Parse attributes after a tag name. Returns (pos_after_gt, attrs,
     self_closing, ok). ok=False means EOF inside the tag -> drop token."""
@@ -237,11 +251,18 @@ def _parse_attrs(s: str, pos: int):
     seen: set[str] = set()
     self_closing = False
     while True:
-        # skip whitespace and stray slashes
-        while pos < n and s[pos] in "\t\n\f /":
-            if s[pos] == "/" and pos + 1 < n and s[pos + 1] == ">":
+        # fast path: the common `>` / ` attr` shapes
+        m = _WS_SLASH_RE.match(s, pos)
+        if m:
+            pos = m.end()
+        # stray slashes (and `/>`)
+        while pos < n and s[pos] == "/":
+            if pos + 1 < n and s[pos + 1] == ">":
                 return pos + 2, attrs, True, True
             pos += 1
+            m = _WS_SLASH_RE.match(s, pos)
+            if m:
+                pos = m.end()
         if pos >= n:
             return pos, attrs, self_closing, False
         ch = s[pos]

@@ -210,7 +210,12 @@ class TreeBuilder:
 
     def _insert_element(self, name: str, attrs, push: bool = True) -> int:
         nid = self.arena.new_element(name, attrs)
-        self._insert_at(self._appropriate_place(), nid)
+        if not self.foster:
+            # hot path: plain append to the current node
+            self.arena.append_child(self.stack[-1] if self.stack else 0,
+                                    nid)
+        else:
+            self._insert_at(self._appropriate_place(), nid)
         if push:
             self.stack.append(nid)
             # rawtext/rcdata content arrives as one text token; enter the
@@ -230,6 +235,15 @@ class TreeBuilder:
         if not data:
             return
         a = self.arena
+        if not self.foster and override is None:
+            # hot path: append/coalesce at the current node
+            parent = self.stack[-1] if self.stack else 0
+            last = a.last[parent]
+            if last != NIL and a.kind[last] == TEXT:
+                a.text[last] = a.text[last] + data  # type: ignore[operator]
+                return
+            a.append_child(parent, a.new_text(data))
+            return
         place = self._appropriate_place(override)
         if place[0] == "append":
             last = a.last[place[1]]
