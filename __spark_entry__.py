@@ -414,6 +414,43 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("vec_id"))
 
 
+IVF = dict(k=5, n_lists=8, n_probe=3, seed=42)
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.similarity import ann_ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivf_topk(emb, _ann_queries(sf_dir), k=IVF["k"],
+                        n_lists=IVF["n_lists"], n_probe=IVF["n_probe"],
+                        seed=IVF["seed"]).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"))
+
+
+def _o_ann_ivf() -> str:
+    import numpy as np
+    from nipper_spark.functions.similarity import (
+        _kmeans_centroids, _normalize)
+    ids, m = _read_emb_sf001()
+    sample = m[np.argsort(ids)][:2048]
+    cent = _kmeans_centroids(sample, IVF["n_lists"], seed=IVF["seed"])
+    norm = _normalize(m.astype(np.float32))
+    assign = np.argmax(norm @ cent.T, axis=1)
+    rows = []
+    for qi in range(ANN["n_queries"]):
+        qsims = norm[qi] @ cent.T
+        probe = set(np.argsort(-qsims, kind="stable")[:IVF["n_probe"]]
+                    .tolist())
+        cand = [i for i in range(len(ids)) if assign[i] in probe]
+        scored = sorted(((-float((norm[i] * norm[qi]).sum()), int(ids[i]))
+                         for i in cand))
+        for rank, (_, vid) in enumerate(scored[:IVF["k"]], start=1):
+            rows.append((int(ids[qi]), rank, vid))
+    return _values_sql(rows, [("query_id", "BIGINT"), ("rank", "INTEGER"),
+                              ("vec_id", "BIGINT")])
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nipper_spark.functions.similarity import embedding_near_dup_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -544,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         # capstone complex query (select→mutate→re-select in one UDF)
         "readability": _q_readability,
         # relational primitives the frontier is built from
@@ -930,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _o_doc_fingerprints(),
         "ann_brute_topk": _o_ann_brute(),
         "ann_lsh_topk": _o_ann_lsh(),
+        "ann_ivf_topk": _o_ann_ivf(),
         "readability": _o_readability(),
         "topk_per_group": _O_TOPK,
         "anti_join_dedup": _O_ANTI,

@@ -147,8 +147,11 @@ def extraction_throughput(master: str, shuffle: int) -> dict:
         bytes_total = corpus.agg(F.sum(F.length("html"))).collect()[0][0]
         # warm the Python workers once so worker-fork cost isn't measured
         extract_pages(corpus.limit(512)).count()
-        t, _ = timed(lambda: extract_pages(corpus)
-                     .agg(F.sum("n_anchors")).collect())
+        # best-of-3: the sandbox box is shared; min wall-clock filters
+        # co-tenant load out of the scaling comparison
+        t = min(timed(lambda: extract_pages(corpus)
+                      .agg(F.sum("n_anchors")).collect())[0]
+                for _ in range(3))
         return {"master": master, "pages": n, "seconds": round(t, 2),
                 "pages_per_sec": round(n / t, 1),
                 "mb_per_sec": round(bytes_total / t / 1e6, 2)}

@@ -139,6 +139,80 @@ def ann_lsh_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]],
             .filter(F.col("rank") <= k))
 
 
+def _kmeans_centroids(sample: np.ndarray, k: int, iters: int = 8,
+                      seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means (fixed seed/iters, ties by index) on
+    a driver-side sample — the IVF coarse quantizer. Pure numpy, so the
+    Spark path and any oracle share exact float behavior."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(sample.astype(np.float32))
+    idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        sims = sample @ cent.T                     # cosine on unit vecs
+        assign = np.argmax(sims, axis=1)           # first max wins (det.)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ann_ivf_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]],
+                 k: int = 10, n_lists: int = 16, n_probe: int = 4,
+                 sample_size: int = 2048, id_col: str = "vec_id",
+                 vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer → corpus sharded by nearest
+    centroid (one shuffle key) → queries probe their ``n_probe``
+    nearest lists only. The centroid table is broadcast; scoring is
+    exact cosine inside the probed lists. Recall < 1 by design,
+    verified ≥ threshold against brute force in tests."""
+    spark = corpus.sparkSession
+    src = corpus.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("embedding"))
+    sample_rows = src.orderBy("vec_id").limit(sample_size).collect()
+    sample = np.asarray([r["embedding"] for r in sample_rows],
+                        dtype=np.float32)
+    cent = _kmeans_centroids(sample, n_lists, seed=seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("int")
+    def _assign(vec: pd.Series) -> pd.Series:
+        c = bc.value
+        m = _normalize(_as_matrix(vec))
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype("int32"))
+
+    sharded = src.withColumn("list_id", _assign(F.col("embedding")))
+
+    qm = _normalize(np.asarray([v for _, v in queries], dtype=np.float32))
+    sims = qm @ cent.T
+    probe_rows = []
+    for (qid, qv), row in zip(queries, sims):
+        order = np.argsort(-row, kind="stable")[:n_probe]
+        for lid in order:
+            probe_rows.append((int(qid), [float(x) for x in qv], int(lid)))
+    qdf = spark.createDataFrame(
+        probe_rows, "query_id long, q_embedding array<float>, list_id int")
+
+    cand = sharded.join(F.broadcast(qdf), "list_id")
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = _normalize(_as_matrix(a))
+        mb = _normalize(_as_matrix(b))
+        return pd.Series((ma * mb).sum(axis=1).astype(float))
+
+    scored = cand.withColumn("cosine", _cos("embedding", "q_embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (scored.select("query_id", "vec_id", "cosine")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
                              n_bits: int = 16, bands: int = 8,
                              id_col: str = "vec_id",

@@ -193,3 +193,30 @@ class TestMultimodal:
         for mid, frs in by_media.items():
             nos = sorted(f["frame_no"] for f in frs)
             assert nos == list(range(len(nos)))
+
+
+class TestIvf:
+    def test_ivf_recall_vs_brute(self, spark, emb):
+        from nipper_spark.functions.similarity import (
+            ann_brute_topk, ann_ivf_topk)
+        rows = emb.orderBy("vec_id").limit(5).collect()
+        queries = [(r["vec_id"], r["embedding"]) for r in rows]
+        brute = ann_brute_topk(emb, queries, k=5).collect()
+        ivf = ann_ivf_topk(emb, queries, k=5, n_lists=8,
+                           n_probe=3).collect()
+        b = {(r["query_id"], r["vec_id"]) for r in brute}
+        v = {(r["query_id"], r["vec_id"]) for r in ivf}
+        recall = len(b & v) / len(b)
+        assert recall >= 0.6, f"IVF recall too low: {recall}"
+        for qid, _ in queries:  # self vector always in its own list
+            assert (qid, qid) in v
+
+    def test_ivf_deterministic(self, spark, emb):
+        from nipper_spark.functions.similarity import ann_ivf_topk
+        rows = emb.orderBy("vec_id").limit(3).collect()
+        queries = [(r["vec_id"], r["embedding"]) for r in rows]
+        a = sorted(map(tuple, ann_ivf_topk(emb, queries, k=5)
+                       .select("query_id", "rank", "vec_id").collect()))
+        b = sorted(map(tuple, ann_ivf_topk(emb, queries, k=5)
+                       .select("query_id", "rank", "vec_id").collect()))
+        assert a == b
