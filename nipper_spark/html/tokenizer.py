@@ -242,6 +242,14 @@ def tokenize(html: str):
 
 _WS_SLASH_RE = re.compile(r"[\t\n\f ]+")
 
+# one whole attribute per match: name [= "v" | 'v' | v] + trailing ws.
+# Groups: 1=name, 2=dquoted, 3=squoted, 4=unquoted
+_ATTR_FULL_RE = re.compile(
+    r"([^\t\n\f /><=][^\t\n\f /=>]*)"
+    r"(?:[\t\n\f ]*=[\t\n\f ]*"
+    r"(?:\"([^\"]*)\"|'([^']*)'|([^\t\n\f >]*)))?"
+    r"[\t\n\f ]*")
+
 
 def _parse_attrs(s: str, pos: int):
     """Parse attributes after a tag name. Returns (pos_after_gt, attrs,
@@ -268,6 +276,27 @@ def _parse_attrs(s: str, pos: int):
         ch = s[pos]
         if ch == ">":
             return pos + 1, attrs, self_closing, True
+        # fast path: whole attribute in one regex match
+        m = _ATTR_FULL_RE.match(s, pos)
+        if m is not None:
+            g2, g3, g4 = m.group(2), m.group(3), m.group(4)
+            if g4 and g4[0] in "\"'":
+                # unterminated quoted value: spec consumes to EOF
+                return n, attrs, self_closing, False
+            name = m.group(1).lower()
+            if g2 is not None:
+                value = decode_charrefs(g2, True)
+            elif g3 is not None:
+                value = decode_charrefs(g3, True)
+            elif g4:
+                value = decode_charrefs(g4, True)
+            else:
+                value = ""
+            if name not in seen:
+                seen.add(name)
+                attrs.append([name, value])
+            pos = m.end()
+            continue
         if ch == "=":
             # '=' before attr name: becomes part of the name per spec
             m = _ATTRNAME_RE.match(s, pos + 1)

@@ -89,6 +89,21 @@ _TBODY_CTX = frozenset(["tbody", "tfoot", "thead", "template", "html"])
 _TR_CTX = frozenset(["tr", "template", "html"])
 _TABLE_FOSTER = frozenset(["table", "tbody", "tfoot", "thead", "tr"])
 
+# every start-tag name _mode_in_body special-cases; anything else takes
+# the O(1) generic insert fast path (must stay in sync with the
+# branches below — test_selection + the goldens pin the behavior)
+_SPECIAL_START_NAMES = (
+    frozenset(["html", "body", "frameset", "plaintext", "button", "a",
+               "applet", "marquee", "object",
+               "table", "input", "hr", "image", "textarea", "xmp",
+               "iframe", "noembed", "select", "optgroup", "option",
+               "rb", "rp", "rt", "rtc", "math", "svg", "pre", "listing",
+               "form", "li", "dd", "dt", "caption", "col", "colgroup",
+               "frame", "head", "tbody", "td", "tfoot", "th", "thead",
+               "tr", "area", "br", "embed", "img", "keygen", "wbr",
+               "param", "source", "track"])
+    | _IN_HEAD_TAGS | _CLOSE_P_TAGS | _HEADINGS | FORMATTING)
+
 
 class TreeBuilder:
     def __init__(self, fragment_context: str | None = None) -> None:
@@ -724,6 +739,14 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
         return
     if k == "start":
         name, attrs, self_closing = tok[1], tok[2], tok[3]
+        if name not in _SPECIAL_START_NAMES:
+            # O(1) fast path for generic start tags (span & friends —
+            # the most frequent elements in real pages)
+            tb._afe_reconstruct()
+            nid = tb._insert_element(name, attrs)
+            if self_closing and _is_foreign_context(tb, nid):
+                tb.stack.pop()
+            return
         if name == "html":
             a.add_attrs_if_missing(tb.stack[0], attrs)
             return
