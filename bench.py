@@ -145,7 +145,19 @@ def extraction_throughput(master: str, shuffle: int) -> dict:
                                 partitions=shuffle * 2).cache()
         n = corpus.count()
         bytes_total = corpus.agg(F.sum(F.length("html"))).collect()[0][0]
-        # warm the Python workers once so worker-fork cost isn't measured
+        # warm ALL python workers (fork + heavy imports) across every
+        # partition — a limit() warm-up touches one partition and leaves
+        # the other N-1 workers' cold-start inside the timed region,
+        # which understates scaling at high parallelism
+        import pandas as pd_  # noqa: F401
+
+        @F.pandas_udf("int")
+        def _warm(u):
+            import nipper_spark.functions.html_udfs  # noqa: F401
+            import pandas as pd
+            return pd.Series([0] * len(u), dtype="int32")
+
+        corpus.select(_warm("url").alias("w")).agg(F.max("w")).collect()
         extract_pages(corpus.limit(512)).count()
         # best-of-3: the sandbox box is shared; min wall-clock filters
         # co-tenant load out of the scaling comparison
@@ -157,6 +169,37 @@ def extraction_throughput(master: str, shuffle: int) -> dict:
                 "mb_per_sec": round(bytes_total / t / 1e6, 2)}
     finally:
         spark.stop()
+
+
+def kernel_mp_scaling(n_low: int = 4, per_proc: int = 1500) -> dict:
+    """Raw-multiprocessing scaling of the extraction kernel itself
+    (no Spark, no shared-box JVM) — isolates algorithmic scalability
+    from local-mode artifacts. Each process parses+extracts its own
+    deterministic shard."""
+    import multiprocessing as mp
+
+    def measure(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            p.map(_mp_work, [(i, 50) for i in range(procs)])  # warm
+            t0 = time.time()
+            p.map(_mp_work, [(i, per_proc) for i in range(procs)])
+            return procs * per_proc / (time.time() - t0)
+
+    lo = measure(n_low)
+    hi = measure(n_low * 4)
+    return {"n_low_procs": n_low, "pages_per_sec_low": round(lo, 1),
+            "pages_per_sec_high": round(hi, 1),
+            "efficiency": round(hi / (4 * lo), 3)}
+
+
+def _mp_work(args):
+    seed, n = args
+    from nipper_spark.functions.html_udfs import extract_text_and_links
+    from nipper_spark.sources.synthetic import synth_page
+    for i in range(seed * n, seed * n + n):
+        url, html = synth_page(i % 60000, 60000, 20, 200, 1.2, 42)
+        extract_text_and_links(url, html.encode())
+    return n
 
 
 def main() -> int:
@@ -181,8 +224,9 @@ def main() -> int:
         lo = extraction_throughput(f"local[{n}]", n)
         hi = extraction_throughput(f"local[{4 * n}]", 4 * n)
         eff = hi["pages_per_sec"] / (4.0 * lo["pages_per_sec"])
-        print(json.dumps({"scaling": {"n_low": lo, "n_high_4x": hi,
-                                      "efficiency": round(eff, 3)}}))
+        print(json.dumps({"scaling": {
+            "n_low": lo, "n_high_4x": hi, "efficiency": round(eff, 3),
+            "kernel_multiprocessing": kernel_mp_scaling(n)}}))
         return 0
 
     spark = build(f"local[{args.cpus}]", args.cpus)
