@@ -1,0 +1,103 @@
+"""Tree-construction conformance beyond the reference's goldens —
+canonical WHATWG cases (the html5lib-tests family, reconstructed from
+the spec rules) asserted against full-document parse + serialize.
+
+Each expected string is what the spec's algorithm produces (and what
+browsers/html5ever emit for the body contents).
+"""
+
+import pytest
+
+from nipper_spark.html import parse_document
+from nipper_spark.html.serializer import serialize
+
+
+def body_html(html: str) -> str:
+    """Serialize just the <body> subtree (IncludeNode)."""
+    arena = parse_document(html)
+    # document(0) -> html -> [head, body]
+    html_el = [c for c in arena.children_of(0)
+               if arena.kind[c] == 4][0]
+    body = [c for c in arena.children_of(html_el)
+            if arena.name[c] == "body"][0]
+    return serialize(arena, body, include_node=True)
+
+
+CASES = [
+    # adoption agency, the classic <b><p> case
+    ("aaa-b-p", "<b><p>X</b>Y</p>",
+     "<body><b></b><p><b>X</b>Y</p></body>"),
+    # reconstruction of active formatting across paragraphs
+    ("afe-across-p", "<p><b>one<p>two",
+     "<body><p><b>one</b></p><p><b>two</b></p></body>"),
+    # li auto-closing
+    ("li-autoclose", "<ul><li>a<li>b</ul>",
+     "<body><ul><li>a</li><li>b</li></ul></body>"),
+    # dd/dt auto-closing
+    ("dd-dt", "<dl><dt>t<dd>d</dl>",
+     "<body><dl><dt>t</dt><dd>d</dd></dl></body>"),
+    # p closed by block elements
+    ("p-closed-by-div", "<p>a<div>b</div>",
+     "<body><p>a</p><div>b</div></body>"),
+    # headings close each other
+    ("h1-h2", "<h1>a<h2>b",
+     "<body><h1>a</h1><h2>b</h2></body>"),
+    # implied tbody + tr/td closing
+    ("table-implied-tbody", "<table><tr><td>1<td>2<tr><td>3</table>",
+     "<body><table><tbody><tr><td>1</td><td>2</td></tr>"
+     "<tr><td>3</td></tr></tbody></table></body>"),
+    # foster parenting: stray text inside table goes before it
+    ("foster-text", "<table>X<tr><td>1</td></tr></table>",
+     "<body>X<table><tbody><tr><td>1</td></tr></tbody></table></body>"),
+    # foster parenting of an element
+    ("foster-element", "<table><div>d</div><tr><td>1</td></tr></table>",
+     "<body><div>d</div><table><tbody><tr><td>1</td></tr></tbody>"
+     "</table></body>"),
+    # whitespace-only text stays inside the table
+    ("table-ws", "<table> <tr><td>1</td></tr></table>",
+     "<body><table> <tbody><tr><td>1</td></tr></tbody></table></body>"),
+    # button in scope
+    ("button-scope", "<button>a<button>b</button>",
+     "<body><button>a</button><button>b</button></body>"),
+    # nested <a> is split by the adoption agency
+    ("nested-a", '<a href="1">x<a href="2">y</a>',
+     '<body><a href="1">x</a><a href="2">y</a></body>'),
+    # option auto-closing inside select
+    ("select-options", "<select><option>a<option>b</select>",
+     "<body><select><option>a</option><option>b</option></select></body>"),
+    # caption content
+    ("table-caption", "<table><caption>c</caption><tr><td>1</table>",
+     "<body><table><caption>c</caption><tbody><tr><td>1</td></tr>"
+     "</tbody></table></body>"),
+    # colgroup/col
+    ("table-cols", "<table><colgroup><col><col></colgroup>"
+     "<tr><td>1</table>",
+     "<body><table><colgroup><col><col></colgroup><tbody><tr>"
+     "<td>1</td></tr></tbody></table></body>"),
+    # end tags with no open element are ignored
+    ("stray-end", "</div>x</span>",
+     "<body>x</body>"),
+    # </p> with no open p synthesizes an empty one
+    ("implied-p", "x</p>y",
+     "<body>x<p></p>y</body>"),
+    # </br> acts like <br>
+    ("end-br", "a</br>b",
+     "<body>a<br>b</body>"),
+    # nobr nesting triggers AAA
+    ("nobr", "<nobr>a<nobr>b",
+     "<body><nobr>a</nobr><nobr>b</nobr></body>"),
+    # table cell closes on next row
+    ("cell-close-row", "<table><tr><td>a<tr><td>b</table>",
+     "<body><table><tbody><tr><td>a</td></tr><tr><td>b</td></tr>"
+     "</tbody></table></body>"),
+    # character reference edge: legacy entity without semicolon
+    ("legacy-entity", "<p>a&ampb</p>", "<body><p>a&amp;b</p></body>"),
+    # numeric C1 remap (0x92 -> right single quote U+2019)
+    ("c1-remap", "<p>&#146;</p>", "<body><p>’</p></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES,
+                         ids=[c[0] for c in CASES])
+def test_tree_construction(name, inp, expected):
+    assert body_html(inp) == expected
