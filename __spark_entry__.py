@@ -461,6 +461,54 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("bigint").alias("id_b"))
 
 
+CURATE = dict(min_quality=0.5, langs=("en",), token_budget=20000)
+
+
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-set curation: lang gate → exact dedup →
+    quality gate → deterministic token budget (running-sum window)."""
+    from nipper_spark.functions.curate import curate_training_set
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_training_set(
+        docs, min_quality=CURATE["min_quality"], langs=CURATE["langs"],
+        token_budget=CURATE["token_budget"]).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "bpe_tokens", "quality",
+        F.col("running_tokens").cast("bigint").alias("running_tokens"))
+
+
+def _o_curate() -> str:
+    return rf"""
+WITH en AS (
+  SELECT doc_id, text FROM documents WHERE lang IN ('en')
+), dedup AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+  FROM en GROUP BY md5({_NORM})
+), scored AS (
+  SELECT d.doc_id,
+         CAST(len(regexp_extract_all(e.text,
+              '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+         (least(CAST(len(regexp_split_to_array(trim(e.text), '\s+'))
+                     AS DOUBLE) / 64.0, 1.0) +
+          least(CAST(len(list_filter(regexp_split_to_array(trim(e.text),
+                     '\s+'), w -> list_contains({_STOPLIST_SQL}, lower(w))))
+                     AS DOUBLE) /
+                greatest(CAST(len(regexp_split_to_array(trim(e.text),
+                     '\s+')) AS DOUBLE), 1.0) * 4.0, 1.0)) / 2.0 AS quality
+  FROM dedup d JOIN en e USING (doc_id)
+), gated AS (
+  SELECT * FROM scored WHERE quality >= 0.5
+), budgeted AS (
+  SELECT doc_id, bpe_tokens, quality,
+         CAST(sum(bpe_tokens) OVER (ORDER BY quality DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS running_tokens
+  FROM gated
+)
+SELECT * FROM budgeted WHERE running_tokens <= 20000
+"""
+
+
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frontier-wave operator on relational data: top-3 orders per
     customer by (totalprice desc, orderkey) via the salted two-phase
@@ -584,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         # capstone complex query (select→mutate→re-select in one UDF)
         "readability": _q_readability,
+        # composite training-set curation (filter→dedup→budget)
+        "curate_training_set": _q_curate,
         # relational primitives the frontier is built from
         "topk_per_group": _q_topk_per_group,
         "anti_join_dedup": _q_anti_join,
@@ -970,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _o_ann_lsh(),
         "ann_ivf_topk": _o_ann_ivf(),
         "readability": _o_readability(),
+        "curate_training_set": _o_curate(),
         "topk_per_group": _O_TOPK,
         "anti_join_dedup": _O_ANTI,
         "round_counters": _O_COUNTERS,
