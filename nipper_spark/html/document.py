@@ -70,12 +70,16 @@ class Document:
         return Selection(self, select(self.arena, [0], m, include_roots=True))
 
     def try_select(self, sel: str) -> "Selection | None":
-        """None on invalid selector OR zero matches
-        (src/traversal.rs:35-49)."""
+        """None on invalid selector OR zero matches. Faithful quirk:
+        uses ChildrenOnly scope where ``select`` uses IncludeNode
+        (src/traversal.rs:35-49 vs :15-21) — observable only for
+        ``:root``, which can match the Document node itself."""
         try:
-            s = self.select(sel)
+            m = _matcher(sel)
         except SelectorError:
             return None
+        s = Selection(self, select(self.arena, [0], m,
+                                   include_roots=False))
         return s if s.length > 0 else None
 
     # -- properties ----------------------------------------------------
@@ -181,6 +185,11 @@ class Selection:
     def prev_sibling(self) -> "Selection":
         a = self.doc.arena
         return self._dedup(a.prev_element_sibling(i) for i in self.ids)
+
+    def next(self) -> "Selection":
+        """Deprecated alias kept for API parity
+        (src/traversal.rs:174-179)."""
+        return self.next_sibling()
 
     # -- query (src/query.rs) --------------------------------------------
     def is_(self, sel: str) -> bool:
