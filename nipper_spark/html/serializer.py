@@ -28,7 +28,12 @@ VOID_ELEMENTS = frozenset(
 
 RAW_CHILDREN = frozenset(
     ["style", "script", "xmp", "iframe", "noembed", "noframes",
-     "plaintext"])
+     "plaintext",
+     # html5ever emits noscript children raw iff scripting_enabled —
+     # and the reference always serializes with scripting on
+     # (src/dom_tree.rs:916-919), matching our tokenizer's rawtext
+     # treatment of noscript
+     "noscript"])
 
 
 def _escape_text(s: str) -> str:

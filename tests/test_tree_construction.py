@@ -101,3 +101,73 @@ CASES = [
                          ids=[c[0] for c in CASES])
 def test_tree_construction(name, inp, expected):
     assert body_html(inp) == expected
+
+
+# second batch: formatting×tables interactions, comments, odd modes
+CASES2 = [
+    # formatting element reconstructed inside a cell, not across it
+    ("fmt-into-cell", "<b><table><tr><td>x</td></tr></table>y",
+     "<body><b><table><tbody><tr><td>x</td></tr></tbody></table>y</b>"
+     "</body>"),
+    # nested table closes the inner one implicitly
+    ("nested-table", "<table><tr><td><table><tr><td>i</table></table>",
+     "<body><table><tbody><tr><td><table><tbody><tr><td>i</td></tr>"
+     "</tbody></table></td></tr></tbody></table></body>"),
+    # comment placement in table mode (stays in the table)
+    ("comment-in-table", "<table><!--c--><tr><td>1</table>",
+     "<body><table><!--c--><tbody><tr><td>1</td></tr></tbody></table>"
+     "</body>"),
+    # comment before html -> child of the Document, not body
+    ("comment-before-html", "<!--pre--><p>x</p>",
+     "<body><p>x</p></body>"),
+    # form inside table: element inserted but immediately popped
+    ("form-in-table", "<table><form><tr><td>1</table>",
+     "<body><table><form></form><tbody><tr><td>1</td></tr></tbody>"
+     "</table></body>"),
+    # <style> inside table parses in head rules (stays in table, raw)
+    ("style-in-table", "<table><style>a<b</style><tr><td>1</table>",
+     "<body><table><style>a<b</style><tbody><tr><td>1</td></tr>"
+     "</tbody></table></body>"),
+    # hidden input allowed inside table without fostering
+    ("hidden-input-table", '<table><input type="hidden"><tr><td>1</table>',
+     '<body><table><input type="hidden"><tbody><tr><td>1</td></tr>'
+     "</tbody></table></body>"),
+    # non-hidden input IS fostered
+    ("input-fostered", '<table><input type="text"><tr><td>1</table>',
+     '<body><input type="text"><table><tbody><tr><td>1</td></tr>'
+     "</tbody></table></body>"),
+    # headings don't nest
+    ("heading-no-nest", "<h1>a<h1>b</h1>",
+     "<body><h1>a</h1><h1>b</h1></body>"),
+    # <br/> self-closing in HTML content = plain br
+    ("br-self-closing", "a<br/>b", "<body>a<br>b</body>"),
+    # EOF inside open formatting chain serializes what exists
+    ("eof-open-fmt", "<p><b><i>x",
+     "<body><p><b><i>x</i></b></p></body>"),
+    # textarea swallows markup as text
+    ("textarea-raw", "<textarea><p>x</p></textarea>",
+     "<body><textarea>&lt;p&gt;x&lt;/p&gt;</textarea></body>"),
+    # plaintext consumes everything
+    ("plaintext", "<plaintext></plaintext>still text",
+     "<body><plaintext></plaintext>still text</plaintext></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES2,
+                         ids=[c[0] for c in CASES2])
+def test_tree_construction_batch2(name, inp, expected):
+    assert body_html(inp) == expected
+
+
+def test_reference_pages_reparse_stable():
+    """serialize∘parse is a fixpoint on every real reference page —
+    the whole-document analog of the fragment goldens."""
+    import os
+    for fname in os.listdir("/root/reference/test-pages"):
+        html = open(f"/root/reference/test-pages/{fname}",
+                    encoding="utf-8").read()
+        a1 = parse_document(html)
+        out1 = serialize(a1, 0, include_node=True)
+        a2 = parse_document(out1)
+        out2 = serialize(a2, 0, include_node=True)
+        assert out1 == out2, fname
