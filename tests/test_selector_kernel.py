@@ -153,3 +153,29 @@ class TestReferenceExamples:
         doc.select("#d").append_html("<u>y</u><s>z</s>")
         assert [doc.arena.name[i] for i in
                 doc.select("#d").children().ids] == ["i", "u", "s"]
+
+
+class TestRemainingPseudos:
+    def test_nth_last_child(self):
+        assert DOC.select("p:nth-last-child(1)").attr("class") == "p3"
+        assert DOC.select("p:nth-last-child(2)").attr("class") == "p2"
+
+    def test_only_child_and_of_type(self):
+        doc = Document.from_html(
+            "<div><p>solo</p></div><div><p>a</p><span>s</span></div>")
+        assert doc.select("p:only-child").text() == "solo"
+        # 'a' is the only p in its parent → only-of-type
+        assert {s.text() for s in
+                doc.select("p:only-of-type").iter()} == {"solo", "a"}
+
+    def test_first_last_of_type(self):
+        assert DOC.select("p:first-of-type").attr("class") == "p1"
+        assert DOC.select("p:last-of-type").attr("class") == "p3"
+        assert DOC.select("span:first-of-type").text() == "mid"
+
+    def test_nth_anb_forms(self):
+        assert DOC.select("p:nth-child(odd)").length >= 1
+        assert DOC.select("p:nth-child(-n+3)").length >= 1
+        assert DOC.select("p:nth-child(2n)").length >= 1
+        with pytest.raises(SelectorError):
+            DOC.select("p:nth-child(x+y)")
