@@ -100,11 +100,14 @@ class CrawlState:
         directory per round forever.
 
         Crash-safe protocol: (1) write the consolidated copy to
-        ``round=K.new`` — from that instant it is the authoritative
-        union; (2) delete old deltas incl. ``round=K``; (3) rename
-        ``.new`` → ``round=K``. A crash anywhere is healed by
-        :meth:`recover_compaction` (runs on resume): a surviving
-        ``.new`` dir simply finishes steps 2-3.
+        ``round=K.new`` — it becomes authoritative only once Spark's
+        ``_SUCCESS`` marker lands; (2) delete old deltas incl.
+        ``round=K``; (3) rename ``.new`` → ``round=K``. A crash is
+        healed by :meth:`recover_compaction` (runs on resume): a
+        ``.new`` dir WITH ``_SUCCESS`` finishes steps 2-3; one without
+        it is a half-written write — it is discarded and the deltas
+        stay authoritative (promoting it would silently lose seen URLs
+        and violate the exact-seen-set invariant).
         """
         merged = self.read_all_rounds(table, upto, schema)
         final = self._round_dir(table, upto)
@@ -129,8 +132,10 @@ class CrawlState:
         os.replace(staging, final)
 
     def recover_compaction(self) -> None:
-        """Complete any compaction a crash interrupted (the ``.new``
-        dir is the authoritative consolidated copy)."""
+        """Complete any compaction a crash interrupted. A ``.new`` dir
+        is only authoritative once its ``_SUCCESS`` marker exists; a
+        partial staging write (crash mid-``merged.write``) is deleted
+        and the round deltas remain the source of truth."""
         for table in TABLES:
             base = os.path.join(self.dir, table)
             if not os.path.isdir(base):
@@ -141,7 +146,11 @@ class CrawlState:
                         k = int(entry.split("=", 1)[1].split(".")[0])
                     except ValueError:
                         continue
-                    self._finish_compaction(table, k)
+                    staging = os.path.join(base, entry)
+                    if os.path.exists(os.path.join(staging, "_SUCCESS")):
+                        self._finish_compaction(table, k)
+                    else:
+                        shutil.rmtree(staging, ignore_errors=True)
 
     def truncate_after(self, r: int, tables=TABLES) -> None:
         """Drop uncommitted round dirs > r (crash cleanup on resume)."""

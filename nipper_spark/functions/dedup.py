@@ -65,20 +65,57 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
 
 _MERSENNE = (1 << 61) - 1
 
+# polynomial-combine multiplier + splitmix64 finalizer constants
+# (public-domain splitmix64 mixing function)
+_POLY_C = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
 
-def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    """Word n-gram shingles → stable 64-bit hashes (blake2b, process-
-    independent)."""
-    words = text.lower().split()
-    if len(words) < n:
-        grams = [" ".join(words)] if words else [""]
-    else:
-        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: diffuses polynomial-hash bits so
+    every one of the 64 simhash bit positions is unbiased."""
+    z = x + _POLY_C
+    z = (z ^ (z >> np.uint64(30))) * _MIX1
+    z = (z ^ (z >> np.uint64(27))) * _MIX2
+    return z ^ (z >> np.uint64(31))
+
+
+def _word_hashes(words: list[str], cache: dict | None = None) -> np.ndarray:
+    """Stable 64-bit hash per word (blake2b, process-independent).
+    ``cache`` amortizes hashing across the documents of one Arrow batch
+    — the per-shingle Python loop this replaces was the extraction-path
+    CPU hot spot (one blake2b per *n-gram*; now one per unique word)."""
+    out = np.empty(len(words), dtype=np.uint64)
+    if cache is None:
+        cache = {}
+    for i, w in enumerate(words):
+        v = cache.get(w)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            cache[w] = v
+        out[i] = v
     return out
+
+
+def _shingle_hashes(text: str, n: int, cache: dict | None = None) -> np.ndarray:
+    """Word n-gram shingles → stable 64-bit hashes.
+
+    Hash = splitmix64(polynomial-combine of the window's word hashes):
+    equal n-grams hash equal, distinct n-grams collide with ~2^-64
+    probability, and the combine is one vectorized numpy pass over all
+    windows (no per-shingle Python loop, no per-shingle blake2b)."""
+    words = text.lower().split()
+    wh = _word_hashes(words, cache)
+    if len(words) == 0:
+        return _splitmix64(np.zeros(1, dtype=np.uint64))
+    k = min(n, len(words))          # short docs: one window of all words
+    m = len(words) - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):              # k is the (tiny) n-gram width
+        acc = acc * _POLY_C + wh[j:j + m]
+    return _splitmix64(acc)
 
 
 def _minhash_params(num_perm: int, seed: int = 42):
@@ -89,11 +126,11 @@ def _minhash_params(num_perm: int, seed: int = 42):
 
 
 def minhash_signature(text: str, num_perm: int, ngram: int,
-                      params=None) -> list[int]:
+                      params=None, cache: dict | None = None) -> list[int]:
     """num_perm-wide MinHash signature over word-ngram shingles; one
     numpy (num_perm × n_shingles) pass per document."""
     a, b = params if params is not None else _minhash_params(num_perm)
-    sh = _shingle_hashes(text, ngram)
+    sh = _shingle_hashes(text, ngram, cache)
     if len(sh) == 0:
         return [0] * num_perm
     # (P,1)*(1,S) mod mersenne — uint64 wraparound is fine for min
@@ -102,23 +139,24 @@ def minhash_signature(text: str, num_perm: int, ngram: int,
 
 
 def minhash_udf(num_perm: int = 64, ngram: int = 3, seed: int = 42):
+    params = _minhash_params(num_perm, seed)
+
     @F.pandas_udf("array<long>")
     def _mh(text: pd.Series) -> pd.Series:
-        params = _minhash_params(num_perm, seed)
+        cache: dict = {}  # word-hash cache shared across the Arrow batch
         return pd.Series([
             minhash_signature(str(t) if t is not None else "", num_perm,
-                              ngram, params)
+                              ngram, params, cache)
             for t in text])
 
     return _mh
 
 
-def ngram_jaccard(a: str, b: str, ngram: int = 3) -> float:
+def ngram_jaccard(a: str, b: str, ngram: int = 3,
+                  cache: dict | None = None) -> float:
     """Exact word-ngram Jaccard — the verifier behind MinHash/LSH."""
-    sa = set(_shingle_hashes(a, ngram).tolist())
-    sb = set(_shingle_hashes(b, ngram).tolist())
-    if not sa and not sb:
-        return 1.0
+    sa = set(_shingle_hashes(a, ngram, cache).tolist())
+    sb = set(_shingle_hashes(b, ngram, cache).tolist())
     inter = len(sa & sb)
     return inter / (len(sa) + len(sb) - inter)
 
@@ -137,11 +175,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     rows_per_band = num_perm // bands
     sig = docs.select(F.col(id_col).alias("id"),
-                      F.col(text_col).alias("text"),
                       minhash_udf(num_perm, ngram, seed)(
                           F.col(text_col)).alias("sig"))
+    # candidate generation carries (id, band, band_sig) ONLY — at corpus
+    # scale the text must never ride the banded explode (it would put
+    # bands× copies of the corpus through the shuffle)
     banded = sig.select(
-        "id", "text",
+        "id",
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band)
@@ -149,20 +189,29 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     # join directly on the band signature array: Catalyst hashes array
     # keys for the shuffle, and candidates stay exactly reproducible by
     # a single-threaded oracle (no engine-private hash in the semantics)
-    pairs = (banded.alias("l")
-             .join(banded.alias("r"),
-                   (F.col("l.band") == F.col("r.band")) &
-                   (F.col("l.band_sig") == F.col("r.band_sig")) &
-                   (F.col("l.id") < F.col("r.id")))
-             .select(F.col("l.id").alias("id_a"),
-                     F.col("r.id").alias("id_b"),
-                     F.col("l.text").alias("text_a"),
-                     F.col("r.text").alias("text_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+    cand = (banded.alias("l")
+            .join(banded.alias("r"),
+                  (F.col("l.band") == F.col("r.band")) &
+                  (F.col("l.band_sig") == F.col("r.band_sig")) &
+                  (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"),
+                    F.col("r.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    # fetch the two texts back by id for the exact-Jaccard verify:
+    # candidates ≪ corpus, so this joins a small pair table against the
+    # docs scan twice instead of exploding the corpus text bands× times
+    texts = docs.select(F.col(id_col).alias("id"),
+                        F.col(text_col).alias("text"))
+    pairs = (cand
+             .join(texts.withColumnRenamed("id", "id_a")
+                        .withColumnRenamed("text", "text_a"), "id_a")
+             .join(texts.withColumnRenamed("id", "id_b")
+                        .withColumnRenamed("text", "text_b"), "id_b"))
 
     @F.pandas_udf("double")
     def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        return pd.Series([ngram_jaccard(str(x), str(y), ngram)
+        cache: dict = {}
+        return pd.Series([ngram_jaccard(str(x), str(y), ngram, cache)
                           for x, y in zip(ta, tb)])
 
     return (pairs
@@ -189,19 +238,26 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     key = F.lower(F.concat_ws(
         " ", F.slice(F.split(F.trim(F.col(text_col)), r"\s+"), 1,
                      block_words))).alias("block_key")
-    t = docs.select(F.col(id_col).alias("id"),
-                    F.col(text_col).alias("text"), key)
-    pairs = (t.alias("l").join(t.alias("r"),
-                               (F.col("l.block_key") == F.col("r.block_key"))
-                               & (F.col("l.id") < F.col("r.id")))
-             .select(F.col("l.id").alias("id_a"),
-                     F.col("r.id").alias("id_b"),
-                     F.col("l.text").alias("text_a"),
-                     F.col("r.text").alias("text_b")))
+    t = docs.select(F.col(id_col).alias("id"), key)
+    cand = (t.alias("l").join(t.alias("r"),
+                              (F.col("l.block_key") == F.col("r.block_key"))
+                              & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"),
+                    F.col("r.id").alias("id_b")))
+    # same join-back shape as minhash_lsh_pairs: the block self-join
+    # shuffles (id, block_key) only, never the text
+    texts = docs.select(F.col(id_col).alias("id"),
+                        F.col(text_col).alias("text"))
+    pairs = (cand
+             .join(texts.withColumnRenamed("id", "id_a")
+                        .withColumnRenamed("text", "text_a"), "id_a")
+             .join(texts.withColumnRenamed("id", "id_b")
+                        .withColumnRenamed("text", "text_b"), "id_b"))
 
     @F.pandas_udf("double")
     def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        return pd.Series([ngram_jaccard(str(x), str(y), ngram)
+        cache: dict = {}
+        return pd.Series([ngram_jaccard(str(x), str(y), ngram, cache)
                           for x, y in zip(ta, tb)])
 
     return (pairs.withColumn("jaccard", _jac("text_a", "text_b"))
@@ -213,24 +269,30 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 # SimHash
 # ----------------------------------------------------------------------
 
-def simhash(text: str, ngram: int = 2) -> int:
-    """64-bit SimHash over word-ngram shingles (sign of per-bit sums)."""
-    sh = _shingle_hashes(text, ngram)
+def simhash(text: str, ngram: int = 2, cache: dict | None = None) -> int:
+    """64-bit SimHash over word-ngram shingles (sign of per-bit sums).
+
+    The per-bit sum is signed: ``bits*2 - n_shingles`` goes negative for
+    minority bits, so the arithmetic must leave uint64 BEFORE the
+    subtraction — in uint64 it wraps to huge positives and every bit
+    reads as majority-1 (all documents then hash near-identical and the
+    chunk equi-join degenerates toward a cross join)."""
+    sh = _shingle_hashes(text, ngram, cache)
     if len(sh) == 0:
         return 0
     bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-    sums = bits.sum(axis=0) * 2 - len(sh)
-    v = 0
-    for i in range(64):
-        if sums[i] > 0:
-            v |= 1 << i
+    sums = bits.sum(axis=0).astype(np.int64) * 2 - len(sh)
+    v = int(((sums > 0).astype(np.uint64)
+             << np.arange(64, dtype=np.uint64)).sum())
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def simhash_udf(ngram: int = 2):
     @F.pandas_udf("long")
     def _sh(text: pd.Series) -> pd.Series:
-        return pd.Series([simhash(str(t) if t is not None else "", ngram)
+        cache: dict = {}
+        return pd.Series([simhash(str(t) if t is not None else "", ngram,
+                                  cache)
                           for t in text], dtype="int64")
 
     return _sh

@@ -223,17 +223,26 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
     sample = vectors.select(vec_col).first()
     dim = len(sample[0])
     buckets = lsh_bucket_udf(dim, n_bits, bands, seed)
+    # candidate generation on (id, bucket) ONLY: the vectors must not
+    # ride the bands× bucket explode through the self-join shuffle
     v = vectors.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).alias("vec"),
                        F.explode(buckets(F.col(vec_col))).alias("bucket"))
     cand = (v.alias("l").join(v.alias("r"),
                               (F.col("l.bucket") == F.col("r.bucket")) &
                               (F.col("l.id") < F.col("r.id")))
             .select(F.col("l.id").alias("id_a"),
-                    F.col("r.id").alias("id_b"),
-                    F.col("l.vec").alias("vec_a"),
-                    F.col("r.vec").alias("vec_b"))
+                    F.col("r.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+    # join vectors back by id for exact-cosine verification — the pair
+    # table is ≪ corpus, so this costs two id-keyed joins, not bands×
+    # copies of every vector
+    vecs = vectors.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("vec"))
+    cand = (cand
+            .join(vecs.withColumnRenamed("id", "id_a")
+                      .withColumnRenamed("vec", "vec_a"), "id_a")
+            .join(vecs.withColumnRenamed("id", "id_b")
+                      .withColumnRenamed("vec", "vec_b"), "id_b"))
 
     @F.pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -60,6 +60,21 @@ def has_sort_merge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in plan_string(df)
 
 
+def exchange_input_columns(df: DataFrame) -> list[list[str]]:
+    """Column-name lists flowing INTO every Exchange (shuffle) in the
+    formatted plan — the assertable form of 'the text/vectors never
+    ride the candidate-generation shuffle'."""
+    plan = plan_string(df)
+    out = []
+    for m in re.finditer(
+            r"\(\d+\) Exchange\b.*?\nInput \[\d+\]: \[([^\]]*)\]",
+            plan, re.DOTALL):
+        cols = [c.strip().split("#")[0] for c in m.group(1).split(",")
+                if c.strip()]
+        out.append(cols)
+    return out
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     return len(re.findall(r"WholeStageCodegen", plan_string(df)))
 

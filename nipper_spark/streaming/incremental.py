@@ -19,8 +19,24 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from pyspark.sql import DataFrame
+
 from nipper_spark.functions.html_udfs import extract_pages
 from nipper_spark.sources.synthetic import PAGES_SCHEMA
+
+
+def write_extraction_batch(batch_df: DataFrame, out_dir: str,
+                           batch_id: int) -> None:
+    """Idempotent micro-batch sink: each batch overwrites its own
+    ``ingest_batch=N`` partition directory. foreachBatch replays a
+    batch when the process dies between the write and the checkpoint
+    commit — with a plain append sink that duplicates rows; the
+    partition overwrite makes the replay a no-op, so the pipeline is
+    exactly-once end to end (file source dedup on input, idempotent
+    partitioned overwrite on output)."""
+    (extract_pages(batch_df)
+     .write.mode("overwrite")
+     .parquet(f"{out_dir}/ingest_batch={int(batch_id)}"))
 
 
 def run_extraction_stream(spark: SparkSession, pages_dir: str,
@@ -30,7 +46,9 @@ def run_extraction_stream(spark: SparkSession, pages_dir: str,
     pipeline exactly once; returns the number of micro-batches run.
 
     Restarts resume from the checkpoint: files already processed are
-    never re-extracted, files that arrived since are picked up.
+    never re-extracted, files that arrived since are picked up; a
+    replayed micro-batch overwrites its own output partition instead
+    of appending duplicates (see :func:`write_extraction_batch`).
     """
     reader = (spark.readStream
               .schema(PAGES_SCHEMA)
@@ -44,8 +62,7 @@ def run_extraction_stream(spark: SparkSession, pages_dir: str,
 
     def _process(batch_df, batch_id: int) -> None:
         batches["n"] += 1
-        (extract_pages(batch_df)
-         .write.mode("append").parquet(out_dir))
+        write_extraction_batch(batch_df, out_dir, batch_id)
 
     query = (stream.writeStream
              .foreachBatch(_process)

@@ -102,6 +102,19 @@ class TestDedup:
                        ngram_jaccard(texts[p["id_a"]], texts[p["id_b"]])) \
                 < 1e-12
 
+    def test_simhash_bit_balance(self):
+        """Regression: the per-bit sums must be SIGNED. In uint64 the
+        minority-bit sums wrap to huge positives, every bit reads as 1,
+        and unrelated documents land at Hamming distance ~0 (the chunk
+        equi-join then degenerates toward a cross join)."""
+        from nipper_spark.functions.dedup import simhash
+        a = simhash("the quick brown fox jumps over the lazy dog today")
+        b = simhash("parliament approved the belgian tax code revision act")
+        ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        assert ham >= 16, ham  # unrelated texts: expect ~32, never ~0
+        # and a simhash is not the degenerate all-ones word
+        assert (a & ((1 << 64) - 1)) != (1 << 64) - 1
+
     def test_simhash_near_dups(self, spark, docs):
         from nipper_spark.functions.dedup import (
             exact_dup_groups, simhash_near_dups)

@@ -12,8 +12,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from nipper_spark.plans.inspect import (
-    has_broadcast_hash_join, plan_string, pushed_filters,
-    python_eval_count, read_schema_columns)
+    exchange_input_columns, has_broadcast_hash_join, plan_string,
+    pushed_filters, python_eval_count, read_schema_columns)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
@@ -112,6 +112,68 @@ class TestPythonBoundary:
         from nipper_spark.functions.html_udfs import hacker_news_stories
         pages = spark.read.parquet(pages_parquet)
         assert python_eval_count(hacker_news_stories(pages)) == 1
+
+
+class TestCandidateShuffleVolume:
+    """LSH/blocking candidate generation must shuffle keys+ids only —
+    at corpus scale, text (bands× copies) or vectors riding the
+    banded/bucketed self-join is the #1 scale killer."""
+
+    @pytest.fixture(scope="class")
+    def docs_parquet(self, spark, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("d") / "documents.parquet")
+        spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+            .write.mode("overwrite").parquet(path)
+        return path
+
+    @pytest.fixture()
+    def no_broadcast(self, spark):
+        """Force shuffle joins so the sandbox-scale plan shows the same
+        exchanges a 100-TB corpus would (tiny tables broadcast away the
+        very shuffle these tests pin)."""
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        yield
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_minhash_banding_carries_no_text(self, spark, docs_parquet,
+                                             no_broadcast):
+        from nipper_spark.functions.dedup import minhash_lsh_pairs
+        docs = spark.read.parquet(docs_parquet)
+        pairs = minhash_lsh_pairs(docs)
+        exchanges = exchange_input_columns(pairs)
+        assert exchanges, "expected shuffles in the LSH plan"
+        banded = [cols for cols in exchanges if "band_sig" in cols]
+        assert banded, exchanges
+        for cols in banded:
+            assert "text" not in cols, cols
+
+    def test_ngram_blocking_carries_no_text(self, spark, docs_parquet,
+                                            no_broadcast):
+        from nipper_spark.functions.dedup import ngram_jaccard_pairs
+        docs = spark.read.parquet(docs_parquet)
+        pairs = ngram_jaccard_pairs(docs)
+        blocked = [cols for cols in exchange_input_columns(pairs)
+                   if "block_key" in cols]
+        assert blocked
+        for cols in blocked:
+            assert "text" not in cols, cols
+
+    def test_embedding_buckets_carry_no_vectors(self, spark,
+                                                tmp_path_factory,
+                                                no_broadcast):
+        from nipper_spark.functions.similarity import (
+            embedding_near_dup_pairs)
+        path = str(tmp_path_factory.mktemp("e") / "embeddings.parquet")
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+            .write.mode("overwrite").parquet(path)
+        emb = spark.read.parquet(path)
+        pairs = embedding_near_dup_pairs(emb)
+        bucketed = [cols for cols in exchange_input_columns(pairs)
+                    if "bucket" in cols]
+        assert bucketed
+        for cols in bucketed:
+            assert "vec" not in cols and "embedding" not in cols, cols
 
 
 class TestTopkEquivalence:

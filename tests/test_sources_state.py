@@ -110,3 +110,36 @@ class TestCompaction:
             "seen", 4, SEEN_SCHEMA).collect()}
         assert after == before
         assert not os.path.isdir(staging)
+
+    def test_crash_mid_staging_write_keeps_deltas(self, spark, tmp_path):
+        """A crash DURING the staging write leaves a partial .new dir
+        with no _SUCCESS marker; recovery must discard it and keep the
+        deltas — promoting a half-written union would silently drop
+        seen URLs (false negatives → re-crawl → oracle divergence)."""
+        from nipper_spark.crawl.frontier import FrontierEngine
+        from nipper_spark.crawl.politeness import CrawlPolicy
+        from nipper_spark.crawl.state import SEEN_SCHEMA, CrawlState
+        from nipper_spark.sources.synthetic import (
+            PAGES_SCHEMA, synth_pages_rows)
+        rows = synth_pages_rows(n_pages=40, links_per_page=4, n_hosts=8)
+        pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+        policy = CrawlPolicy(default_tokens=6, n_buckets=4, compact_every=0)
+        d = str(tmp_path / "crash2")
+        eng = FrontierEngine(spark, pages, d, policy)
+        eng.bootstrap([(rows[0][0], 1.0), (rows[1][0], 0.9)])
+        for r in range(3):
+            eng.run_round(r)
+        st = CrawlState(spark, d)
+        before = {r["url"] for r in st.read_all_rounds(
+            "seen", 4, SEEN_SCHEMA).collect()}
+        # partial staging: only PART of the union landed, no _SUCCESS
+        staging = os.path.join(d, "seen", "round=3.new")
+        st.read("seen", 1, SEEN_SCHEMA).write.mode("overwrite") \
+            .parquet(staging)
+        os.remove(os.path.join(staging, "_SUCCESS"))
+        eng2 = FrontierEngine(spark, pages, d, policy)
+        eng2.resume_round()
+        after = {r["url"] for r in st.read_all_rounds(
+            "seen", 4, SEEN_SCHEMA).collect()}
+        assert after == before          # nothing lost
+        assert not os.path.isdir(staging)  # partial copy discarded

@@ -44,3 +44,20 @@ def test_exactly_once_across_restarts(spark, tmp_path):
     for (url, _, html, _, _) in rows:
         text, _, _, _ = extract_text_and_links(url, html)
         assert got[url] == text
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replays a micro-batch if the process dies between
+    the write and the checkpoint commit — the sink must absorb the
+    replay without duplicating rows."""
+    from nipper_spark.sources.synthetic import PAGES_SCHEMA, synth_pages_rows
+    from nipper_spark.streaming.incremental import write_extraction_batch
+
+    rows = synth_pages_rows(n_pages=12, links_per_page=3, n_hosts=4)
+    batch = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out_dir = str(tmp_path / "out")
+    write_extraction_batch(batch, out_dir, batch_id=7)
+    write_extraction_batch(batch, out_dir, batch_id=7)  # the replay
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 12
+    assert out.select("url").distinct().count() == 12
