@@ -603,6 +603,36 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").cast("int").alias("frame_no"), "frame_sha")
 
 
+def _o_media_features() -> str:
+    """Single-threaded twin of _q_media_features: the fake codec is a
+    pure function of the payload, and the payloads are seed-fixed, so
+    the oracle recomputes the exact rows without Spark."""
+    from nipper_spark.functions.multimodal import (
+        image_feature_record, synth_media_rows)
+    rows = []
+    for (mid, kind, payload, *_rest) in synth_media_rows(n=60):
+        if kind != "image":
+            continue
+        rec = image_feature_record(bytes(payload))
+        rows.append((mid, rec["sha256"], rec["n_bytes"]))
+    return _values_sql(rows, [("media_id", "BIGINT"), ("sha256", "VARCHAR"),
+                              ("n_bytes", "INTEGER")])
+
+
+def _o_media_frames() -> str:
+    from nipper_spark.functions.multimodal import (
+        synth_media_rows, video_frame_records)
+    rows = []
+    for (mid, kind, payload, *_rest) in synth_media_rows(n=60):
+        if kind != "video":
+            continue
+        for rec in video_frame_records(bytes(payload)):
+            rows.append((mid, rec["frame_no"], rec["frame_sha"]))
+    return _values_sql(rows, [("media_id", "BIGINT"),
+                              ("frame_no", "INTEGER"),
+                              ("frame_sha", "VARCHAR")])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # HTML kernel / selector engine (SURVEY.md §2.2-2.6)
@@ -639,7 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_dedup": _q_anti_join,
         "round_counters": _q_round_counters,
         "star_join_broadcast": _q_star_join,
-        # multimodal plumbing (rows-only check: stubbed codecs)
+        # multimodal plumbing (deterministic fake codecs, full oracle)
         "media_image_features": _q_media_features,
         "media_frame_samples": _q_media_frames,
     }
@@ -996,8 +1026,9 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles; media_* queries are intentionally omitted
-    (stubbed codecs → rows-only check)."""
+    """DuckDB oracles for every query — the media fake codecs are pure
+    payload functions over seed-fixed rows, so even they get exact
+    VALUES oracles (computed by the single-threaded twin)."""
     return {
         "sel_counts": _o_sel_counts(),
         "hn_stories": _o_hn_stories(),
@@ -1025,4 +1056,6 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_dedup": _O_ANTI,
         "round_counters": _O_COUNTERS,
         "star_join_broadcast": _O_STAR,
+        "media_image_features": _o_media_features(),
+        "media_frame_samples": _o_media_frames(),
     }

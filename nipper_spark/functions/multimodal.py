@@ -45,8 +45,10 @@ def _fake_image_meta(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
-def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic opaque binary payloads standing in for images."""
+def synth_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
+    """Deterministic opaque binary payloads standing in for media files
+    — pure function, shared by the Spark source and the single-threaded
+    oracle twin so both sides see byte-identical payloads."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
@@ -54,7 +56,35 @@ def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
         kind = ("image", "audio", "video")[i % 3]
         rows.append((i, kind, bytearray(payload), f"application/x-{kind}",
                      None, None, None))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(synth_media_rows(n, seed), MEDIA_SCHEMA)
+
+
+def image_feature_record(payload: bytes, thumb: int = 8) -> dict:
+    """Per-image feature kernel (fake codec path): pure, deterministic,
+    shared by the mapInPandas UDF and the DuckDB VALUES oracle."""
+    w, h = _fake_image_meta(payload)
+    d = hashlib.sha256(b"feat" + payload).digest()
+    feat = (np.frombuffer(d, dtype=np.uint8)[:thumb * thumb // 2]
+            .astype(np.float32) / 255.0)
+    return {"sha256": hashlib.sha256(payload).hexdigest(),
+            "n_bytes": len(payload),
+            "thumb_w": min(w, thumb), "thumb_h": min(h, thumb),
+            "features": feat.tolist()}
+
+
+def video_frame_records(payload: bytes, every_ms: int = 1000,
+                        max_frames: int = 8) -> list[dict]:
+    """Per-video frame-sample kernel (fake codec path): pure,
+    deterministic, shared by the UDF and the oracle."""
+    n = 1 + (payload[0] % max_frames) if payload else 1
+    return [{"frame_no": f, "ts_ms": f * every_ms,
+             "frame_sha": hashlib.sha256(
+                 payload + f.to_bytes(4, "big")).hexdigest()}
+            for f in range(n)]
 
 
 def image_features(media: DataFrame, thumb: int = 8,
@@ -73,17 +103,13 @@ def image_features(media: DataFrame, thumb: int = 8,
                 data = bytes(payload)
                 if not decode_fake:
                     _decode_image_real(data)  # raises: real codec absent
-                w, h = _fake_image_meta(data)
-                # deterministic fake "thumbnail" feature vector
-                d = hashlib.sha256(b"feat" + data).digest()
-                feat = (np.frombuffer(d, dtype=np.uint8)[:thumb * thumb // 2]
-                        .astype(np.float32) / 255.0)
+                rec = image_feature_record(data, thumb)
                 out["media_id"].append(int(mid))
-                out["sha256"].append(hashlib.sha256(data).hexdigest())
-                out["n_bytes"].append(len(data))
-                out["thumb_w"].append(min(w, thumb))
-                out["thumb_h"].append(min(h, thumb))
-                out["features"].append(feat.tolist())
+                out["sha256"].append(rec["sha256"])
+                out["n_bytes"].append(rec["n_bytes"])
+                out["thumb_w"].append(rec["thumb_w"])
+                out["thumb_h"].append(rec["thumb_h"])
+                out["features"].append(rec["features"])
             pdf_out = pd.DataFrame(out)
             pdf_out["n_bytes"] = pdf_out["n_bytes"].astype("int32")
             pdf_out["thumb_w"] = pdf_out["thumb_w"].astype("int32")
@@ -106,14 +132,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
             out = {"media_id": [], "frame_no": [], "ts_ms": [],
                    "frame_sha": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = bytes(payload)
-                n = 1 + (data[0] % max_frames) if data else 1
-                for f in range(n):
+                for rec in video_frame_records(bytes(payload), every_ms,
+                                               max_frames):
                     out["media_id"].append(int(mid))
-                    out["frame_no"].append(f)
-                    out["ts_ms"].append(f * every_ms)
-                    out["frame_sha"].append(hashlib.sha256(
-                        data + f.to_bytes(4, "big")).hexdigest())
+                    out["frame_no"].append(rec["frame_no"])
+                    out["ts_ms"].append(rec["ts_ms"])
+                    out["frame_sha"].append(rec["frame_sha"])
             pdf_out = pd.DataFrame(out)
             pdf_out["frame_no"] = pdf_out["frame_no"].astype("int32")
             pdf_out["ts_ms"] = pdf_out["ts_ms"].astype("int32")
