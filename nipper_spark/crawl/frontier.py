@@ -34,7 +34,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nipper_spark.crawl import bloom as B
@@ -47,6 +47,7 @@ from nipper_spark.crawl.state import (
 from nipper_spark.functions.html_udfs import extract_pages
 from nipper_spark.functions.url import (
     canonicalize_url, host_bucket, host_of, url_hash64)
+from nipper_spark.operators.cumsum import row_sequence
 
 
 @dataclass
@@ -192,14 +193,17 @@ class FrontierEngine:
         obs_wave = Observation()
         wave = wave.observe(obs_wave, F.count(F.lit(1)).alias("n")).cache()
 
-        # ordering record — global window is safe: the wave is bounded
-        # by Σ politeness budgets, not by frontier size
-        schedule = wave.select(
+        # ordering record — the wave is bounded by Σ politeness budgets,
+        # but at 10^10 URLs that is still millions of rows: the seq
+        # number comes from the two-phase range-partitioned sequence,
+        # never a single-partition row_number window
+        seq_df = row_sequence(wave, wave_order(), "seq")
+        schedule = seq_df.select(
             F.lit(r).alias("round"),
-            (F.row_number().over(Window.orderBy(*wave_order())) - 1)
-            .cast("long").alias("seq"),
+            F.col("seq").cast("long").alias("seq"),
             "url", "host", "depth", "score")
         st.write("schedule", r, schedule)
+        seq_df.cumsum_persisted.unpersist()  # schedule written; release
         stats.scheduled = _obs_long(obs_wave, "n", wave.count)
 
         if stats.scheduled == 0:

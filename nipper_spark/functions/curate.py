@@ -12,20 +12,23 @@ package):
       ▼ deterministic token budget: order by (quality desc, doc_id),
         keep documents while the running token total fits the budget
 
-The budget step is a window running-sum — at 100 TB that is one
-range-partitioned sort, not a driver loop. Everything here is
-SQL-expressible, so the driver's DuckDB oracle checks the whole
-composite end-to-end.
+The budget step is a global running-sum computed by the two-phase
+range-partitioned operator (operators/cumsum.py) — same semantics as
+`sum() OVER (ORDER BY …)` but never a single-partition window, so the
+quality-filtered corpus is not funneled through one task at 100 TB.
+Everything here is SQL-expressible, so the driver's DuckDB oracle
+checks the whole composite end-to-end.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nipper_spark.functions.dedup import dedup_exact
 from nipper_spark.functions.text_udfs import (
     bpe_ish_token_count, quality_score)
+from nipper_spark.operators.cumsum import running_sum
 
 
 def curate_training_set(docs: DataFrame, min_quality: float = 0.5,
@@ -45,11 +48,12 @@ def curate_training_set(docs: DataFrame, min_quality: float = 0.5,
         bpe_ish_token_count(text_col).cast("int").alias("bpe_tokens"),
         quality_score(text_col),
     ).filter(F.col("quality") >= min_quality)
-    w = (Window.orderBy(F.desc("quality"), F.asc("doc_id"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (scored
+    budgeted = running_sum(scored,
+                           [F.desc("quality"), F.asc("doc_id")],
+                           "bpe_tokens", "running_tokens")
+    return (budgeted
             .withColumn("running_tokens",
-                        F.sum("bpe_tokens").over(w).cast("bigint"))
+                        F.col("running_tokens").cast("bigint"))
             .filter(F.col("running_tokens") <= token_budget)
             .select("doc_id", "bpe_tokens",
                     F.col("quality").alias("quality"), "running_tokens"))
