@@ -40,9 +40,17 @@ class Arena:
     """
 
     __slots__ = ("kind", "name", "attrs", "text",
-                 "parent", "prev", "next", "first", "last")
+                 "parent", "prev", "next", "first", "last",
+                 "template_contents")
 
     def __init__(self) -> None:
+        # template element id → detached contents-fragment node id
+        # (cf. template_contents, src/dom_tree.rs:992-995: contents live
+        # in a separate Document node that is NOT a child of the
+        # template, so select/text/serialize of the main tree never see
+        # them — the reference serializer, src/dom_tree.rs:1033-1087,
+        # walks real children only)
+        self.template_contents: dict[int, int] = {}
         self.kind: list[int] = []
         self.name: list[str | None] = []
         self.attrs: list[list[list[str]] | None] = []

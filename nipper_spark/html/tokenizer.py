@@ -17,10 +17,13 @@ Token shapes (plain tuples for speed):
     ("comment", data)
     ("doctype", name, public_id, system_id)
 
-Known simplification vs the spec: script "escaped script data" states
-(``<script><!-- ... --></script>`` hiding a ``</script>`` inside the
-comment) are not modeled — the first real ``</script`` ends the
-element. This does not affect any reference fixture.
+Script data escaped/double-escaped states are modeled as a small
+event-scan state machine over the raw text (`<!--` enters escaped,
+`<script>` inside escaped enters double-escaped where `</script>` is
+TEXT, `-->` returns to plain script data) — so
+``<script><!--<script>"</script>"--></script>`` keeps the inner
+end-tag-lookalike as script text, matching html5ever on real pages
+that embed HTML in JS strings.
 """
 
 from __future__ import annotations
@@ -132,8 +135,11 @@ def tokenize(html: str):
             return
         if pending_raw is not None:
             tag = pending_raw
-            m = re.compile(r"</%s(?=[\t\n\f />]|$)" % re.escape(tag),
-                           re.IGNORECASE).search(s, pos)
+            if tag == "script":
+                m = _script_end(s, pos)
+            else:
+                m = re.compile(r"</%s(?=[\t\n\f />]|$)" % re.escape(tag),
+                               re.IGNORECASE).search(s, pos)
             if m is None:
                 data = s[pos:]
                 end_at = n
@@ -238,6 +244,44 @@ def tokenize(html: str):
         pos = lt + 1
 
     return
+
+
+# script-data event scan: the four markers that change escape state
+_SCRIPT_EVENT_RE = re.compile(
+    r"<!--|-->|</script(?=[\t\n\f />]|$)|<script(?=[\t\n\f />]|$)",
+    re.IGNORECASE)
+
+
+def _script_end(s: str, pos: int):
+    """Find the `</script` that actually closes the element, honoring
+    the spec's escaped / double-escaped script-data states:
+
+      plain ──"<!--"──▶ escaped ──"<script"──▶ double-escaped
+      escaped/double ──"-->"──▶ plain
+      `</script` closes the element in plain and escaped states; in
+      double-escaped it is script TEXT and merely drops back to escaped.
+
+    Returns the closing end-tag match or None (unterminated)."""
+    state = 0  # 0=plain, 1=escaped, 2=double-escaped
+    scan = pos
+    while True:
+        m = _SCRIPT_EVENT_RE.search(s, scan)
+        if m is None:
+            return None
+        t = m.group(0)
+        if t[1] == "/":  # </script
+            if state != 2:
+                return m
+            state = 1
+        elif t == "<!--":
+            if state == 0:
+                state = 1
+        elif t == "-->":
+            state = 0
+        else:  # <script
+            if state == 1:
+                state = 2
+        scan = m.end()
 
 
 _WS_SLASH_RE = re.compile(r"[\t\n\f ]+")

@@ -217,18 +217,33 @@ class TreeBuilder:
             return ("append", self.stack[idx - 1])
         return ("append", target)
 
+    def _contents_of(self, parent: int) -> int:
+        """Template redirect: appending 'into' a template element lands
+        in its detached contents fragment (the spec's appropriate-place
+        adjustment; html5ever's get_template_contents — the contents
+        node is never a child of the template, src/document.rs:88-96)."""
+        tc = self.arena.template_contents
+        if tc:
+            return tc.get(parent, parent)
+        return parent
+
     def _insert_at(self, place, nid: int) -> None:
         if place[0] == "append":
-            self.arena.append_child(place[1], nid)
+            self.arena.append_child(self._contents_of(place[1]), nid)
         else:
             self.arena.insert_before(place[1], nid)
 
     def _insert_element(self, name: str, attrs, push: bool = True) -> int:
-        nid = self.arena.new_element(name, attrs)
+        a = self.arena
+        nid = a.new_element(name, attrs)
+        if name == "template":
+            # contents fragment: a detached Document node, created with
+            # the element (src/document.rs:120-144)
+            a.template_contents[nid] = a.new_node(DOCUMENT)
         if not self.foster:
             # hot path: plain append to the current node
-            self.arena.append_child(self.stack[-1] if self.stack else 0,
-                                    nid)
+            parent = self.stack[-1] if self.stack else 0
+            a.append_child(self._contents_of(parent), nid)
         else:
             self._insert_at(self._appropriate_place(), nid)
         if push:
@@ -252,7 +267,7 @@ class TreeBuilder:
         a = self.arena
         if not self.foster and override is None:
             # hot path: append/coalesce at the current node
-            parent = self.stack[-1] if self.stack else 0
+            parent = self._contents_of(self.stack[-1] if self.stack else 0)
             last = a.last[parent]
             if last != NIL and a.kind[last] == TEXT:
                 a.text[last] = a.text[last] + data  # type: ignore[operator]
@@ -261,11 +276,12 @@ class TreeBuilder:
             return
         place = self._appropriate_place(override)
         if place[0] == "append":
-            last = a.last[place[1]]
+            parent = self._contents_of(place[1])
+            last = a.last[parent]
             if last != NIL and a.kind[last] == TEXT:
                 a.text[last] = a.text[last] + data  # type: ignore[operator]
                 return
-            a.append_child(place[1], a.new_text(data))
+            a.append_child(parent, a.new_text(data))
         else:
             ref = place[1]
             prev = a.prev[ref]
@@ -416,6 +432,20 @@ class TreeBuilder:
             self.stack.insert(self.stack.index(fb) + 1, new_fe)
         return None
 
+    def _end_template(self) -> None:
+        """`</template>`: implied end tags, pop through the template,
+        clear AFE to its marker, reset the insertion mode (the spec's
+        'in template' end handling, minus the separate template-mode
+        stack — _reset_mode covers the observable cases)."""
+        if not any(self._name(n) == "template" for n in self.stack):
+            return
+        self._generate_implied_end_tags()
+        while self.stack:
+            if self._name(self.stack.pop()) == "template":
+                break
+        self._afe_clear_to_marker()
+        self.mode = self._reset_mode()
+
     # ---------------- mode resets -------------------------------------
     def _reset_mode(self) -> str:
         for i in range(len(self.stack) - 1, -1, -1):
@@ -438,6 +468,8 @@ class TreeBuilder:
                 return "in_column_group"
             if name == "table":
                 return "in_table"
+            if name == "template":
+                return "in_body"  # template contents accept body-ish input
             if name == "head" and not last:
                 return "in_head"
             if name == "body":
@@ -660,12 +692,12 @@ def _mode_in_head(tb: TreeBuilder, tok) -> None:
             tb.stack.pop()
             tb.mode = "after_head"
             return
-        if name in ("title", "style", "script", "noscript", "noframes",
-                    "template"):
+        if name == "template":
+            tb._end_template()
+            return
+        if name in ("title", "style", "script", "noscript", "noframes"):
             if tb.stack and tb._name(tb._current()) == name:
                 tb.stack.pop()
-            if name == "template":
-                tb._afe_clear_to_marker()
             return
         if name not in ("body", "html", "br"):
             return
@@ -968,6 +1000,7 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
             tb._insert_element("br", [], push=False)
             return
         if name == "template":
+            tb._end_template()
             return
         # any other end tag
         for i in range(len(tb.stack) - 1, -1, -1):

@@ -159,6 +159,54 @@ def test_tree_construction_batch2(name, inp, expected):
     assert body_html(inp) == expected
 
 
+# batch 3: template contents (separate detached tree, html5ever
+# semantics: contents are NOT children — select/text/serialize of the
+# main tree never see them) + script escaped-data states
+CASES3 = [
+    ("template-empty-shell", "<body><template><div>x</div></template><p>y</p>",
+     "<body><template></template><p>y</p></body>"),
+    ("template-nested",
+     "<body><template><template><b>x</b></template><i>y</i></template><s>z</s>",
+     "<body><template></template><s>z</s></body>"),
+    ("template-in-table",
+     "<table><template><tr><td>a</td></tr></template><tr><td>b</table>",
+     "<body><table><template></template><tbody><tr><td>b</td></tr>"
+     "</tbody></table></body>"),
+    ("template-unclosed-eof", "<body><template><div>x",
+     "<body><template></template></body>"),
+    # script escaped: inner </script> inside <!-- --> still closes
+    # (spec: escaped state end tag is an appropriate end tag)
+    ("script-escaped-endtag",
+     '<body><script><!-- "</script>" --><p>after</p>',
+     '<body><script><!-- "</script>" --&gt;<p>after</p></body>'),
+    # double-escaped: </script> after an inner <script> is TEXT
+    ("script-double-escaped",
+     '<body><script><!--<script>x</script>y--></script><p>a</p>',
+     '<body><script><!--<script>x</script>y--></script><p>a</p></body>'),
+    # --> exits to plain data; the next </script> closes
+    ("script-escape-exit",
+     "<body><script><!--x-->y</script><p>a</p>",
+     "<body><script><!--x-->y</script><p>a</p></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES3,
+                         ids=[c[0] for c in CASES3])
+def test_tree_construction_batch3(name, inp, expected):
+    assert body_html(inp) == expected
+
+
+def test_template_contents_invisible_to_queries():
+    from nipper_spark.html import Document
+    doc = Document.from_html(
+        "<body><template><div class=t>tpl</div></template>"
+        "<div id=real>real</div></body>")
+    assert doc.select("template div").length == 0
+    assert doc.select("div").length == 1
+    assert doc.select("template").text() == ""
+    assert doc.select("body").text() == "real"
+
+
 def test_reference_pages_reparse_stable():
     """serialize∘parse is a fixpoint on every real reference page —
     the whole-document analog of the fragment goldens."""
