@@ -41,9 +41,12 @@ class Arena:
 
     __slots__ = ("kind", "name", "attrs", "text",
                  "parent", "prev", "next", "first", "last",
-                 "template_contents")
+                 "template_contents", "ns")
 
     def __init__(self) -> None:
+        # sparse namespace map: node id → "svg" | "math" for foreign
+        # elements; absence = HTML namespace (the overwhelming case)
+        self.ns: dict[int, str] = {}
         # template element id → detached contents-fragment node id
         # (cf. template_contents, src/dom_tree.rs:992-995: contents live
         # in a separate Document node that is NOT a child of the
@@ -317,6 +320,9 @@ class Arena:
                     donor.kind[old], donor.name[old],
                     [list(a) for a in attrs] if attrs is not None else None,
                     donor.text[old])
+                dns = donor.ns.get(old)
+                if dns is not None:
+                    self.ns[nid] = dns
                 mapping[old] = nid
             for old in order:
                 if old == r:

@@ -17,7 +17,7 @@ reference's API shape so parity is auditable:
 
 from __future__ import annotations
 
-from nipper_spark.html.arena import Arena, ELEMENT, NIL
+from nipper_spark.html.arena import Arena, DOCUMENT, ELEMENT, NIL, TEXT
 from nipper_spark.html.selector import Matcher, SelectorError, select
 from nipper_spark.html.serializer import serialize
 from nipper_spark.html.treebuilder import parse_document, parse_fragment
@@ -239,6 +239,19 @@ class Selection:
         if self.doc.arena.kind[self.ids[0]] != ELEMENT:
             return None
         return self.doc.arena.name[self.ids[0]]
+
+    # -- node-kind predicates (Node::is_document/is_element/is_text,
+    #    src/dom_tree.rs:895-908) — first matched node, like attr() ----
+    def is_document(self) -> bool:
+        return bool(self.ids) and \
+            self.doc.arena.kind[self.ids[0]] == DOCUMENT
+
+    def is_element(self) -> bool:
+        return bool(self.ids) and \
+            self.doc.arena.kind[self.ids[0]] == ELEMENT
+
+    def is_text(self) -> bool:
+        return bool(self.ids) and self.doc.arena.kind[self.ids[0]] == TEXT
 
     def text(self) -> str:
         a = self.doc.arena

@@ -320,8 +320,13 @@ def _match_compound(arena: Arena, nid: int, compound: list) -> bool:
         if kind != ELEMENT:
             return False
         if op == "tag":
-            if arena.name[nid] != t[1]:
-                return False
+            nm = arena.name[nid]
+            if nm != t[1]:
+                # foreign elements store adjusted case (foreignObject);
+                # HTML-document type selectors match case-insensitively
+                if not (arena.ns and nm is not None
+                        and nm.lower() == t[1]):
+                    return False
         elif op == "universal":
             pass
         elif op == "id":

@@ -119,7 +119,22 @@ def decode_charrefs(text: str, in_attr: bool) -> str:
     return "".join(out)
 
 
-def tokenize(html: str):
+class TokenizerFeedback:
+    """Tree-builder → tokenizer feedback (the spec's coupling): while
+    the parser is in foreign (svg/math) content, start tags like
+    <title>/<style>/<script> must NOT switch the tokenizer into
+    RAWTEXT/RCDATA — foreign elements' children stay in the data state.
+    The builder flips ``foreign`` after processing each token; the
+    generator reads it when it resumes (i.e. after the consumer handled
+    the start tag that might switch modes)."""
+
+    __slots__ = ("foreign",)
+
+    def __init__(self) -> None:
+        self.foreign = False
+
+
+def tokenize(html: str, feedback: TokenizerFeedback | None = None):
     """Yield tokens for one document. Input newline-normalized here."""
     s = html.replace("\r\n", "\n").replace("\r", "\n")
     n = len(s)
@@ -230,6 +245,8 @@ def tokenize(html: str):
                     return  # EOF in tag: dropped (fuzz `<a a=\r\n` -> "")
                 pos = pos2
             yield ("start", name, attrs, self_closing)
+            if feedback is not None and feedback.foreign:
+                continue  # foreign content: no rawtext/rcdata switching
             if name in RAWTEXT_TAGS:
                 pending_raw = name
                 pending_rcdata = False

@@ -16,20 +16,27 @@ Semantics deliberately preserved from the reference sink:
   (src/document.rs:255-272);
 - root Document node is id 0 (src/dom_tree.rs:117-119).
 
+Foreign content (svg/math) follows the spec's foreign-content rules:
+tag-name/attribute case adjustment, HTML breakout tags, integration
+points (foreignObject/desc/title, annotation-xml, MathML text IPs),
+and tokenizer feedback so foreign children stay in the data state.
+``<template>`` children parse into a separate detached contents
+fragment (arena.template_contents), html5ever semantics.
+
 Known simplifications (none observable in the reference fixtures):
-- foreign content (svg/math) parses as generic elements honoring the
-  self-closing flag; no tag-name/attr case adjustment, no integration
-  points;
-- ``<template>`` children parse inline instead of into a separate
-  template-contents document;
-- frameset modes are minimal.
+- frameset modes are minimal;
+- the template insertion-mode stack is approximated by _reset_mode.
 """
 
 from __future__ import annotations
 
 from nipper_spark.html.arena import (
     Arena, COMMENT, DOCTYPE, DOCUMENT, ELEMENT, NIL, TEXT)
-from nipper_spark.html.tokenizer import RAWTEXT_TAGS, RCDATA_TAGS, tokenize
+from nipper_spark.html.foreign import (
+    BREAKOUT, MATHML_TEXT_IP, SVG_HTML_IP, adjust_foreign_attrs,
+    adjust_svg_tag, font_breaks_out)
+from nipper_spark.html.tokenizer import (
+    RAWTEXT_TAGS, RCDATA_TAGS, TokenizerFeedback, tokenize)
 
 # elements whose content arrives as one raw/rcdata text token; while one
 # is open we are in the spec's "text" insertion mode
@@ -132,11 +139,21 @@ class TreeBuilder:
     # ==================================================================
     def parse(self, html: str) -> Arena:
         dispatch = _MODE_DISPATCH
-        for tok in tokenize(html):
+        fb = TokenizerFeedback()
+        ns = self.arena.ns
+        for tok in tokenize(html, fb):
             kind = tok[0]
-            if kind == "text":
+            if ns and self._use_foreign_rules(tok):
+                # a start tag consumed by the foreign rules must not
+                # switch the tokenizer into rawtext/rcdata (svg:title,
+                # svg:style, ... children stay in the data state);
+                # breakout tags never overlap the rawtext set
+                fb.foreign = kind == "start"
+                self._foreign_token(tok)
+            elif kind == "text":
                 self._process_text(tok[1])
             else:
+                fb.foreign = False
                 self.skip_next_lf = False
                 dispatch[self.mode](self, tok)
             if self.done:
@@ -431,6 +448,109 @@ class TreeBuilder:
             self.stack.remove(fe)
             self.stack.insert(self.stack.index(fb) + 1, new_fe)
         return None
+
+    # ---------------- foreign content (svg / math) --------------------
+    def _is_html_ip(self, nid: int) -> bool:
+        """HTML integration point: svg foreignObject/desc/title, or
+        math annotation-xml with an html encoding."""
+        ns = self.arena.ns.get(nid)
+        nm = (self.arena.name[nid] or "").lower()
+        if ns == "svg":
+            return nm in SVG_HTML_IP
+        if ns == "math" and nm == "annotation-xml":
+            enc = (self.arena.get_attr(nid, "encoding") or "").lower()
+            return enc in ("text/html", "application/xhtml+xml")
+        return False
+
+    def _use_foreign_rules(self, tok) -> bool:
+        """The spec's tree-construction dispatcher: foreign rules apply
+        unless the current node is HTML or an integration point exempts
+        this token kind."""
+        if not self.stack:
+            return False
+        cur = self.stack[-1]
+        ns = self.arena.ns.get(cur)
+        if ns is None:
+            return False
+        k = tok[0]
+        nm = (self.arena.name[cur] or "").lower()
+        if ns == "math" and nm in MATHML_TEXT_IP:
+            if k == "text":
+                return False
+            if k == "start" and tok[1] not in ("mglyph", "malignmark"):
+                return False
+        if (ns == "math" and nm == "annotation-xml" and k == "start"
+                and tok[1] == "svg"):
+            return False
+        if self._is_html_ip(cur) and k in ("text", "start"):
+            return False
+        return True
+
+    def _insert_foreign(self, name: str, attrs, ns: str,
+                        push: bool) -> int:
+        a = self.arena
+        nid = a.new_element(name, attrs)
+        a.ns[nid] = ns
+        if not self.foster:
+            a.append_child(
+                self._contents_of(self.stack[-1] if self.stack else 0), nid)
+        else:
+            self._insert_at(self._appropriate_place(), nid)
+        if push:
+            self.stack.append(nid)
+        return nid
+
+    def _foreign_token(self, tok) -> None:
+        """'Rules for parsing tokens in foreign content' (spec-lite:
+        breakout list, name/attr case adjustment, end-tag walk)."""
+        a = self.arena
+        k = tok[0]
+        if k == "text":
+            data = tok[1].replace("\x00", "�")
+            self._insert_text(data)
+            if data.strip("\t\n\f\r "):
+                self.frameset_ok = False
+            return
+        if k == "comment":
+            self._insert_comment(tok[1])
+            return
+        if k == "doctype":
+            return
+        if k == "start":
+            name, attrs, self_closing = tok[1], tok[2], tok[3]
+            if name in BREAKOUT or (name == "font"
+                                    and font_breaks_out(attrs)):
+                # pop foreign elements (to an IP or HTML), reprocess
+                while self.stack:
+                    cur = self.stack[-1]
+                    if a.ns.get(cur) is None:
+                        break
+                    nm = (a.name[cur] or "").lower()
+                    if (a.ns[cur] == "math" and nm in MATHML_TEXT_IP) or \
+                            self._is_html_ip(cur):
+                        break
+                    self.stack.pop()
+                _MODE_DISPATCH[self.mode](self, tok)
+                return
+            cur_ns = a.ns.get(self.stack[-1], "svg")
+            if cur_ns == "svg":
+                name = adjust_svg_tag(name)
+            adjust_foreign_attrs(attrs, cur_ns)
+            self._insert_foreign(name, attrs, cur_ns,
+                                 push=not self_closing)
+            return
+        # end tag: walk the stack; matching foreign name pops through,
+        # an HTML element hands the token back to the HTML rules
+        name = tok[1]
+        for i in range(len(self.stack) - 1, 0, -1):
+            nid = self.stack[i]
+            if a.ns.get(nid) is None:
+                _MODE_DISPATCH[self.mode](self, tok)
+                return
+            if (a.name[nid] or "").lower() == name:
+                del self.stack[i:]
+                return
+        # unmatched foreign end tag: ignored
 
     def _end_template(self) -> None:
         """`</template>`: implied end tags, pop through the template,
@@ -926,9 +1046,9 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
             return
         if name in ("math", "svg"):
             tb._afe_reconstruct()
-            nid = tb._insert_element(name, attrs)
-            if self_closing:
-                tb.stack.pop()
+            ns = "svg" if name == "svg" else "math"
+            adjust_foreign_attrs(attrs, ns)
+            tb._insert_foreign(name, attrs, ns, push=not self_closing)
             return
         if name in ("caption", "col", "colgroup", "frame", "head", "tbody",
                     "td", "tfoot", "th", "thead", "tr"):

@@ -238,3 +238,23 @@ class TestManipulation:
         assert sel.is_("#nf6")
         assert doc2.select("#nf6").length == 0
         assert doc2.select("#nf5").length == 1
+
+
+class TestNodeKindPredicates:
+    """Node::is_document/is_element/is_text (src/dom_tree.rs:895-908),
+    exposed on the first matched node like attr()."""
+
+    def test_kinds(self):
+        from nipper_spark.html import Document
+        doc = Document.from_html("<body><p>x</p>")
+        assert doc.select("p").is_element()
+        assert not doc.select("p").is_text()
+        assert not doc.select("p").is_document()
+        assert doc.select(":root").is_document()
+
+    def test_empty_selection_is_nothing(self):
+        from nipper_spark.html import Document
+        doc = Document.from_html("<body><p>x</p>")
+        s = doc.select("em")
+        assert not s.is_element() and not s.is_text() \
+            and not s.is_document()

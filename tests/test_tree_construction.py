@@ -196,6 +196,64 @@ def test_tree_construction_batch3(name, inp, expected):
     assert body_html(inp) == expected
 
 
+# batch 4: foreign content (svg/math) — case adjustment, integration
+# points, breakout, rawtext suppression (html5ever parity; seed case is
+# the reference's attr_ns tests, tests/html-dom.rs:146-149)
+CASES4 = [
+    ("svg-attr-ns-roundtrip", '<body><svg xlink:href="bleh"></svg>',
+     '<body><svg xlink:href="bleh"></svg></body>'),
+    ("svg-tag-attr-case",
+     '<body><svg viewbox="0 0 1 1"><foreignobject></foreignobject>'
+     "<clippath></clippath><lineargradient></lineargradient></svg>",
+     '<body><svg viewBox="0 0 1 1"><foreignObject></foreignObject>'
+     "<clipPath></clipPath><linearGradient></linearGradient></svg></body>"),
+    ("svg-foreignobject-html",
+     "<body><svg><foreignObject><p>hi</p></foreignObject></svg>",
+     "<body><svg><foreignObject><p>hi</p></foreignObject></svg></body>"),
+    ("svg-title-not-rcdata",
+     "<body><svg><title><b>t</b></title></svg>",
+     "<body><svg><title><b>t</b></title></svg></body>"),
+    ("svg-breakout",
+     "<body><svg><circle></circle><p>out</p>",
+     "<body><svg><circle></circle></svg><p>out</p></body>"),
+    ("svg-font-family-stays",
+     '<body><svg><font>in</font></svg>',
+     "<body><svg><font>in</font></svg></body>"),
+    ("svg-font-color-breaks",
+     '<body><svg><font color="r">out</font></svg>',
+     '<body><svg></svg><font color="r">out</font></body>'),
+    ("math-definitionurl",
+     '<body><math definitionurl="u"><mi>x</mi></math>',
+     '<body><math definitionURL="u"><mi>x</mi></math></body>'),
+    ("math-annotation-xml-html",
+     '<body><math><annotation-xml encoding="text/html"><div>h</div>'
+     "</annotation-xml></math>",
+     '<body><math><annotation-xml encoding="text/html"><div>h</div>'
+     "</annotation-xml></math></body>"),
+    ("math-text-ip",
+     "<body><math><mi><b>x</b></mi></math>",
+     "<body><math><mi><b>x</b></mi></math></body>"),
+    ("svg-self-closing",
+     '<body><svg><circle r="1"/><rect/></svg>',
+     '<body><svg><circle r="1"></circle><rect></rect></svg></body>'),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES4,
+                         ids=[c[0] for c in CASES4])
+def test_tree_construction_foreign(name, inp, expected):
+    assert body_html(inp) == expected
+
+
+def test_foreign_selectable_case_insensitive():
+    from nipper_spark.html import Document
+    doc = Document.from_html("<body><svg><foreignObject><p>x</p>"
+                             "</foreignObject></svg>")
+    assert doc.select("foreignObject").length == 1
+    assert doc.select("foreignobject").length == 1
+    assert doc.select("svg p").text() == "x"
+
+
 def test_template_contents_invisible_to_queries():
     from nipper_spark.html import Document
     doc = Document.from_html(
