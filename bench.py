@@ -99,10 +99,12 @@ def bench_queries(spark) -> tuple[dict, dict]:
     t0 = time.time()
     sched = dedup = 0
     rounds = 3
+    bound = None
     for r in range(rounds):
-        stats = eng.run_round(r, known_nonempty=r > 0)
+        stats = eng.run_round(r, known_nonempty=r > 0, wave_bound=bound)
         sched += stats.scheduled
         dedup += stats.fresh
+        bound = stats.frontier_next
     dt = time.time() - t0
     q["q3_frontier_rounds"] = dt
     urls_per_sec = (sched + dedup) / dt if dt else 0.0
@@ -171,6 +173,70 @@ def extraction_throughput(master: str, shuffle: int) -> dict:
         spark.stop()
 
 
+def frontier_stress(master: str, shuffle: int, n_urls: int = 1_000_000,
+                    n_hosts: int = 10_000) -> dict:
+    """Frontier machinery at 10⁶ URLs with a pathological hot host
+    (~30% of all URLs on host0 — a Zipf head far worse than real
+    crawls): wave selection (broadcast budgets + salted top-k),
+    two-phase schedule seq, and the exact seen anti-join. Pages/fetch
+    are excluded — extraction throughput is measured separately; this
+    isolates the queue machinery the north rule cares about."""
+    from pyspark.sql import functions as F
+    from nipper_spark.crawl.politeness import (
+        CrawlPolicy, budgets_df, select_wave, wave_order)
+    from nipper_spark.operators.cumsum import row_sequence
+    from nipper_spark.plans.inspect import has_broadcast_hash_join
+
+    spark = build(master, shuffle)
+    try:
+        # deterministic skew: 30% of ids on host 0, rest uniform
+        host_idx = F.when(F.col("id") % 10 < 3, F.lit(0)) \
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_hosts)))
+        frontier = spark.range(n_urls).select(
+            F.concat(F.lit("http://h"), host_idx.cast("string"),
+                     F.lit(".test/p/"), F.col("id").cast("string"))
+            .alias("url"),
+            F.concat(F.lit("h"), host_idx.cast("string"), F.lit(".test"))
+            .alias("host"),
+            F.pmod(F.xxhash64("id"), F.lit(shuffle)).cast("int")
+            .alias("host_bucket"),
+            (F.col("id") % 8).cast("int").alias("depth"),
+            (F.pmod(F.col("id") * 37, F.lit(1000)) / 1000.0)
+            .alias("score"),
+            F.lit(0).cast("int").alias("discovered_round")).cache()
+        n = frontier.count()
+        seen = spark.range(0, n_urls, 2).select(
+            F.concat(F.lit("http://h"),
+                     F.pmod(F.xxhash64("id"), F.lit(n_hosts))
+                     .cast("string"),
+                     F.lit(".test/p/"), F.col("id").cast("string"))
+            .alias("url")).cache()
+        seen.count()
+
+        policy = CrawlPolicy(default_tokens=20, n_buckets=shuffle,
+                             host_tokens={"h0.test": 500})
+        budgets = budgets_df(spark, policy)
+        wave, residual = select_wave(frontier, budgets, policy)
+        assert has_broadcast_hash_join(wave), "budgets must broadcast"
+
+        t0 = time.time()
+        sched = row_sequence(wave, wave_order(), "seq")
+        n_wave = sched.count()
+        max_seq = sched.agg(F.max("seq")).collect()[0][0]
+        assert max_seq == n_wave - 1, (max_seq, n_wave)
+        fresh = frontier.join(seen, "url", "left_anti")
+        n_fresh = fresh.count()
+        dt = time.time() - t0
+        sched.cumsum_persisted.unpersist()
+        return {"master": master, "frontier_urls": n,
+                "hot_host_share": 0.3, "wave": n_wave,
+                "fresh_after_antijoin": n_fresh,
+                "seconds": round(dt, 2),
+                "urls_per_sec": round((n + n_fresh) / dt, 1)}
+    finally:
+        spark.stop()
+
+
 def kernel_mp_scaling(n_low: int = 4, per_proc: int = 1500) -> dict:
     """Raw-multiprocessing scaling of the extraction kernel itself
     (no Spark, no shared-box JVM) — isolates algorithmic scalability
@@ -209,10 +275,17 @@ def main() -> int:
                     help="run local[N] vs local[4N] scaling evidence")
     ap.add_argument("--scale-n", type=int, default=4,
                     help="N for the N vs 4N comparison (default 4)")
+    ap.add_argument("--stress", action="store_true",
+                    help="10^6-URL frontier stress (hot-host skew)")
     ap.add_argument("--sf", default=SF_DIR)
     ap.add_argument("--cpus", type=int, default=CPUS)
     args = ap.parse_args()
     SF_DIR = args.sf
+
+    if args.stress:
+        print(json.dumps({"frontier_stress": frontier_stress(
+            f"local[{args.cpus}]", args.cpus)}))
+        return 0
 
     if args.scaling:
         # N → 4N evidence at local[4] vs local[16]: both levels leave

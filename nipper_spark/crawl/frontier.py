@@ -162,7 +162,8 @@ class FrontierEngine:
         return nxt
 
     # ------------------------------------------------------------------
-    def run_round(self, r: int, known_nonempty: bool = False) -> RoundStats:
+    def run_round(self, r: int, known_nonempty: bool = False,
+                  wave_bound: int | None = None) -> RoundStats:
         """One batch round. Counter discipline: every lineage counter
         rides an Observation on a write we run anyway (the free-counter
         pattern, SURVEY.md §2.9) — a round costs ~6 Spark jobs total,
@@ -194,16 +195,31 @@ class FrontierEngine:
         wave = wave.observe(obs_wave, F.count(F.lit(1)).alias("n")).cache()
 
         # ordering record — the wave is bounded by Σ politeness budgets,
-        # but at 10^10 URLs that is still millions of rows: the seq
-        # number comes from the two-phase range-partitioned sequence,
-        # never a single-partition row_number window
-        seq_df = row_sequence(wave, wave_order(), "seq")
-        schedule = seq_df.select(
-            F.lit(r).alias("round"),
-            F.col("seq").cast("long").alias("seq"),
-            "url", "host", "depth", "score")
-        st.write("schedule", r, schedule)
-        seq_df.cumsum_persisted.unpersist()  # schedule written; release
+        # but at 10^10 URLs that is still millions of rows. Adaptive
+        # plan: a small wave takes the plain window (one job, and a
+        # single window task over ≤ seq_window_threshold rows is cheap);
+        # a big wave takes the two-phase range-partitioned sequence so
+        # no single task ever holds the whole wave. The decision uses
+        # the previous round's frontier_next as a free upper bound on
+        # the wave (wave ⊆ frontier); only the first round after a
+        # resume pays one count job on the cached wave.
+        bound = wave_bound if wave_bound is not None else wave.count()
+        if bound <= pol.seq_window_threshold:
+            from pyspark.sql import Window
+            schedule = wave.select(
+                F.lit(r).alias("round"),
+                (F.row_number().over(Window.orderBy(*wave_order())) - 1)
+                .cast("long").alias("seq"),
+                "url", "host", "depth", "score")
+            st.write("schedule", r, schedule)
+        else:
+            seq_df = row_sequence(wave, wave_order(), "seq")
+            schedule = seq_df.select(
+                F.lit(r).alias("round"),
+                F.col("seq").cast("long").alias("seq"),
+                "url", "host", "depth", "score")
+            st.write("schedule", r, schedule)
+            seq_df.cumsum_persisted.unpersist()  # written; release
         stats.scheduled = _obs_long(obs_wave, "n", wave.count)
 
         if stats.scheduled == 0:
@@ -322,12 +338,15 @@ class FrontierEngine:
         out = []
         r = self.resume_round()
         known_nonempty = False
+        wave_bound = None
         for _ in range(max_rounds):
-            stats = self.run_round(r, known_nonempty=known_nonempty)
+            stats = self.run_round(r, known_nonempty=known_nonempty,
+                                   wave_bound=wave_bound)
             out.append(stats)
             if stats.frontier_next == 0 and stats.scheduled == 0:
                 break
             known_nonempty = stats.frontier_next > 0
+            wave_bound = stats.frontier_next
             r += 1
         return out
 

@@ -46,6 +46,11 @@ class CrawlPolicy:
     # fold seen-table round deltas every K rounds (0 = never): bounds
     # the per-round file count the exact anti-join has to list
     compact_every: int = 8
+    # waves at or below this take a plain row_number window for the
+    # schedule seq (one job; a single window task over ≤1M bounded rows
+    # is cheap); above it the two-phase range-partitioned sequence
+    # (operators/cumsum.py) keeps any one task from holding the wave
+    seq_window_threshold: int = 1 << 20
 
     def tokens(self, host: str) -> int:
         return self.host_tokens.get(host, self.default_tokens)

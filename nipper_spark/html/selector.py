@@ -310,15 +310,17 @@ def _match_compound(arena: Arena, nid: int, compound: list) -> bool:
             if kind != DOCUMENT:
                 return False
             continue
-        if op == "empty":
-            if any(arena.kind[c] in (ELEMENT, TEXT)
-                   for c in arena.children_of(nid)):
-                return False
-            continue
         if op == "never":
             return False
         if kind != ELEMENT:
             return False
+        if op == "empty":
+            # elements only (documented deviation from the reference's
+            # text-nodes-in-the-match-stream latent bug, header above)
+            if any(arena.kind[c] in (ELEMENT, TEXT)
+                   for c in arena.children_of(nid)):
+                return False
+            continue
         if op == "tag":
             nm = arena.name[nid]
             if nm != t[1]:
