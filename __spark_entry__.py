@@ -339,6 +339,66 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_b").cast("bigint").alias("id_b"), "jaccard")
 
 
+def _q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIR edges → connected components (iterative min-label
+    propagation) → one min-id survivor per cluster."""
+    from nipper_spark.functions.dedup import (
+        minhash_lsh_pairs, near_dup_survivors)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=MINHASH["num_perm"], bands=MINHASH["bands"],
+        ngram=MINHASH["ngram"], threshold=MINHASH["threshold"],
+        seed=MINHASH["seed"])
+    return near_dup_survivors(docs, pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+def _o_cluster_survivors() -> str:
+    """Single-threaded twin: same LSH pair generation as _o_minhash,
+    then union-find, min-id survivor per component."""
+    from nipper_spark.functions.dedup import (
+        _minhash_params, minhash_signature, ngram_jaccard)
+    ids, texts = _read_docs_sf001()
+    params = _minhash_params(MINHASH["num_perm"], MINHASH["seed"])
+    rpb = MINHASH["num_perm"] // MINHASH["bands"]
+    buckets: dict = {}
+    for i, t in zip(ids, texts):
+        sig = minhash_signature(str(t or ""), MINHASH["num_perm"],
+                                MINHASH["ngram"], params)
+        for b in range(MINHASH["bands"]):
+            key = (b, tuple(sig[b * rpb:(b + 1) * rpb]))
+            buckets.setdefault(key, []).append(i)
+    textmap = dict(zip(ids, texts))
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    seen_pairs = set()
+    for members in buckets.values():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                p = (members[x], members[y])
+                if p in seen_pairs:
+                    continue
+                seen_pairs.add(p)
+                if ngram_jaccard(str(textmap[p[0]] or ""),
+                                 str(textmap[p[1]] or ""),
+                                 MINHASH["ngram"]) >= MINHASH["threshold"]:
+                    union(*p)
+    survivors = sorted(i for i in ids if find(i) == i)
+    return _values_sql([(s,) for s in survivors], [("doc_id", "BIGINT")])
+
+
 NGRAM_J = dict(ngram=3, threshold=0.8, block_words=5)
 
 
@@ -650,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
+        "dedup_cluster_survivors": _q_cluster_survivors,
         "embedding_near_dup": _q_embedding_neardup,
         # text analysis
         "doc_token_counts": _q_doc_tokens,
@@ -1042,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _o_minhash(),
         "dedup_ngram_jaccard": _o_ngram_jaccard(),
         "dedup_simhash": _o_simhash(),
+        "dedup_cluster_survivors": _o_cluster_survivors(),
         "embedding_near_dup": _o_embedding_neardup(),
         "doc_token_counts": _O_TOKENS,
         "doc_quality": _O_QUALITY,

@@ -83,9 +83,18 @@ def _host_cols(df: DataFrame, policy: CrawlPolicy) -> DataFrame:
 
     @F.pandas_udf("struct<host_bucket:int, url_hash:long>")
     def _keys(host: pd.Series, url: pd.Series) -> pd.DataFrame:
+        # hosts repeat heavily within a batch (a crawl wave is a few
+        # hundred hosts): one blake2b per UNIQUE host, not per row
+        bcache: dict[str, int] = {}
+        buckets = []
+        for h in host:
+            b = bcache.get(h)
+            if b is None:
+                b = host_bucket(h, n)
+                bcache[h] = b
+            buckets.append(b)
         return pd.DataFrame({
-            "host_bucket": pd.Series(
-                [host_bucket(h, n) for h in host], dtype="int32"),
+            "host_bucket": pd.Series(buckets, dtype="int32"),
             "url_hash": pd.Series(
                 [url_hash64(u) for u in url], dtype="int64")})
 

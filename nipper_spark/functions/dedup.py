@@ -298,6 +298,60 @@ def simhash_udf(ngram: int = 2):
     return _sh
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id_a, id_b) edges → (id, component) with component = min id
+    reachable — the clustering step between near-dup PAIRS and a
+    one-survivor-per-cluster dedup decision.
+
+    Iterative min-label propagation, entirely DataFrame ops: each round
+    joins the edge list against current labels and takes the min over
+    neighbors; converges in O(graph diameter) rounds. Only nodes that
+    appear in an edge participate (everything else is its own singleton
+    component by definition) — so at 100 TB the iteration state is
+    pair-table-sized, never corpus-sized. Convergence is detected with
+    an aggregate (count of changed labels), no driver-side collect of
+    labels."""
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = (edges.unionByName(edges.select(F.col("b").alias("a"),
+                                            F.col("a").alias("b")))
+             .distinct().cache())
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .withColumn("component", F.col("id")).cache())
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (edges.join(labels.select(F.col("id").alias("b"),
+                                          F.col("component").alias("nc")),
+                            "b")
+                 .groupBy("a").agg(F.min("nc").alias("min_nc")))
+        new_labels = (labels.join(neigh.withColumnRenamed("a", "id"),
+                                  "id", "left")
+                      .select("id",
+                              F.least("component",
+                                      F.coalesce("min_nc", "component"))
+                              .alias("component")).cache())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dup_survivors(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Keep one document per near-dup cluster (the min id — same
+    deterministic survivor rule as exact dedup): docs ANTI JOIN the
+    non-minimal members of each connected component."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias(id_col))
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
                       prefix_bits: int = 16, ngram: int = 2) -> DataFrame:

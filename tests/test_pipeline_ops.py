@@ -102,6 +102,25 @@ class TestDedup:
                        ngram_jaccard(texts[p["id_a"]], texts[p["id_b"]])) \
                 < 1e-12
 
+    def test_connected_components_and_survivors(self, spark):
+        """Pairs → clusters → one min-id survivor per cluster (the step
+        between near-dup PAIRS and a dedup decision)."""
+        from nipper_spark.functions.dedup import (
+            connected_components, near_dup_survivors)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (30, 31), (31, 32), (30, 32)],
+            "id_a long, id_b long")
+        comp = {r["id"]: r["component"]
+                for r in connected_components(pairs).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                        30: 30, 31: 30, 32: 30}
+        docs = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 5, 10, 11, 30, 31, 32]],
+            "doc_id long")
+        surv = sorted(r["doc_id"]
+                      for r in near_dup_survivors(docs, pairs).collect())
+        assert surv == [1, 5, 10, 30]  # 5 untouched: singleton survives
+
     def test_simhash_bit_balance(self):
         """Regression: the per-bit sums must be SIGNED. In uint64 the
         minority-bit sums wrap to huge positives, every bit reads as 1,
