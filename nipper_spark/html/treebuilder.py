@@ -631,6 +631,11 @@ class TreeBuilder:
             if self.stack:
                 self.stack.pop()
             self.mode = self.original_mode
+        # EOF with open template(s): the spec pops them before the
+        # startup cascade — otherwise the implied body would be
+        # redirected into the template-contents fragment
+        while any(self._name(n) == "template" for n in self.stack):
+            self._end_template()
         if self.frag:
             return
         if self.mode in ("initial", "before_html"):

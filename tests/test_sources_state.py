@@ -50,6 +50,29 @@ class TestWarc:
             assert got[u] == text
 
 
+class TestJsonl:
+    def test_roundtrip_and_extraction(self, spark, tmp_path):
+        from nipper_spark.functions.html_udfs import (
+            extract_pages, extract_text_and_links)
+        from nipper_spark.sources.jsonl import (
+            read_jsonl_pages, write_jsonl)
+        from nipper_spark.sources.synthetic import synth_pages_rows
+        rows = synth_pages_rows(n_pages=20, links_per_page=3, n_hosts=4)
+        write_jsonl(str(tmp_path / "a.jsonl"), rows[:12])
+        write_jsonl(str(tmp_path / "b.jsonl"), rows[12:])
+        pages = read_jsonl_pages(spark, str(tmp_path))
+        got = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+        assert got == {u: bytes(h) for (u, _, h, _, _) in rows}
+        # html decode is JVM-side: no Python operator above the scan
+        from nipper_spark.plans.inspect import python_eval_count
+        assert python_eval_count(pages) == 0
+        # extraction over the jsonl source matches the kernel
+        ext = {r["url"]: r["text"]
+               for r in extract_pages(pages).collect()}
+        for (u, _, h, _, _) in rows:
+            assert ext[u] == extract_text_and_links(u, h)[0]
+
+
 class TestCompaction:
     def _crawl(self, spark, tmp_path, compact_every, name):
         from nipper_spark.crawl.frontier import FrontierEngine
