@@ -28,6 +28,17 @@ _CANONICAL_RE = re.compile(
 _ORIGIN_RE = re.compile(r"^https?://[a-z0-9]([a-z0-9.-]*[a-z0-9])?(?=/|$)")
 _DOT_SEGMENT_RE = re.compile(r"/\.")
 
+# canonical-up-to-case-and-fragment: the dominant real-outlink shape
+# (absolute http(s), maybe UPPERCASE scheme/host, maybe #fragment; no
+# query/percent/port/userinfo). Canonicalizing is then just lowercase
+# scheme+host, default path "/", drop the fragment — provably the same
+# as the urlsplit/quote slow path for every string this matches.
+_FAST_FULL_RE = re.compile(
+    r"^([hH][tT][tT][pP][sS]?)://"
+    r"([A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)"
+    r"(/[A-Za-z0-9/:@!$&'()*+,;=~\-._]*)?"
+    r"(?:#[^#]*)?$")
+
 # characters never re-encoded in paths (RFC 3986 unreserved + sub-delims
 # commonly left literal by crawlers)
 _PATH_SAFE = "/:@!$&'()*+,;=~-._"
@@ -48,6 +59,10 @@ def canonicalize_url(url: str) -> str | None:
     m = _CANONICAL_RE.match(url)
     if m is not None:
         return url  # provably a fixed point of the slow path
+    m = _FAST_FULL_RE.match(url)
+    if m is not None:
+        return "%s://%s%s" % (m.group(1).lower(), m.group(2).lower(),
+                              m.group(3) or "/")
     try:
         parts = urlsplit(url.strip())
     except ValueError:
@@ -80,6 +95,16 @@ def resolve_and_canonicalize(base_url: str, href: str) -> str | None:
     href = (href or "").strip()
     if not href or href.startswith(("#", "javascript:", "mailto:", "data:")):
         return None
+    # absolute-href fast path: urljoin returns an absolute http(s) URL
+    # with a non-empty netloc unchanged (modulo scheme lowercasing and
+    # params re-joining), so the resolve step can be skipped entirely —
+    # the dominant outlink shape. ";" must take the slow path: urljoin
+    # splits RFC-1808 params off the last segment and DROPS a trailing
+    # empty-params ";" (measured: "http://b/;" → "http://b/").
+    m = _FAST_FULL_RE.match(href)
+    if m is not None and ";" not in (m.group(3) or ""):
+        return "%s://%s%s" % (m.group(1).lower(), m.group(2).lower(),
+                              m.group(3) or "/")
     # root-relative fast path: origin + href, valid only when the
     # result is provably already canonical (same fixed-point argument
     # as _CANONICAL_RE in canonicalize_url)

@@ -98,24 +98,23 @@ def test_selector_errors_are_selector_errors(s):
 def _slow_canonicalize(url):
     import re
     import nipper_spark.functions.url as U
-    orig = U._CANONICAL_RE
-    U._CANONICAL_RE = re.compile(r"(?!)")
+    orig, origf = U._CANONICAL_RE, U._FAST_FULL_RE
+    U._CANONICAL_RE = U._FAST_FULL_RE = re.compile(r"(?!)")
     try:
         return U.canonicalize_url(url)
     finally:
-        U._CANONICAL_RE = orig
+        U._CANONICAL_RE, U._FAST_FULL_RE = orig, origf
 
 
 def _slow_resolve(base, href):
     import re
     import nipper_spark.functions.url as U
-    o1, o2 = U._CANONICAL_RE, U._ORIGIN_RE
-    U._CANONICAL_RE = re.compile(r"(?!)")
-    U._ORIGIN_RE = re.compile(r"(?!)")
+    o1, o2, o3 = U._CANONICAL_RE, U._ORIGIN_RE, U._FAST_FULL_RE
+    U._CANONICAL_RE = U._ORIGIN_RE = U._FAST_FULL_RE = re.compile(r"(?!)")
     try:
         return U.resolve_and_canonicalize(base, href)
     finally:
-        U._CANONICAL_RE, U._ORIGIN_RE = o1, o2
+        U._CANONICAL_RE, U._ORIGIN_RE, U._FAST_FULL_RE = o1, o2, o3
 
 
 _url_chars = st.text(alphabet=st.sampled_from(
