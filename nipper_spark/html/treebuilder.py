@@ -659,6 +659,16 @@ class TreeBuilder:
     # ==================================================================
     def _process_text(self, data: str) -> None:
         mode = self.mode
+        if mode == "in_body":        # the hot path, checked first
+            if "\x00" in data:       # rare: avoid the copy otherwise
+                data = data.replace("\x00", "")
+                if not data:
+                    return
+            if data.strip("\t\n\f ") != "":
+                self.frameset_ok = False
+            self._afe_reconstruct()
+            self._insert_text(data)
+            return
         if mode == "text":
             self._insert_text(data)
             return
@@ -699,10 +709,11 @@ class TreeBuilder:
             if data:
                 self._insert_text(data)
             return
-        # in_body, in_caption, in_cell and friends
-        data = data.replace("\x00", "")
-        if not data:
-            return
+        # in_caption, in_cell and friends (in_body returned at the top)
+        if "\x00" in data:
+            data = data.replace("\x00", "")
+            if not data:
+                return
         if data.strip("\t\n\f ") != "":
             self.frameset_ok = False
         self._afe_reconstruct()
