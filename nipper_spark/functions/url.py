@@ -28,16 +28,33 @@ _CANONICAL_RE = re.compile(
 _ORIGIN_RE = re.compile(r"^https?://[a-z0-9]([a-z0-9.-]*[a-z0-9])?(?=/|$)")
 _DOT_SEGMENT_RE = re.compile(r"/\.")
 
-# canonical-up-to-case-and-fragment: the dominant real-outlink shape
-# (absolute http(s), maybe UPPERCASE scheme/host, maybe #fragment; no
-# query/percent/port/userinfo). Canonicalizing is then just lowercase
-# scheme+host, default path "/", drop the fragment — provably the same
-# as the urlsplit/quote slow path for every string this matches.
+# canonical-up-to-case-fragment-and-query-order: the dominant real
+# outlink shape (absolute http(s), maybe UPPERCASE scheme/host, maybe
+# #fragment, maybe a simple k=v&k=v query; no percent/port/userinfo).
+# Canonicalizing is then lowercase scheme+host, default path "/",
+# sort the query segments, drop the fragment — provably the same as
+# the urlsplit/parse_qsl/urlencode slow path for every string this
+# matches (the query k/v class is exactly urlencode's identity set).
 _FAST_FULL_RE = re.compile(
     r"^([hH][tT][tT][pP][sS]?)://"
     r"([A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)"
     r"(/[A-Za-z0-9/:@!$&'()*+,;=~\-._]*)?"
+    r"(?:\?([A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*"
+    r"(?:&[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*)*))?"
     r"(?:#[^#]*)?$")
+
+
+def _fast_canonical(m: "re.Match") -> str:
+    out = "%s://%s%s" % (m.group(1).lower(), m.group(2).lower(),
+                         m.group(3) or "/")
+    q = m.group(4)
+    if q is not None:
+        if "&" in q:
+            # same order as sorted(parse_qsl(q)): key tuple, then value
+            q = "&".join(sorted(q.split("&"),
+                                key=lambda kv: tuple(kv.split("=", 1))))
+        out = out + "?" + q
+    return out
 
 # characters never re-encoded in paths (RFC 3986 unreserved + sub-delims
 # commonly left literal by crawlers)
@@ -61,8 +78,7 @@ def canonicalize_url(url: str) -> str | None:
         return url  # provably a fixed point of the slow path
     m = _FAST_FULL_RE.match(url)
     if m is not None:
-        return "%s://%s%s" % (m.group(1).lower(), m.group(2).lower(),
-                              m.group(3) or "/")
+        return _fast_canonical(m)
     try:
         parts = urlsplit(url.strip())
     except ValueError:
@@ -103,8 +119,7 @@ def resolve_and_canonicalize(base_url: str, href: str) -> str | None:
     # empty-params ";" (measured: "http://b/;" → "http://b/").
     m = _FAST_FULL_RE.match(href)
     if m is not None and ";" not in (m.group(3) or ""):
-        return "%s://%s%s" % (m.group(1).lower(), m.group(2).lower(),
-                              m.group(3) or "/")
+        return _fast_canonical(m)
     # root-relative fast path: origin + href, valid only when the
     # result is provably already canonical (same fixed-point argument
     # as _CANONICAL_RE in canonicalize_url)
