@@ -61,3 +61,36 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 12
     assert out.select("url").distinct().count() == 12
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """applyInPandasWithState URL-seen: first occurrences exactly once
+    across micro-batches AND across a restart (state store resumes
+    from the checkpoint)."""
+    from nipper_spark.sources.synthetic import PAGES_SCHEMA, synth_pages_rows
+    from nipper_spark.streaming.stateful import run_streaming_dedup
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = synth_pages_rows(n_pages=30, links_per_page=3, n_hosts=5)
+
+    # batch 1: pages 0-19, with page 3 and 7 duplicated
+    batch1 = rows[:20] + [rows[3], rows[7]]
+    spark.createDataFrame(batch1, PAGES_SCHEMA) \
+        .write.mode("append").parquet(pages_dir)
+    run_streaming_dedup(spark, pages_dir, out_dir, ckpt, n_buckets=8)
+    out1 = spark.read.parquet(out_dir)
+    assert out1.count() == 20
+    assert out1.select("url").distinct().count() == 20
+
+    # restart with batch 2: 10 new pages + re-sends of old ones
+    batch2 = rows[20:] + [rows[0], rows[19]]
+    spark.createDataFrame(batch2, PAGES_SCHEMA) \
+        .write.mode("append").parquet(pages_dir)
+    run_streaming_dedup(spark, pages_dir, out_dir, ckpt, n_buckets=8)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 30                      # old urls suppressed
+    assert out.select("url").distinct().count() == 30
+    got = {r["url"] for r in out.collect()}
+    assert got == {u for (u, _, _, _, _) in rows}
