@@ -602,6 +602,31 @@ def _q_round_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation (the streaming telemetry
+    operator run in batch mode — streaming/windows.py semantics:
+    tumbling window, per-key counts + sums)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (e.groupBy("event_type",
+                      F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("event_type",
+                    F.date_format(F.col("w.start"),
+                                  "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+                    "n", "sum_value"))
+
+
+_O_EVENT_WINDOWS = """
+SELECT event_type,
+       strftime(time_bucket(INTERVAL '1 hour', ts),
+                '%Y-%m-%d %H:%M:%S') AS w_start,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast star join (dimension tables broadcast like the
     politeness budget dim)."""
@@ -729,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "anti_join_dedup": _q_anti_join,
         "round_counters": _q_round_counters,
+        "event_time_windows": _q_event_windows,
         "star_join_broadcast": _q_star_join,
         # multimodal plumbing (deterministic fake codecs, full oracle)
         "media_image_features": _q_media_features,
@@ -1117,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _O_TOPK,
         "anti_join_dedup": _O_ANTI,
         "round_counters": _O_COUNTERS,
+        "event_time_windows": _O_EVENT_WINDOWS,
         "star_join_broadcast": _O_STAR,
         "media_image_features": _o_media_features(),
         "media_frame_samples": _o_media_frames(),

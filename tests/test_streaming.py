@@ -94,3 +94,42 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     assert out.select("url").distinct().count() == 30
     got = {r["url"] for r in out.collect()}
     assert got == {u for (u, _, _, _, _) in rows}
+
+
+def test_watermarked_host_windows(spark, tmp_path):
+    """Event-time windowed fetch stats: append mode emits a (host,
+    window) exactly once when the watermark closes it, and a
+    late-beyond-watermark row is dropped instead of reopening it."""
+    import datetime as dt
+    from nipper_spark.sources.synthetic import PAGES_SCHEMA
+    from nipper_spark.streaming.windows import run_host_fetch_windows
+
+    def page(minute, host="h0.test"):
+        ts = dt.datetime(2026, 1, 1, 0, minute)
+        return (f"http://{host}/p/{minute}", ts, b"<p>x</p>", None, "en")
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: window A=[00:00,00:10) gets 2 rows; event at 00:21
+    # advances the watermark to 00:16 > 00:10, closing A
+    spark.createDataFrame([page(1), page(5), page(12), page(21)],
+                          PAGES_SCHEMA) \
+        .write.mode("append").parquet(pages_dir)
+    run_host_fetch_windows(spark, pages_dir, out_dir, ckpt)
+    out1 = {(r["window_start"].minute, r["n_pages"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert (0, 2) in out1            # window A finalized with 2 rows
+    assert all(start != 20 for start, _ in out1)  # C still open
+
+    # batch 2: a LATE row for window A (00:03 < watermark) must be
+    # dropped; 00:35 advances the watermark past window B's end
+    spark.createDataFrame([page(3), page(35)], PAGES_SCHEMA) \
+        .write.mode("append").parquet(pages_dir)
+    run_host_fetch_windows(spark, pages_dir, out_dir, ckpt)
+    out2 = {(r["window_start"].minute, r["n_pages"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert (0, 2) in out2            # A emitted once, late row dropped
+    assert sum(1 for s, _ in out2 if s == 0) == 1
+    assert (10, 1) in out2           # B closed by the 00:35 event
