@@ -602,6 +602,43 @@ def _q_round_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+SAMPLE = dict(fractions={"en": 0.5, "de": 0.25}, default=0.1,
+              test_fraction=0.2)
+
+
+def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample + train/test split
+    (hash-based: stable under repartitioning, reproducible across
+    engines — functions/sampling.py)."""
+    from nipper_spark.functions.sampling import (
+        stratified_hash_sample, train_test_split_col)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = stratified_hash_sample(docs, "lang", SAMPLE["fractions"],
+                                  "doc_id",
+                                  default_fraction=SAMPLE["default"])
+    return kept.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang",
+        train_test_split_col(F.col("doc_id"),
+                             SAMPLE["test_fraction"]).alias("split"))
+
+
+def _o_sample_split() -> str:
+    from nipper_spark.functions.sampling import _hex_threshold
+    fr = SAMPLE["fractions"]
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN '{_hex_threshold(v)}'"
+        for k, v in sorted(fr.items()))
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)
+                 < '{_hex_threshold(SAMPLE["test_fraction"])}'
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':strata'), 1, 8) <
+      CASE {cases} ELSE '{_hex_threshold(SAMPLE["default"])}' END
+"""
+
+
 def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed aggregation (the streaming telemetry
     operator run in batch mode — streaming/windows.py semantics:
@@ -742,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_lang_pred": _q_doc_lang,
         "doc_fingerprints": _q_doc_fingerprints,
+        "doc_sample_split": _q_sample_split,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1135,6 +1173,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _O_QUALITY,
         "doc_lang_pred": _o_doc_lang(),
         "doc_fingerprints": _o_doc_fingerprints(),
+        "doc_sample_split": _o_sample_split(),
         "ann_brute_topk": _o_ann_brute(),
         "ann_lsh_topk": _o_ann_lsh(),
         "ann_ivf_topk": _o_ann_ivf(),

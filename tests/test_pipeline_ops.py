@@ -144,6 +144,47 @@ class TestDedup:
             assert pairs.get((ids[0], ids[1])) == 0  # identical text
 
 
+class TestSampling:
+    def test_hash_sample_stable_under_repartition(self, spark, docs):
+        """Membership is a pure function of the key — the property
+        Bernoulli df.sample() lacks — so any partitioning gives the
+        exact same rows."""
+        from nipper_spark.functions.sampling import hash_sample
+        a = {r["doc_id"] for r in
+             hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+        b = {r["doc_id"] for r in
+             hash_sample(docs.repartition(17), "doc_id", 0.3)
+             .select("doc_id").collect()}
+        assert a == b
+        n = docs.count()
+        assert 0.2 * n < len(a) < 0.4 * n  # ~fraction, 32-bit decisions
+
+    def test_split_is_disjoint_and_deterministic(self, spark, docs):
+        from pyspark.sql import functions as F
+        from nipper_spark.functions.sampling import train_test_split_col
+        tagged = docs.select(
+            "doc_id", train_test_split_col(F.col("doc_id"), 0.2)
+            .alias("split")).cache()
+        counts = dict((r["split"], r["n"]) for r in tagged.groupBy(
+            "split").agg(F.count("*").alias("n")).collect())
+        assert set(counts) == {"train", "test"}
+        n = sum(counts.values())
+        assert 0.1 * n < counts["test"] < 0.3 * n
+        again = docs.select(
+            "doc_id", train_test_split_col(F.col("doc_id"), 0.2)
+            .alias("split"))
+        assert tagged.exceptAll(again).count() == 0
+
+    def test_stratified_fractions(self, spark, docs):
+        from nipper_spark.functions.sampling import stratified_hash_sample
+        kept = stratified_hash_sample(
+            docs, "lang", {"en": 1.0}, "doc_id", default_fraction=0.0)
+        assert kept.count() == docs.filter("lang = 'en'").count()
+        none = stratified_hash_sample(
+            docs, "lang", {}, "doc_id", default_fraction=0.0)
+        assert none.count() == 0
+
+
 class TestSimilarity:
     def test_brute_topk_matches_numpy(self, spark, emb):
         import numpy as np
