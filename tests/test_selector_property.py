@@ -184,11 +184,11 @@ def naive_compound(a: Arena, nid: int, compound: str) -> bool:
 
 
 def naive_match(a: Arena, nid: int, sel: str) -> bool:
-    # tokenize into compounds + combinators
-    parts: list[str] = []
-    for tok in sel.replace(">", " > ").replace("+", " + ") \
-                  .replace("~", " ~ ").split():
-        parts.append(tok)
+    # tokenize into compounds + combinators. The generator always emits
+    # combinators as standalone space-separated tokens, so a plain
+    # whitespace split is unambiguous (padding "+" would corrupt the
+    # "+" inside :nth-child(2n+1)).
+    parts: list[str] = sel.split()
     # merge: [c0, comb, c1, ...] where plain adjacency = descendant
     seq: list[tuple[str, str]] = []  # (combinator-before, compound)
     comb = ""
