@@ -511,6 +511,52 @@ def _o_ann_ivf() -> str:
                               ("vec_id", "BIGINT")])
 
 
+IVFPQ = dict(k=5, n_lists=8, m=8, k_pq=32, n_probe=4, rerank=8, seed=42)
+
+
+def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.similarity import ann_ivfpq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivfpq_topk(
+        emb, _ann_queries(sf_dir), k=IVFPQ["k"], n_lists=IVFPQ["n_lists"],
+        m=IVFPQ["m"], k_pq=IVFPQ["k_pq"], n_probe=IVFPQ["n_probe"],
+        rerank=IVFPQ["rerank"], seed=IVFPQ["seed"]).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"))
+
+
+def _o_ann_ivfpq() -> str:
+    """Single-threaded twin sharing the pure kernels (train_ivfpq /
+    pq_encode / pq_adc_scores), so candidate selection and re-ranking
+    are float-identical to the distributed path."""
+    import numpy as np
+    from nipper_spark.functions.similarity import (
+        _normalize, pq_adc_scores, pq_encode, train_ivfpq)
+    ids, mvec = _read_emb_sf001()
+    sample = mvec[np.argsort(ids)][:2048]
+    model = train_ivfpq(sample, IVFPQ["n_lists"], IVFPQ["m"],
+                        IVFPQ["k_pq"], IVFPQ["seed"])
+    lists, codes = pq_encode(mvec, model)
+    norm = _normalize(mvec.astype(np.float32))
+    idx = {int(v): j for j, v in enumerate(ids)}
+    rows = []
+    for qi in range(ANN["n_queries"]):
+        q = norm[qi]
+        probe = np.argsort(-(q @ model["coarse"].T),
+                           kind="stable")[:IVFPQ["n_probe"]]
+        mask = np.isin(lists, probe)
+        adc = pq_adc_scores(q, lists[mask], codes[mask], model)
+        cids = ids[mask]
+        short = cids[np.lexsort((cids, -adc))][:IVFPQ["rerank"] * IVFPQ["k"]]
+        scored = sorted(((-float((norm[idx[int(v)]] * q).sum()), int(v))
+                         for v in short))
+        for rank, (_negs, vid) in enumerate(scored[:IVFPQ["k"]], start=1):
+            rows.append((int(ids[qi]), rank, vid))
+    return _values_sql(rows, [("query_id", "BIGINT"), ("rank", "INTEGER"),
+                              ("vec_id", "BIGINT")])
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nipper_spark.functions.similarity import embedding_near_dup_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -784,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         # capstone complex query (select→mutate→re-select in one UDF)
         "readability": _q_readability,
         # composite training-set curation (filter→dedup→budget)
@@ -1177,6 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": _o_ann_brute(),
         "ann_lsh_topk": _o_ann_lsh(),
         "ann_ivf_topk": _o_ann_ivf(),
+        "ann_ivfpq_topk": _o_ann_ivfpq(),
         "readability": _o_readability(),
         "curate_training_set": _o_curate(),
         "topk_per_group": _O_TOPK,

@@ -213,6 +213,179 @@ def ann_ivf_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]],
             .filter(F.col("rank") <= k))
 
 
+# ----------------------------------------------------------------------
+# IVF-PQ: product-quantized inverted lists (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+# memory-compressed scale path: the index stores m small codes per
+# vector instead of the vector; queries score candidates with an
+# asymmetric-distance lookup table and only the final top candidates
+# are re-ranked against true vectors fetched by id.
+# ----------------------------------------------------------------------
+
+def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 8,
+               seed: int = 42) -> np.ndarray:
+    """Deterministic plain-L2 k-means (PQ codebooks must not normalize
+    — residual subvectors are not unit vectors)."""
+    rng = np.random.RandomState(seed)
+    sample = sample.astype(np.float32)
+    idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)  # first min wins (deterministic)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def train_ivfpq(sample: np.ndarray, n_lists: int, m: int, k_pq: int,
+                seed: int = 42) -> dict:
+    """Coarse quantizer (cosine k-means, shared with IVF) + per-subspace
+    L2 codebooks trained on coarse residuals. Pure function of the
+    sample — engine and oracle train identically."""
+    coarse = _kmeans_centroids(sample, n_lists, seed=seed)
+    norm = _normalize(sample.astype(np.float32))
+    assign = np.argmax(norm @ coarse.T, axis=1)
+    resid = norm - coarse[assign]
+    dim = sample.shape[1]
+    sub = dim // m
+    books = [
+        _kmeans_l2(resid[:, j * sub:(j + 1) * sub], k_pq, seed=seed + j)
+        for j in range(m)]
+    return {"coarse": coarse, "books": books, "m": m, "sub": sub}
+
+
+def pq_encode(vecs: np.ndarray, model: dict) -> tuple[np.ndarray,
+                                                      np.ndarray]:
+    """(n, dim) → (list_ids (n,), codes (n, m)) — shared pure kernel."""
+    norm = _normalize(vecs.astype(np.float32))
+    coarse, books = model["coarse"], model["books"]
+    m, sub = model["m"], model["sub"]
+    lists = np.argmax(norm @ coarse.T, axis=1)
+    resid = norm - coarse[lists]
+    codes = np.empty((len(vecs), m), dtype=np.int32)
+    for j in range(m):
+        rj = resid[:, j * sub:(j + 1) * sub]
+        d = ((rj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d, axis=1)
+    return lists, codes
+
+
+def pq_adc_scores(q: np.ndarray, list_ids: np.ndarray,
+                  codes: np.ndarray, model: dict) -> np.ndarray:
+    """Approximate inner products of one (normalized) query against
+    coded vectors: q·centroid + Σ_j q_j·book_j[code_j] — identical
+    float32 op order in the engine UDF and the oracle twin."""
+    coarse, books = model["coarse"], model["books"]
+    m, sub = model["m"], model["sub"]
+    base = (coarse @ q).astype(np.float32)[list_ids]
+    luts = [(books[j] @ q[j * sub:(j + 1) * sub]).astype(np.float32)
+            for j in range(m)]
+    s = base
+    for j in range(m):
+        s = s + luts[j][codes[:, j]]
+    return s
+
+
+def ann_ivfpq_topk(corpus: DataFrame,
+                   queries: list[tuple[int, list[float]]], k: int = 10,
+                   n_lists: int = 16, m: int = 8, k_pq: int = 32,
+                   n_probe: int = 4, rerank: int = 8,
+                   sample_size: int = 2048, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   seed: int = 42) -> DataFrame:
+    """IVF-PQ ANN: bounded driver sample trains coarse centroids + PQ
+    codebooks (broadcast); the corpus is encoded to (list_id, m codes)
+    — the index never ships vectors; queries probe n_probe lists,
+    score candidates by ADC lookup, keep rerank·k per query, then
+    re-rank those EXACTLY against true vectors joined back by id.
+    Output: (query_id, vec_id, cosine, rank) with exact cosines."""
+    spark = corpus.sparkSession
+    src = corpus.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("embedding"))
+    sample_rows = src.orderBy("vec_id").limit(sample_size).collect()
+    sample = np.asarray([r["embedding"] for r in sample_rows],
+                        dtype=np.float32)
+    model = train_ivfpq(sample, n_lists, m, k_pq, seed)
+    bc = spark.sparkContext.broadcast(model)
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mod = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lists, codes = pq_encode(_as_matrix(pdf["embedding"]), mod)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "list_id": lists.astype("int32"),
+                "codes": list(codes)})
+
+    coded = src.mapInPandas(
+        _encode, schema="vec_id long, list_id int, codes array<int>")
+
+    qm = _normalize(np.asarray([v for _, v in queries], dtype=np.float32))
+    sims = qm @ model["coarse"].T
+    probe_rows = []
+    for (qid, _), row, qv in zip(queries, sims, qm):
+        for lid in np.argsort(-row, kind="stable")[:n_probe]:
+            probe_rows.append((int(qid), [float(x) for x in qv],
+                               int(lid)))
+    qdf = spark.createDataFrame(
+        probe_rows, "query_id long, q_norm array<float>, list_id int")
+    cand = coded.join(F.broadcast(qdf), "list_id")
+
+    @F.pandas_udf("float")
+    def _adc(q_norm: pd.Series, list_id: pd.Series,
+             codes: pd.Series) -> pd.Series:
+        mod = bc.value
+        if not len(q_norm):
+            return pd.Series([], dtype="float32")
+        out = np.empty(len(q_norm), dtype=np.float32)
+        qarr = np.asarray([np.asarray(x, dtype=np.float32)
+                           for x in q_norm])
+        lids = list_id.to_numpy()
+        cmat = np.asarray([np.asarray(c) for c in codes], dtype=np.int32)
+        # group rows by identical query to share the LUTs
+        keys = {}
+        for i in range(len(qarr)):
+            keys.setdefault(qarr[i].tobytes(), []).append(i)
+        for qb, idxs in keys.items():
+            ii = np.asarray(idxs)
+            out[ii] = pq_adc_scores(np.frombuffer(qb, dtype=np.float32),
+                                    lids[ii], cmat[ii], mod)
+        return pd.Series(out)
+
+    scored = cand.withColumn("adc", _adc("q_norm", "list_id", "codes"))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("vec_id"))
+    short = (scored.withColumn("_r", F.row_number().over(w_adc))
+             .filter(F.col("_r") <= rerank * k)
+             .select("query_id", "vec_id"))
+
+    # exact re-rank: true vectors join back by id (the index itself
+    # never carries them)
+    withvec = short.join(src, "vec_id")
+    qexact = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id long, q_embedding array<float>")
+    withq = withvec.join(F.broadcast(qexact), "query_id")
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = _normalize(_as_matrix(a))
+        mb = _normalize(_as_matrix(b))
+        return pd.Series((ma * mb).sum(axis=1).astype(float))
+
+    final = withq.withColumn("cosine", _cos("embedding", "q_embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (final.select("query_id", "vec_id", "cosine")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
                              n_bits: int = 16, bands: int = 8,
                              id_col: str = "vec_id",

@@ -293,3 +293,27 @@ class TestIvf:
         b = sorted(map(tuple, ann_ivf_topk(emb, queries, k=5)
                        .select("query_id", "rank", "vec_id").collect()))
         assert a == b
+
+
+class TestIvfPq:
+    def test_ivfpq_recall_vs_brute(self, spark, emb):
+        """IVF-PQ (coded index + ADC shortlist + exact re-rank) must
+        recover a reasonable fraction of the true top-k — random
+        embeddings are PQ's worst case, so the bound is modest; the
+        driver oracle separately pins engine==single-threaded-twin
+        exactly."""
+        from nipper_spark.functions.similarity import (
+            ann_brute_topk, ann_ivfpq_topk)
+        rows = emb.orderBy("vec_id").limit(4).collect()
+        queries = [(r["vec_id"], r["embedding"]) for r in rows]
+        pq = ann_ivfpq_topk(emb, queries, k=5, n_lists=8, n_probe=4)
+        brute = ann_brute_topk(emb, queries, k=5)
+        p = {(r["query_id"], r["vec_id"]) for r in pq.collect()}
+        b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+        recall = len(p & b) / len(b)
+        assert recall >= 0.4, f"IVF-PQ recall too low: {recall}"
+        # exact re-rank means every reported cosine is the true cosine
+        # and the self-match (cosine 1.0) is rank 1 whenever recalled
+        for r in pq.collect():
+            if r["query_id"] == r["vec_id"]:
+                assert r["rank"] == 1
