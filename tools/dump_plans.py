@@ -121,6 +121,28 @@ def main() -> int:
         "reads only `doc_id,text`.",
         formatted_plan(exact_dup_groups(docs))))
 
+    # 7. IVF-PQ ANN (the coded-index scale path)
+    from nipper_spark.functions.similarity import ann_ivfpq_topk
+    queries2 = queries[:2]
+    sections.append((
+        "IVF-PQ ANN (coded index, ADC shortlist, exact re-rank)",
+        "The corpus is encoded once to `(vec_id, list_id, m codes)` — "
+        "the index side of the probe join carries CODES, never "
+        "vectors; only the rerank·k shortlist joins true vectors back "
+        "by id. Codebooks are a broadcast variable inside the UDF "
+        "closures (no join).",
+        formatted_plan(ann_ivfpq_topk(emb, queries2, k=5, n_lists=8))))
+
+    # 8. deterministic hash sampling (pure codegen)
+    from nipper_spark.functions.sampling import stratified_hash_sample
+    sections.append((
+        "Deterministic hash sampling",
+        "Membership = md5-prefix string compare: one codegen'd CASE "
+        "WHEN filter directly over the scan — no shuffle, no Python, "
+        "repartition-stable decisions.",
+        formatted_plan(stratified_hash_sample(
+            docs, "lang", {"en": 0.5}, "doc_id", 0.1))))
+
     out = ["# PLANS — physical plans of the headline operators",
            "",
            "Generated by `python tools/dump_plans.py` "
