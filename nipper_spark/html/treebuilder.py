@@ -23,8 +23,11 @@ and tokenizer feedback so foreign children stay in the data state.
 ``<template>`` children parse into a separate detached contents
 fragment (arena.template_contents), html5ever semantics.
 
+Frameset documents follow the spec's in_frameset/after_frameset
+modes (body replaced when frameset_ok, whitespace-only text, frame
+voids, noframes rawtext).
+
 Known simplifications (none observable in the reference fixtures):
-- frameset modes are minimal;
 - the template insertion-mode stack is approximated by _reset_mode.
 """
 
@@ -638,6 +641,9 @@ class TreeBuilder:
             self._end_template()
         if self.frag:
             return
+        if self.mode in ("in_frameset", "after_frameset",
+                         "after_after_frameset"):
+            return  # frameset documents have no body
         if self.mode in ("initial", "before_html"):
             nid = self.arena.new_element("html")
             self.arena.append_child(0, nid)
@@ -692,6 +698,12 @@ class TreeBuilder:
             return
         if mode in ("in_table", "in_table_body", "in_row"):
             self._in_table_text(data)
+            return
+        if mode in ("in_frameset", "after_frameset",
+                    "after_after_frameset"):
+            ws = "".join(ch for ch in data if ch in "\t\n\f ")
+            if ws:
+                self._insert_text(ws)
             return
         if mode in ("after_body", "after_after_body"):
             ws = data.strip("\t\n\f ") == ""
@@ -867,7 +879,7 @@ def _mode_after_head(tb: TreeBuilder, tok) -> None:
             return
         if name == "frameset":
             tb._insert_element("frameset", tok[2])
-            tb.mode = "in_body"  # minimal frameset support
+            tb.mode = "in_frameset"
             return
         if name in _IN_HEAD_TAGS:
             # parse error: re-enter head
@@ -1065,6 +1077,17 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
             ns = "svg" if name == "svg" else "math"
             adjust_foreign_attrs(attrs, ns)
             tb._insert_foreign(name, attrs, ns, push=not self_closing)
+            return
+        if name == "frameset":
+            # spec: only when frameset_ok and body is still replaceable
+            # (stack = [html, body, ...] with body the 2nd element)
+            if (not tb.frameset_ok or len(tb.stack) < 2
+                    or tb._name(tb.stack[1]) != "body"):
+                return  # ignore
+            tb.arena.remove_from_parent(tb.stack[1])
+            del tb.stack[1:]
+            tb._insert_element("frameset", attrs)
+            tb.mode = "in_frameset"
             return
         if name in ("caption", "col", "colgroup", "frame", "head", "tbody",
                     "td", "tfoot", "th", "thead", "tr"):
@@ -1518,6 +1541,73 @@ def _mode_after_after_body(tb: TreeBuilder, tok) -> None:
     _MODE_DISPATCH["in_body"](tb, tok)
 
 
+def _mode_in_frameset(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "comment":
+        tb._insert_comment(tok[1])
+        return
+    if k == "doctype":
+        return
+    if k == "start":
+        name = tok[1]
+        if name == "html":
+            tb.arena.add_attrs_if_missing(tb.stack[0], tok[2])
+            return
+        if name == "frameset":
+            tb._insert_element("frameset", tok[2])
+            return
+        if name == "frame":
+            tb._insert_element("frame", tok[2], push=False)
+            return
+        if name == "noframes":
+            _MODE_DISPATCH["in_head"](tb, tok)
+            return
+        return  # anything else: ignore
+    if k == "end":
+        if tok[1] == "frameset":
+            if len(tb.stack) > 1 and tb._name(tb._current()) == "frameset":
+                tb.stack.pop()
+            if tb._name(tb._current()) != "frameset":
+                tb.mode = "after_frameset"
+            return
+        if tok[1] == "noframes":
+            _MODE_DISPATCH["in_head"](tb, tok)
+        return
+
+
+def _mode_after_frameset(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "comment":
+        tb._insert_comment(tok[1])
+        return
+    if k == "start":
+        if tok[1] == "html":
+            tb.arena.add_attrs_if_missing(tb.stack[0], tok[2])
+        elif tok[1] == "noframes":
+            _MODE_DISPATCH["in_head"](tb, tok)
+        return
+    if k == "end":
+        if tok[1] == "html":
+            tb.mode = "after_after_frameset"
+        elif tok[1] == "noframes":
+            _MODE_DISPATCH["in_head"](tb, tok)
+        return
+
+
+def _mode_after_after_frameset(tb: TreeBuilder, tok) -> None:
+    k = tok[0]
+    if k == "comment":
+        tb._insert_comment(tok[1], parent=0)
+        return
+    if k == "start":
+        if tok[1] == "html":
+            tb.arena.add_attrs_if_missing(tb.stack[0], tok[2])
+        elif tok[1] == "noframes":
+            _MODE_DISPATCH["in_head"](tb, tok)
+        return
+    # everything else ignored
+
+
 _MODE_DISPATCH = {
     "initial": _mode_initial,
     "before_html": _mode_before_html,
@@ -1535,6 +1625,9 @@ _MODE_DISPATCH = {
     "text": _mode_text,
     "after_body": _mode_after_body,
     "after_after_body": _mode_after_after_body,
+    "in_frameset": _mode_in_frameset,
+    "after_frameset": _mode_after_frameset,
+    "after_after_frameset": _mode_after_after_frameset,
 }
 
 

@@ -277,3 +277,40 @@ def test_reference_pages_reparse_stable():
         a2 = parse_document(out1)
         out2 = serialize(a2, 0, include_node=True)
         assert out1 == out2, fname
+
+
+# batch 5: frameset modes
+CASES5 = [
+    ("frameset-basic",
+     "<html><frameset cols='1,1'><frame src=a><frame src=b>"
+     "<noframes>nf</noframes></frameset></html>",
+     '<frameset cols="1,1"><frame src="a"><frame src="b">'
+     "<noframes>nf</noframes></frameset>"),
+    ("frameset-nested",
+     "<frameset><frameset rows='1'><frame></frameset><frame></frameset>",
+     '<frameset><frameset rows="1"><frame></frameset><frame></frameset>'),
+    ("frameset-ignored-after-content",
+     "<body>text<frameset><frame></frameset>", None),  # body survives
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES5,
+                         ids=[c[0] for c in CASES5])
+def test_tree_construction_frameset(name, inp, expected):
+    arena = parse_document(inp)
+    html_el = [c for c in arena.children_of(0) if arena.kind[c] == 4][0]
+    kids = {arena.name[c] for c in arena.children_of(html_el)
+            if arena.kind[c] == 4}
+    if expected is None:
+        # frameset_ok was false: body kept, frameset dropped entirely
+        assert kids == {"head", "body"}
+        assert serialize(arena, 0, include_node=True) == \
+            "<html><head></head><body>text</body></html>"
+        return
+    assert "frameset" in kids and "body" not in kids
+    fs = [c for c in arena.children_of(html_el)
+          if arena.name[c] == "frameset"][0]
+    assert serialize(arena, fs, include_node=True) == expected
+    # reparse stability
+    out1 = serialize(arena, 0, include_node=True)
+    assert serialize(parse_document(out1), 0, include_node=True) == out1
