@@ -710,6 +710,74 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide scan → filter → grouped multi-aggregate
+    (the round_log/statistics pattern at relational scale)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+                 F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").cast("bigint").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+_O_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join → grouped revenue → top 10
+    (the fetch-join + top-k pattern on relational data)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy(F.col("l_orderkey").cast("bigint").alias("orderkey"),
+                     F.col("o_orderdate").cast("string")
+                     .alias("orderdate"),
+                     F.col("o_orderpriority").alias("orderpriority"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+            .limit(10))
+
+
+_O_SHIPPING = """
+SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+       CAST(o_orderdate AS VARCHAR) AS orderdate,
+       o_orderpriority AS orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, orderdate, orderkey
+LIMIT 10
+"""
+
+
 def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast star join (dimension tables broadcast like the
     politeness budget dim)."""
@@ -840,6 +908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_dedup": _q_anti_join,
         "round_counters": _q_round_counters,
         "event_time_windows": _q_event_windows,
+        "pricing_summary": _q_pricing_summary,
+        "shipping_priority": _q_shipping_priority,
         "star_join_broadcast": _q_star_join,
         # multimodal plumbing (deterministic fake codecs, full oracle)
         "media_image_features": _q_media_features,
@@ -1231,6 +1301,8 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_dedup": _O_ANTI,
         "round_counters": _O_COUNTERS,
         "event_time_windows": _O_EVENT_WINDOWS,
+        "pricing_summary": _O_PRICING,
+        "shipping_priority": _O_SHIPPING,
         "star_join_broadcast": _O_STAR,
         "media_image_features": _o_media_features(),
         "media_frame_samples": _o_media_frames(),
