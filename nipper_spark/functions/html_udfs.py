@@ -30,7 +30,12 @@ def _to_text(v) -> str:
     if v is None:
         return ""
     if isinstance(v, (bytes, bytearray)):
-        return bytes(v).decode("utf-8", errors="replace")
+        # encoding sniff (BOM + meta-charset prescan): real crawl
+        # payloads are not all UTF-8 — decoding cp1252 pages as
+        # utf-8/replace corrupts text bytes AND every dedup hash
+        # downstream. Shared pure kernel, so the oracle agrees.
+        from nipper_spark.html.encoding import decode_html
+        return decode_html(v)
     return v
 
 

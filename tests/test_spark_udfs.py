@@ -124,3 +124,47 @@ class TestExtractPages:
         for url, _, html, _, _ in fixture_pages_rows():
             doc = Document.from_html(html)
             assert ext[url] == doc.body_text(), url
+
+
+class TestEncodingSniff:
+    """Binary html columns: BOM / meta-charset prescan / fallback —
+    extraction must not mangle non-UTF-8 crawl payloads."""
+
+    def test_meta_charset_cp1252(self):
+        from nipper_spark.functions.html_udfs import extract_text_and_links
+        html = ('<html><head><meta charset="windows-1252"></head>'
+                '<body><p>caf\xe9 \u201cquoted\u201d</p></body></html>'
+                ).encode("cp1252")
+        text, _, _, _ = extract_text_and_links("http://e.test/", html)
+        assert "café" in text and "“quoted”" in text
+
+    def test_http_equiv_latin1(self):
+        from nipper_spark.functions.html_udfs import extract_text_and_links
+        html = ('<html><head><meta http-equiv="Content-Type" '
+                'content="text/html; charset=iso-8859-1"></head>'
+                "<body>na\xefve</body></html>").encode("latin-1")
+        text, _, _, _ = extract_text_and_links("http://e.test/", html)
+        assert "naïve" in text
+
+    def test_utf8_bom(self):
+        from nipper_spark.functions.html_udfs import extract_text_and_links
+        html = "﻿<body>ok漢</body>".encode("utf-8")
+        text, _, _, _ = extract_text_and_links("http://e.test/", html)
+        assert text == "ok漢"          # BOM consumed, not in text
+
+    def test_utf16_bom(self):
+        from nipper_spark.functions.html_udfs import extract_text_and_links
+        html = "<body>wide 漢</body>".encode("utf-16")  # LE + BOM
+        text, _, _, _ = extract_text_and_links("http://e.test/", html)
+        assert text == "wide 漢"
+
+    def test_plain_utf8_unchanged(self):
+        from nipper_spark.functions.html_udfs import extract_text_and_links
+        html = "<body>plain utf8 漢</body>".encode("utf-8")
+        text, _, _, _ = extract_text_and_links("http://e.test/", html)
+        assert text == "plain utf8 漢"
+
+    def test_garbage_never_raises(self):
+        from nipper_spark.html.encoding import decode_html
+        decode_html(b"\xff\xfe\x00garbage\x80\x81<meta charset=nonsense>")
+        decode_html(b"")
