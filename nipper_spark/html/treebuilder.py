@@ -130,6 +130,13 @@ class TreeBuilder:
         self.foster = False
         self.frameset_ok = True
         self.done = False
+        # quirks mode (set_quirks_mode in the reference sink,
+        # src/document.rs): missing doctype or a non-"html" doctype
+        # name → quirks. Observable here: <table> does NOT close an
+        # open <p> in quirks mode. (The full public-id prefix table is
+        # not modeled — doctype-less legacy pages are the real-world
+        # case.)
+        self.quirks = False
 
         if self.frag:
             html = self.arena.new_element("html")
@@ -756,11 +763,16 @@ def _mode_initial(tb: TreeBuilder, tok) -> None:
             DOCTYPE, name=tok[1],
             text=(tok[2] or "") + "\x00" + (tok[3] or ""))
         tb.arena.append_child(0, nid)
+        if tok[1] != "html":
+            tb.quirks = True
         tb.mode = "before_html"
         return
     if k == "comment":
         tb._insert_comment(tok[1], parent=0)
         return
+    # anything else before a doctype (non-ws text arrives here as a
+    # pre-stripped __text__ reprocess token): quirks mode
+    tb.quirks = True
     tb.mode = "before_html"
     _MODE_DISPATCH["before_html"](tb, tok)
 
@@ -1019,8 +1031,8 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
             tb.afe.append(MARKER)
             return
         if name == "table":
-            # non-quirks: close p first
-            tb._maybe_close_p()
+            if not tb.quirks:  # quirks mode: table nests inside the p
+                tb._maybe_close_p()
             tb._insert_element("table", attrs)
             tb.mode = "in_table"
             return

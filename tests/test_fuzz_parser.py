@@ -48,6 +48,11 @@ def test_parser_never_crashes_on_soup(s):
 @settings(max_examples=100, deadline=None)
 @given(_structured)
 def test_parse_serialize_idempotent(s):
+    # standards mode: a quirks (doctype-less) tree can serialize to
+    # markup that reparses differently (e.g. <p><table>… nests in
+    # quirks but the serialized <div> then closes the p) — true of
+    # html5ever as well, so the fixpoint is asserted with a doctype
+    s = "<!DOCTYPE html>" + s
     arena1 = parse_document(s)
     out1 = serialize(arena1, 0, include_node=True)
     arena2 = parse_document(out1)

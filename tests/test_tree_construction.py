@@ -314,3 +314,23 @@ def test_tree_construction_frameset(name, inp, expected):
     # reparse stability
     out1 = serialize(arena, 0, include_node=True)
     assert serialize(parse_document(out1), 0, include_node=True) == out1
+
+
+# batch 6: quirks mode (set_quirks_mode, reference src/document.rs)
+def test_quirks_table_in_p():
+    """Doctype-less documents are quirks mode: <table> does NOT close
+    an open <p> (html5ever behavior on legacy pages)."""
+    assert body_html("<p>a<table><tr><td>x</table>z") == \
+        "<body><p>a<table><tbody><tr><td>x</td></tr></tbody>" \
+        "</table>z</p></body>"
+    assert body_html("<!DOCTYPE html><p>a<table><tr><td>x</table>z") == \
+        "<body><p>a</p><table><tbody><tr><td>x</td></tr></tbody>" \
+        "</table>z</body>"
+    # non-html doctype name is quirks too
+    assert body_html("<!DOCTYPE foo><p>a<table><td>x</table>") == \
+        "<body><p>a<table><tbody><tr><td>x</td></tr></tbody>" \
+        "</table></p></body>"
+    # whitespace/comments before the doctype do NOT force quirks
+    assert body_html("<!--c--> <!DOCTYPE html><p>a<table><td>x</table>") \
+        == "<body><p>a</p><table><tbody><tr><td>x</td></tr></tbody>" \
+        "</table></body>"
