@@ -23,6 +23,7 @@ from pyspark.sql.types import IntegerType, StringType
 
 from nipper_spark.functions.url import resolve_and_canonicalize
 from nipper_spark.html import Document
+from nipper_spark.html.encoding import decode_html
 from nipper_spark.html.document import _matcher
 
 
@@ -34,7 +35,6 @@ def _to_text(v) -> str:
         # payloads are not all UTF-8 — decoding cp1252 pages as
         # utf-8/replace corrupts text bytes AND every dedup hash
         # downstream. Shared pure kernel, so the oracle agrees.
-        from nipper_spark.html.encoding import decode_html
         return decode_html(v)
     return v
 
