@@ -187,7 +187,7 @@ def frontier_stress(master: str, shuffle: int, n_urls: int = 1_000_000,
     isolates the queue machinery the north rule cares about."""
     from pyspark.sql import functions as F
     from nipper_spark.crawl.politeness import (
-        CrawlPolicy, budgets_df, select_wave, wave_order)
+        CrawlPolicy, budgets_df, select_wave, wave_order_specs)
     from nipper_spark.operators.cumsum import row_sequence
     from nipper_spark.plans.inspect import has_broadcast_hash_join
 
@@ -224,14 +224,13 @@ def frontier_stress(master: str, shuffle: int, n_urls: int = 1_000_000,
         assert has_broadcast_hash_join(wave), "budgets must broadcast"
 
         t0 = time.time()
-        sched = row_sequence(wave, wave_order(), "seq")
+        sched = row_sequence(wave, wave_order_specs(), "seq")
         n_wave = sched.count()
         max_seq = sched.agg(F.max("seq")).collect()[0][0]
         assert max_seq == n_wave - 1, (max_seq, n_wave)
         fresh = frontier.join(seen, "url", "left_anti")
         n_fresh = fresh.count()
         dt = time.time() - t0
-        sched.cumsum_persisted.unpersist()
         return {"master": master, "frontier_urls": n,
                 "hot_host_share": 0.3, "wave": n_wave,
                 "fresh_after_antijoin": n_fresh,

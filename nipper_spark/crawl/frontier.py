@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 from nipper_spark.crawl import bloom as B
 from nipper_spark.crawl import cuckoo as CK
 from nipper_spark.crawl.politeness import (
-    CrawlPolicy, budgets_df, robots_filter, select_wave, wave_order)
+    CrawlPolicy, budgets_df, robots_filter, select_wave, wave_order,
+    wave_order_specs)
 from nipper_spark.crawl.state import (
     BLOOM_SCHEMA, FRONTIER_SCHEMA, ROUND_LOG_SCHEMA, SCHEDULE_SCHEMA,
     SEEN_SCHEMA, CrawlState)
@@ -207,7 +208,7 @@ class FrontierEngine:
         # but at 10^10 URLs that is still millions of rows. Adaptive
         # plan: a small wave takes the plain window (one job, and a
         # single window task over ≤ seq_window_threshold rows is cheap);
-        # a big wave takes the two-phase range-partitioned sequence so
+        # a big wave takes the two-phase bucket-partitioned sequence so
         # no single task ever holds the whole wave. The decision uses
         # the previous round's frontier_next as a free upper bound on
         # the wave (wave ⊆ frontier); only the first round after a
@@ -222,13 +223,12 @@ class FrontierEngine:
                 "url", "host", "depth", "score")
             st.write("schedule", r, schedule)
         else:
-            seq_df = row_sequence(wave, wave_order(), "seq")
+            seq_df = row_sequence(wave, wave_order_specs(), "seq")
             schedule = seq_df.select(
                 F.lit(r).alias("round"),
                 F.col("seq").cast("long").alias("seq"),
                 "url", "host", "depth", "score")
             st.write("schedule", r, schedule)
-            seq_df.cumsum_persisted.unpersist()  # written; release
         stats.scheduled = _obs_long(obs_wave, "n", wave.count)
 
         if stats.scheduled == 0:

@@ -29,6 +29,13 @@ def wave_order():
     return [F.col("depth").asc(), F.col("score").desc(), F.col("url").asc()]
 
 
+def wave_order_specs():
+    """Same total order as (name, direction) specs — the form the
+    two-phase cumsum operator needs (it must rebuild the comparison as
+    a literal bucketing expression)."""
+    return [("depth", "asc"), ("score", "desc"), ("url", "asc")]
+
+
 @dataclass
 class CrawlPolicy:
     """Shared config for engine AND oracle — one object, two executors."""
@@ -48,7 +55,7 @@ class CrawlPolicy:
     compact_every: int = 8
     # waves at or below this take a plain row_number window for the
     # schedule seq (one job; a single window task over ≤1M bounded rows
-    # is cheap); above it the two-phase range-partitioned sequence
+    # is cheap); above it the two-phase bucket-partitioned sequence
     # (operators/cumsum.py) keeps any one task from holding the wave
     seq_window_threshold: int = 1 << 20
 

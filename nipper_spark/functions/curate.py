@@ -13,9 +13,11 @@ package):
         keep documents while the running token total fits the budget
 
 The budget step is a global running-sum computed by the two-phase
-range-partitioned operator (operators/cumsum.py) — same semantics as
+bucket-partitioned operator (operators/cumsum.py) — same semantics as
 `sum() OVER (ORDER BY …)` but never a single-partition window, so the
-quality-filtered corpus is not funneled through one task at 100 TB.
+quality-filtered corpus is not funneled through one task at 100 TB;
+the bucket boundaries are literal expressions, so the operator holds
+no persisted state (no cache to leak across calls).
 Everything here is SQL-expressible, so the driver's DuckDB oracle
 checks the whole composite end-to-end.
 """
@@ -49,7 +51,7 @@ def curate_training_set(docs: DataFrame, min_quality: float = 0.5,
         quality_score(text_col),
     ).filter(F.col("quality") >= min_quality)
     budgeted = running_sum(scored,
-                           [F.desc("quality"), F.asc("doc_id")],
+                           [("quality", "desc"), ("doc_id", "asc")],
                            "bpe_tokens", "running_tokens")
     return (budgeted
             .withColumn("running_tokens",

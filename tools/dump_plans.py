@@ -105,12 +105,15 @@ def main() -> int:
         (F.col("id") % 7).alias("w"))
     sections.append((
         "Two-phase global running sum (`operators/cumsum.py`)",
-        "`Exchange rangepartitioning` (parallel) carries the data; the "
-        "only `Exchange SinglePartition` carries ONE ROW PER PARTITION "
+        "`Exchange hashpartitioning(_cumsum_pid)` (parallel) carries "
+        "the data, bucketed by a LITERAL boundary expression sampled "
+        "once on the driver (deterministic across actions — nothing "
+        "persisted, unlike a RangePartitioner); the only `Exchange "
+        "SinglePartition` carries ONE ROW PER BUCKET "
         "(`_cumsum_pid,_ptotal`) for the offset prefix — no "
         "single-partition window over data-scale rows.",
         formatted_plan(running_sum(
-            df, [F.desc("v"), F.asc("id")], "w", "run"))))
+            df, [("v", "desc"), ("id", "asc")], "w", "run"))))
 
     # 6. exact dedup
     from nipper_spark.functions.dedup import exact_dup_groups
