@@ -8,6 +8,7 @@ fingerprints) use Arrow-batched pandas UDFs.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -151,12 +152,195 @@ def fingerprint(text: str, window: int = 64) -> int:
     return best
 
 
+# --- vectorized twin of fingerprint() ---------------------------------
+#
+# The scalar loop above is the semantic definition (and the oracle
+# twin); executing it per byte in Python made this the last
+# unvectorized CPU kernel on the per-document hot path. The batch
+# kernel below computes the identical values with numpy only:
+#
+#   prefix form   T_g = Σ_{g'≤g} d_{g'}·B^{-g'}   (mod M, M = 2^61-1)
+#   window hash   H_g = B^g · (T_g − T_{g−w})
+#
+# over the concatenation of the whole Arrow batch (per-document start
+# offsets cancel algebraically, so one global pass covers every doc).
+# All modular arithmetic stays in uint64 via 31/30-bit limb splitting —
+# exact, no Python-object math.
+
+_M61 = np.uint64(_FP_MOD)
+_MASK31 = np.uint64((1 << 31) - 1)
+_MASK30 = np.uint64((1 << 30) - 1)
+_MASK29 = np.uint64((1 << 29) - 1)
+_FP_BASE_INV = pow(_FP_BASE, _FP_MOD - 2, _FP_MOD)
+_BATCH_BYTES = 1 << 22  # bound the working set per numpy pass
+
+
+_S30, _S31, _S32, _S61 = (np.uint64(k) for k in (30, 31, 32, 61))
+_MASK29_SHIFT = np.uint64(29)
+
+
+def _m61_reduce(x: np.ndarray, in_place: bool = False) -> np.ndarray:
+    """x < 2^64 → canonical representative in [0, M)."""
+    if np.isscalar(x) or x.ndim == 0 or not in_place:
+        x = (x & _M61) + (x >> _S61)
+        return np.where(x >= _M61, x - _M61, x)
+    hi = x >> _S61
+    x &= _M61
+    x += hi
+    np.subtract(x, _M61, out=x, where=x >= _M61)
+    return x
+
+
+def _m61_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*b) mod M for canonical a, b < 2^61, exact in uint64.
+    Buffer-reusing: ~7 array allocations instead of ~15 — on this
+    workload the passes are allocation/first-touch bound, not ALU
+    bound, so temporaries are the cost that matters."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    if a.ndim == 0 and b.ndim == 0:
+        return np.uint64((int(a) * int(b)) % _FP_MOD)
+    a_hi, a_lo = a >> _S31, a & _MASK31
+    b_hi, b_lo = b >> _S31, b & _MASK31
+    mid = a_hi * b_lo
+    tmp = a_lo * b_hi
+    mid += tmp                                       # < 2^62
+    # rotate: mid·2^31 ≡ (mid>>30) + ((mid & MASK30)<<31)
+    np.bitwise_and(mid, _MASK30, out=tmp)
+    tmp <<= _S31
+    mid >>= _S30
+    mid += tmp                                       # < 2^61 + 2^32
+    np.multiply(a_hi, b_hi, out=tmp)
+    tmp <<= np.uint64(1)                             # ·2^62 ≡ ·2, < 2^61
+    mid += tmp                                       # < 2^63
+    _m61_reduce(mid, in_place=True)
+    np.multiply(a_lo, b_lo, out=tmp)                 # < 2^62
+    mid += tmp                                       # < 2^63
+    return _m61_reduce(mid, in_place=True)
+
+
+def _m61_shift32(x: np.ndarray, in_place: bool = False) -> np.ndarray:
+    """(x · 2^32) mod M for x < 2^61: a 61-bit rotation."""
+    if in_place and not np.isscalar(x) and x.ndim:
+        hi = x >> _MASK29_SHIFT
+        x &= _MASK29
+        x <<= _S32
+        x += hi
+        return _m61_reduce(x, in_place=True)
+    return _m61_reduce((x >> _MASK29_SHIFT) + ((x & _MASK29) << _S32))
+
+
+def _m61_sub(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a-b) mod M for canonical a, b: uint64 wraparound + conditional
+    add-back (two allocations instead of five)."""
+    d = a - b
+    np.add(d, _M61, out=d, where=b > a)
+    return d
+
+
+def _pow_array(base: int, n: int) -> np.ndarray:
+    """[base^0 … base^(n-1)] mod M by doubling — O(log n) vector steps."""
+    out = np.empty(max(n, 1), dtype=np.uint64)
+    out[0] = 1
+    k = 1
+    while k < n:
+        step = min(k, n - k)
+        bk = np.uint64(pow(base, k, _FP_MOD))
+        out[k:k + step] = _m61_mul(out[:step], bk)
+        k += step
+    return out[:n]
+
+
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _pow_cached(base: int, n: int) -> np.ndarray:
+    """Power arrays are pure functions of (base, index): grow a
+    module-level cache geometrically and slice — recomputing (and
+    re-faulting) two chunk-sized arrays per Arrow batch was a real cost."""
+    arr = _POW_CACHE.get(base)
+    if arr is None or len(arr) < n:
+        size = max(n, 1 << 12, 0 if arr is None else 2 * len(arr))
+        arr = _pow_array(base, size)
+        _POW_CACHE[base] = arr
+    return arr[:n]
+
+
+def _fingerprint_chunk(datas: list[bytes], window: int) -> np.ndarray:
+    lens = np.array([len(d) for d in datas], dtype=np.int64)
+    out = np.zeros(len(datas), dtype=np.uint64)
+    if lens.sum() == 0:
+        return out
+    big = np.frombuffer(b"".join(datas), dtype=np.uint8).astype(np.uint64)
+    n = len(big)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    ends = starts + lens
+    bpow = _pow_cached(_FP_BASE, n)
+    binv = _pow_cached(_FP_BASE_INV, n)
+    # a_g = d_g · B^{-g}: the byte side is < 2^8, so a cheap split of
+    # the inverse power replaces the general 15-op modmul
+    a = _m61_shift32(big * (binv >> _S32), in_place=True)
+    a += big * (binv & np.uint64(0xFFFFFFFF))
+    _m61_reduce(a, in_place=True)
+    # limb-split cumulative sum: each limb stays far below 2^64 for any
+    # realistic chunk (n ≤ 2^22 bytes → hi < 2^51, lo < 2^54)
+    lo = np.cumsum(a & np.uint64(0xFFFFFFFF), dtype=np.uint64)
+    hi = np.cumsum(a >> np.uint64(32), dtype=np.uint64)
+    t = _m61_shift32(_m61_reduce(hi, in_place=True), in_place=True)
+    t += _m61_reduce(lo, in_place=True)
+    _m61_reduce(t, in_place=True)
+    tpad = np.concatenate((np.zeros(1, dtype=np.uint64), t))  # T_{g-1}
+    # sliding windows (docs longer than `window`): hall[j] is the hash
+    # of the window ending at byte j+window-1 — computed over the WHOLE
+    # concatenation with contiguous slices (no gather); windows that
+    # straddle a doc boundary land in the discarded odd reduceat
+    # segments. hall index j for doc d's windows spans exactly
+    # [starts[d], ends[d]-window+1).
+    m = n - window + 1
+    long_idx = np.nonzero(lens > window)[0]
+    if m > 0 and len(long_idx):
+        hall = _m61_mul(bpow[window - 1:], _m61_sub(t[window - 1:],
+                                                    tpad[:m]))
+        bounds = np.empty(2 * len(long_idx), dtype=np.int64)
+        bounds[0::2] = starts[long_idx]
+        bounds[1::2] = ends[long_idx] - window + 1
+        if bounds[-1] >= len(hall):     # reduceat indices must be < len
+            bounds = bounds[:-1]        # last segment then runs to end
+        red = np.maximum.reduceat(hall, bounds)
+        out[long_idx] = red[0::2]
+    # short docs (0 < len ≤ window): one whole-doc hash each
+    sh = np.nonzero((lens > 0) & (lens <= window))[0]
+    if len(sh):
+        gl = ends[sh] - 1
+        out[sh] = _m61_mul(bpow[gl], _m61_sub(t[gl], tpad[starts[sh]]))
+    return out
+
+
+def fingerprint_batch(texts, window: int = 64) -> np.ndarray:
+    """Vectorized fingerprint() over a sequence of texts → int64 array.
+    Chunked so the numpy working set stays bounded regardless of the
+    Arrow batch size."""
+    datas = [(t if isinstance(t, str) else "").encode(
+        "utf-8", errors="replace") for t in texts]
+    out = np.zeros(len(datas), dtype=np.uint64)
+    i = 0
+    while i < len(datas):
+        j, total = i, 0
+        while j < len(datas) and (total == 0 or
+                                  total + len(datas[j]) <= _BATCH_BYTES):
+            total += len(datas[j])
+            j += 1
+        out[i:j] = _fingerprint_chunk(datas[i:j], window)
+        i = j
+    return out.astype(np.int64)
+
+
 def fingerprint_udf(window: int = 64):
     @F.pandas_udf("long")
     def _fp(text: pd.Series) -> pd.Series:
-        return pd.Series([fingerprint(str(t) if t is not None else "",
-                                      window) for t in text],
-                         dtype="int64")
+        vals = fingerprint_batch(
+            [str(t) if t is not None else "" for t in text], window)
+        return pd.Series(vals, dtype="int64")
 
     return _fp
 

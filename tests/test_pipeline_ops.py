@@ -48,6 +48,31 @@ class TestTextAnalysis:
         frac_en = out.filter("pred = 'en'").count() / out.count()
         assert frac_en > 0.5  # synthetic corpus is english-ish word salad
 
+    def test_fingerprint_batch_matches_scalar(self):
+        """The vectorized Mersenne-61 kernel must equal the per-byte
+        scalar definition bit-for-bit — empty/short/boundary lengths,
+        multi-byte UTF-8, and surrogates-replaced text included."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from nipper_spark.functions.text_udfs import (
+            fingerprint, fingerprint_batch)
+
+        fixed = ["", "a", "x" * 63, "y" * 64, "z" * 65, "é中文" * 50,
+                 "\x00\x01\xff" * 40, "hello world " * 30]
+        for w in (1, 2, 63, 64, 65, 128):
+            assert list(fingerprint_batch(fixed, w)) == [
+                fingerprint(t, w) for t in fixed]
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.text(max_size=300), max_size=12),
+               st.sampled_from([1, 7, 64, 200]))
+        def prop(texts, w):
+            assert list(fingerprint_batch(texts, w)) == [
+                fingerprint(t, w) for t in texts]
+
+        prop()
+
     def test_fingerprint_pure_matches_udf(self, spark, docs):
         from nipper_spark.functions.text_udfs import (
             fingerprint, fingerprint_udf)
