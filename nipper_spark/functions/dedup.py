@@ -298,19 +298,31 @@ def simhash_udf(ngram: int = 2):
     return _sh
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50,
+                         checkpoint_every: int = 5) -> DataFrame:
     """(id_a, id_b) edges → (id, component) with component = min id
     reachable — the clustering step between near-dup PAIRS and a
     one-survivor-per-cluster dedup decision.
 
-    Iterative min-label propagation, entirely DataFrame ops: each round
-    joins the edge list against current labels and takes the min over
-    neighbors; converges in O(graph diameter) rounds. Only nodes that
-    appear in an edge participate (everything else is its own singleton
-    component by definition) — so at 100 TB the iteration state is
-    pair-table-sized, never corpus-sized. Convergence is detected with
-    an aggregate (count of changed labels), no driver-side collect of
-    labels."""
+    Each round does min-label propagation (min over neighbors'
+    labels) AND pointer jumping (label ← label-of-label): both steps
+    only ever lower a node's label to the label of a node in the same
+    component, so the fixpoint is exactly min-reachable-id (the
+    union-find answer); the pointer jump makes convergence O(log
+    diameter) rounds instead of O(diameter), so a near-dup CHAIN of
+    incrementally-edited pages (a path graph) converges in ~log2(len)
+    rounds. Only nodes that appear in an edge participate (everything
+    else is its own singleton component by definition) — so at 100 TB
+    the iteration state is pair-table-sized, never corpus-sized.
+    Convergence is detected with an aggregate (count of changed
+    labels), no driver-side collect of labels; exhausting ``max_iter``
+    without converging RAISES rather than silently returning labels
+    that would diverge from the union-find oracle. Every
+    ``checkpoint_every`` rounds the label table is localCheckpoint'ed:
+    chained join lineage otherwise grows linearly in rounds (analyzer
+    cost, and any cache-block loss replays the whole chain).
+
+    The returned DataFrame carries ``cc_rounds`` (int) for tests."""
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = (edges.unionByName(edges.select(F.col("b").alias("a"),
                                             F.col("a").alias("b")))
@@ -318,17 +330,34 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("component", F.col("id")).cache())
     labels.count()
-    for _ in range(max_iter):
+    rounds = 0
+    converged = False
+    for it in range(max_iter):
+        rounds = it + 1
         neigh = (edges.join(labels.select(F.col("id").alias("b"),
                                           F.col("component").alias("nc")),
                             "b")
                  .groupBy("a").agg(F.min("nc").alias("min_nc")))
-        new_labels = (labels.join(neigh.withColumnRenamed("a", "id"),
-                                  "id", "left")
-                      .select("id",
-                              F.least("component",
-                                      F.coalesce("min_nc", "component"))
-                              .alias("component")).cache())
+        stepped = (labels.join(neigh.withColumnRenamed("a", "id"),
+                               "id", "left")
+                   .select("id",
+                           F.least("component",
+                                   F.coalesce("min_nc", "component"))
+                           .alias("component")))
+        # pointer jump: component ← stepped-label OF the component node.
+        # Labels start as self-ids and only ever take values of reachable
+        # node ids, so label(label(u)) ≤ label(u) and stays in-component.
+        new_labels = (stepped.alias("s")
+                      .join(stepped.select(
+                          F.col("id").alias("component"),
+                          F.col("component").alias("_jump")),
+                          "component", "left")
+                      .select("id", F.coalesce("_jump", "component")
+                              .alias("component")))
+        if rounds % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.component") != F.col("o.component"))
@@ -336,8 +365,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter > 2^rounds is implausible — check for label "
+            "churn or raise max_iter)")
+    labels.cc_rounds = rounds  # type: ignore[attr-defined]
     return labels
 
 

@@ -114,16 +114,26 @@ def ann_lsh_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]],
     spark = corpus.sparkSession
     dim = len(queries[0][1])
     buckets = lsh_bucket_udf(dim, n_bits, bands, seed)
+    # candidate generation on (vec_id, bucket) ONLY: the corpus vectors
+    # must not ride the bands× bucket explode — the (query_id, vec_id)
+    # dedup exchange would otherwise carry bands× embeddings
     c = corpus.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).alias("embedding"),
                       F.explode(buckets(F.col(vec_col))).alias("bucket"))
     qdf = spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in queries],
         "query_id long, q_embedding array<float>")
-    q = qdf.select("query_id", "q_embedding",
+    q = qdf.select("query_id",
                    F.explode(buckets(F.col("q_embedding"))).alias("bucket"))
     cand = (c.join(F.broadcast(q), "bucket")
+            .select("query_id", "vec_id")
             .dropDuplicates(["query_id", "vec_id"]))
+    # embeddings join back by id AFTER dedup (candidates ≪ corpus), the
+    # broadcast query table re-attaches q_embedding by query_id
+    withv = (cand
+             .join(corpus.select(F.col(id_col).alias("vec_id"),
+                                 F.col(vec_col).alias("embedding")),
+                   "vec_id")
+             .join(F.broadcast(qdf), "query_id"))
 
     @F.pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -131,7 +141,7 @@ def ann_lsh_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]],
         mb = _normalize(_as_matrix(b))
         return pd.Series((ma * mb).sum(axis=1).astype(float))
 
-    scored = cand.withColumn("cosine", _cos("embedding", "q_embedding"))
+    scored = withv.withColumn("cosine", _cos("embedding", "q_embedding"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id"))
     return (scored.select("query_id", "vec_id", "cosine")

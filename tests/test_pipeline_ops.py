@@ -146,6 +146,34 @@ class TestDedup:
                       for r in near_dup_survivors(docs, pairs).collect())
         assert surv == [1, 5, 10, 30]  # 5 untouched: singleton survives
 
+    def test_connected_components_long_chain(self, spark):
+        """A path graph models an incrementally-edited page series —
+        the case plain min-propagation (O(diameter) rounds) silently
+        got wrong past its round cap. Pointer jumping must converge a
+        200-node chain in O(log n) rounds, well under the cap, with
+        every node labelled by the chain head."""
+        from nipper_spark.functions.dedup import connected_components
+        n = 200
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+        labels = connected_components(pairs)
+        comp = {r["id"]: r["component"] for r in labels.collect()}
+        assert comp == {i: 0 for i in range(n)}
+        # log2(200) ≈ 7.6; leave slack but stay far under the old
+        # 25-round silent cap to prove the jump is doing the work
+        assert labels.cc_rounds <= 12, labels.cc_rounds
+
+    def test_connected_components_raises_if_capped(self, spark):
+        """Exhausting max_iter must raise, never silently return labels
+        that diverge from the union-find oracle."""
+        import pytest as _pytest
+
+        from nipper_spark.functions.dedup import connected_components
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "id_a long, id_b long")
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iter=2)
+
     def test_simhash_bit_balance(self):
         """Regression: the per-bit sums must be SIGNED. In uint64 the
         minority-bit sums wrap to huge positives, every bit reads as 1,

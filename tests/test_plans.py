@@ -175,6 +175,28 @@ class TestCandidateShuffleVolume:
         for cols in bucketed:
             assert "vec" not in cols and "embedding" not in cols, cols
 
+    def test_ann_lsh_candidates_carry_no_vectors(self, spark,
+                                                 tmp_path_factory,
+                                                 no_broadcast):
+        """Same ids-first discipline on the ANN query path: neither the
+        bucket-join nor the (query_id, vec_id) dedup exchange may carry
+        an embedding — vectors join back after dedup."""
+        from nipper_spark.functions.similarity import ann_lsh_topk
+        path = str(tmp_path_factory.mktemp("e2") / "embeddings.parquet")
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+            .write.mode("overwrite").parquet(path)
+        emb = spark.read.parquet(path)
+        qs = [(r["vec_id"], r["embedding"])
+              for r in emb.orderBy("vec_id").limit(2).collect()]
+        topk = ann_lsh_topk(emb, qs, k=3)
+        seen_bucket_or_dedup = []
+        for cols in exchange_input_columns(topk):
+            if "bucket" in cols or set(cols) == {"query_id", "vec_id"}:
+                seen_bucket_or_dedup.append(cols)
+                assert "embedding" not in cols and \
+                    "q_embedding" not in cols, cols
+        assert seen_bucket_or_dedup
+
 
 class TestTopkEquivalence:
     def test_salted_equals_plain_window(self, spark):
