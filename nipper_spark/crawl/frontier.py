@@ -110,18 +110,59 @@ def _host_cols(df: DataFrame, policy: CrawlPolicy) -> DataFrame:
 
 class FrontierEngine:
     def __init__(self, spark: SparkSession, pages: DataFrame,
-                 state_dir: str, policy: CrawlPolicy) -> None:
+                 state_dir: str, policy: CrawlPolicy,
+                 rules: DataFrame | None = None,
+                 budgets: DataFrame | None = None) -> None:
+        """``rules`` (host, prefix) and ``budgets`` (host, tokens) are
+        per-host DIMENSION TABLES (e.g. from
+        robots.harvest_robots_tables) — the scale path: robots/budget
+        state lives in data joined per round, never in driver dicts
+        compiled into Catalyst literals. When omitted, the config-dict
+        policy converts into the same tables (a convenience that is
+        only sound at config scale, which dicts are by construction).
+        Table row counts are measured once here so every downstream
+        join can size-guard its broadcast decision."""
         self.spark = spark
         self.pages = pages
         self.state = CrawlState(spark, state_dir)
         self.policy = policy
-        self._budgets = budgets_df(spark, policy)
+        if budgets is None:
+            self._budgets = budgets_df(spark, policy)
+            self._budgets_rows = max(len(policy.host_tokens), 1)
+        else:
+            self._budgets = budgets
+            self._budgets_rows = budgets.count()
+        if rules is None:
+            self._rules = None  # robots_filter builds from dicts (or skips)
+            self._rules_rows = sum(len(v) for v in
+                                   policy.robots_disallow.values())
+        else:
+            self._rules = rules
+            self._rules_rows = rules.count()
 
     # ------------------------------------------------------------------
     def bootstrap(self, seeds: list[tuple[str, float]]) -> None:
         """Round-0 state from a seed list (canonicalized, deduped,
         robots-filtered — seeds count as 'seen' immediately)."""
         pol = self.policy
+        seed_rules: dict[str, list[str]] = {}
+        if self._rules is not None:
+            # seeds are a driver-side list by contract; pull ONLY their
+            # hosts' rules from the table (bounded by the seed list)
+            hosts = sorted({host_of(canonicalize_url(u) or "") or ""
+                            for u, _ in seeds} - {""})
+            for r in self._rules.filter(
+                    F.col("host").isin(hosts)).collect():
+                seed_rules.setdefault(r["host"], []).append(r["prefix"])
+
+        def _seed_allowed(host: str, url: str) -> bool:
+            if not pol.allowed(host, url):
+                return False
+            i = url.find("/", url.find("://") + 3)
+            path = url[i:] if i != -1 else "/"
+            return not any(path.startswith(p)
+                           for p in seed_rules.get(host, ()))
+
         rows = []
         taken = set()
         for url, score in seeds:
@@ -129,7 +170,7 @@ class FrontierEngine:
             if canon is None or canon in taken:
                 continue
             host = host_of(canon)
-            if not pol.allowed(host, canon):
+            if not _seed_allowed(host, canon):
                 continue
             taken.add(canon)
             rows.append((canon, host, host_bucket(host, pol.n_buckets),
@@ -200,7 +241,25 @@ class FrontierEngine:
             st.commit_round(r)
             return stats
 
-        wave, residual = select_wave(frontier, self._budgets, pol)
+        # every adaptive decision this round (plain window vs two-phase
+        # seq; broadcast vs shuffle joins of the wave) keys off one
+        # upper bound on the wave size: the previous round's
+        # frontier_next (free — wave ⊆ frontier), or one count job on
+        # the frontier right after a resume
+        bound = wave_bound if wave_bound is not None else frontier.count()
+        big_wave = bound > pol.broadcast_wave_threshold
+
+        def _wave_side(df: DataFrame) -> DataFrame:
+            # Σ budgets bounds the wave, but Σ budgets grows with host
+            # count: above the threshold the wave must NOT broadcast
+            # (multi-GB driver/executor OOM) — joins fall back to
+            # shuffle joins, which AQE skew-splits if a hot host
+            # dominates
+            return df if big_wave else F.broadcast(df)
+
+        wave, residual = select_wave(frontier, self._budgets, pol,
+                                     wave_bound=bound,
+                                     budgets_rows=self._budgets_rows)
         obs_wave = Observation()
         wave = wave.observe(obs_wave, F.count(F.lit(1)).alias("n")).cache()
 
@@ -209,11 +268,7 @@ class FrontierEngine:
         # plan: a small wave takes the plain window (one job, and a
         # single window task over ≤ seq_window_threshold rows is cheap);
         # a big wave takes the two-phase bucket-partitioned sequence so
-        # no single task ever holds the whole wave. The decision uses
-        # the previous round's frontier_next as a free upper bound on
-        # the wave (wave ⊆ frontier); only the first round after a
-        # resume pays one count job on the cached wave.
-        bound = wave_bound if wave_bound is not None else wave.count()
+        # no single task ever holds the whole wave.
         if bound <= pol.seq_window_threshold:
             from pyspark.sql import Window
             schedule = wave.select(
@@ -241,15 +296,17 @@ class FrontierEngine:
             wave.unpersist()
             return stats
 
-        # "fetch" = broadcast the (small) wave against the big pages scan
-        fetched = self.pages.join(F.broadcast(wave.select("url")), "url") \
+        # "fetch" = join the wave against the big pages scan (broadcast
+        # while the wave bound allows; shuffle join above the threshold
+        # so the driver never holds an unbounded wave)
+        fetched = self.pages.join(_wave_side(wave.select("url")), "url") \
             .select("url", "html")
         obs_fetch = Observation()
         ext = extract_pages(fetched).observe(
             obs_fetch, F.count(F.lit(1)).alias("n"))
 
         links = (ext.select("url", F.explode("outlinks").alias("dst"))
-                 .join(F.broadcast(wave.select("url", "depth", "score")),
+                 .join(_wave_side(wave.select("url", "depth", "score")),
                        "url"))
         cand = (links
                 .select(F.col("dst").alias("url"),
@@ -259,7 +316,8 @@ class FrontierEngine:
                 .agg(F.min("depth").alias("depth"),
                      F.max("score").alias("score")))
         cand = _host_cols(cand, pol)
-        cand = robots_filter(cand, pol).filter(
+        cand = robots_filter(cand, pol, rules=self._rules,
+                             rules_rows=self._rules_rows).filter(
             F.col("depth") <= pol.max_depth)
 
         # bloom prefilter: bucket-cogrouped probe (state and candidates

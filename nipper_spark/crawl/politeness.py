@@ -58,6 +58,15 @@ class CrawlPolicy:
     # is cheap); above it the two-phase bucket-partitioned sequence
     # (operators/cumsum.py) keeps any one task from holding the wave
     seq_window_threshold: int = 1 << 20
+    # waves at or below this many rows broadcast into the fetch /
+    # outlink / residual joins; above it those switch to shuffle joins
+    # — Σ politeness budgets grows linearly with host count, so at
+    # 10^7+ polite hosts a broadcast wave is a multi-GB driver/executor
+    # OOM. ~2M urls ≈ 100 MB broadcast at avg url length.
+    broadcast_wave_threshold: int = 1 << 21
+    # dimension tables (budgets, robots rules) at or below this many
+    # rows broadcast; above it they join host-bucketed
+    broadcast_dim_threshold: int = 1 << 20
 
     def tokens(self, host: str) -> int:
         return self.host_tokens.get(host, self.default_tokens)
@@ -79,16 +88,40 @@ def budgets_df(spark, policy: CrawlPolicy) -> DataFrame:
                                  "host string, tokens int")
 
 
+def _maybe_broadcast(df: DataFrame, n_rows: int | None,
+                     threshold: int) -> DataFrame:
+    """Broadcast hint only when the side is KNOWN to be small; unknown
+    sizes take the shuffle path (safe at any scale — AQE upgrades small
+    shuffled sides to broadcast at runtime anyway)."""
+    return F.broadcast(df) if n_rows is not None and n_rows <= threshold \
+        else df
+
+
 def select_wave(frontier: DataFrame, budgets: DataFrame,
-                policy: CrawlPolicy) -> tuple[DataFrame, DataFrame]:
+                policy: CrawlPolicy, wave_bound: int | None = None,
+                budgets_rows: int | None = None
+                ) -> tuple[DataFrame, DataFrame]:
     """Split a round's frontier into (wave, residual).
 
-    The budgets dim is broadcast (small); per-host top-k goes through
-    the salted two-phase operator so a Zipf-hot host cannot pin a
-    shuffle partition. Ordering inside a host — and globally — is the
-    deterministic (depth, -score, url) key.
+    Per-host top-k goes through the salted two-phase operator so a
+    Zipf-hot host cannot pin a shuffle partition. Ordering inside a
+    host — and globally — is the deterministic (depth, -score, url) key.
+
+    Join strategy is size-guarded, never assumed: the budgets dim
+    broadcasts only when its row count is known ≤
+    ``broadcast_dim_threshold`` (config-dict budgets are; a harvested
+    10^7-host table is not), and the residual anti-join broadcasts the
+    wave only when ``wave_bound`` (an upper bound the caller already
+    has: Σ budgets or the previous round's frontier size) stays under
+    ``broadcast_wave_threshold`` — Σ budgets grows with host count, so
+    "the wave is small" is a fixed-host-count assumption, not an
+    invariant. ``budgets_rows=None`` with a config-built dim defaults
+    to broadcast via the callers that know its size.
     """
-    f = frontier.join(F.broadcast(budgets), "host", "left") \
+    f = frontier.join(
+        _maybe_broadcast(budgets, budgets_rows,
+                         policy.broadcast_dim_threshold),
+        "host", "left") \
         .withColumn("_tokens", F.coalesce(F.col("tokens"),
                                           F.lit(policy.default_tokens))) \
         .drop("tokens")
@@ -96,23 +129,42 @@ def select_wave(frontier: DataFrame, budgets: DataFrame,
         f, "host", wave_order(), F.col("_tokens"),
         salt=policy.salt, rank_col="_rk")
     wave = ranked.drop("_rk", "_tokens")
-    # wave is budget-bounded → broadcast the anti-join so the (much
-    # larger) frontier is never shuffled just to compute the residual
-    residual = frontier.join(F.broadcast(wave.select("url")), "url",
-                             "left_anti")
+    residual = frontier.join(
+        _maybe_broadcast(wave.select("url"), wave_bound,
+                         policy.broadcast_wave_threshold),
+        "url", "left_anti")
     return wave, residual
 
 
-def robots_filter(candidates: DataFrame, policy: CrawlPolicy) -> DataFrame:
-    """Drop disallowed URLs. The rule table is tiny config state, so it
-    compiles into a literal CASE/filter expression — pure Catalyst, no
-    UDF in this hot path."""
-    if not policy.robots_disallow:
-        return candidates
-    cond = F.lit(True)
-    path = F.regexp_replace("url", r"^https?://[^/]+", "")
-    for host, prefixes in sorted(policy.robots_disallow.items()):
-        for p in prefixes:
-            bad = (F.col("host") == host) & path.startswith(p)
-            cond = cond & ~bad
-    return candidates.filter(cond)
+def rules_df_from_policy(spark, policy: CrawlPolicy) -> DataFrame:
+    """Config-dict disallow rules as the (host, prefix) rules table —
+    the engine consumes ONLY the table form; dicts are a small-scale
+    configuration convenience."""
+    rows = [(h, p) for h, ps in sorted(policy.robots_disallow.items())
+            for p in sorted(set(ps))]
+    return spark.createDataFrame(rows or [("__none__", "\x00")],
+                                 "host string, prefix string")
+
+
+def robots_filter(candidates: DataFrame, policy: CrawlPolicy,
+                  rules: DataFrame | None = None,
+                  rules_rows: int | None = None) -> DataFrame:
+    """Drop disallowed URLs: LEFT ANTI JOIN against the per-host rules
+    table on (host equality AND path-startswith-prefix). The rules
+    live in DATA, not in the plan — a literal expression over the rule
+    set would grow the Catalyst tree linearly in rule count and kill
+    the analyzer at 10^5+ hosts long before data moves. Host is an
+    equi-key, so the join shuffles (or broadcasts, when the table is
+    known-small) exactly like every other host-bucketed exchange."""
+    if rules is None:
+        if not policy.robots_disallow:
+            return candidates
+        rules = rules_df_from_policy(candidates.sparkSession, policy)
+        rules_rows = sum(len(v) for v in policy.robots_disallow.values())
+    r = rules.select(F.col("host").alias("_r_host"),
+                     F.col("prefix").alias("_r_prefix"))
+    r = _maybe_broadcast(r, rules_rows, policy.broadcast_dim_threshold)
+    path = F.regexp_replace(candidates["url"], r"^https?://[^/]+", "")
+    cond = (candidates["host"] == F.col("_r_host")) & \
+        path.startswith(F.col("_r_prefix"))
+    return candidates.join(r, cond, "left_anti")

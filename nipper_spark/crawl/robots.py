@@ -105,15 +105,96 @@ def harvest_robots(pages_rows: list[tuple[str, str | bytes]],
     return policy
 
 
+_HARVEST_SCHEMA = "host string, prefix string, tokens int"
+
+
+def harvest_robots_tables(pages_df, agent: str = "*",
+                          round_seconds: float = 60.0,
+                          default_tokens: int = 4):
+    """Executor-side harvest: robots.txt rows parse inside a
+    ``mapInPandas`` pass (same ``parse_robots_txt`` kernel the oracle
+    uses) and come back as two per-host DATAFRAMES — never as driver
+    dicts, never as robots.txt bodies collected to the driver:
+
+        rules:   (host, prefix)   disallow prefixes post allow-merge
+        budgets: (host, tokens)   min(default, ⌊round_seconds/delay⌋)
+
+    Both are host-keyed tables the engine joins like any other
+    dimension, so 10^8 polite hosts cost a bucketed join, not an
+    analyzer-killing literal expression or a driver OOM. The oracle
+    twin reads the SAME tables via :func:`policy_from_tables`
+    (collect — the oracle is single-threaded and test-scale by
+    definition)."""
+    from pyspark.sql import functions as F
+
+    robots = (pages_df
+              .filter(F.col("url").endswith("/robots.txt"))
+              .select("url", "html"))
+
+    def _parse(batches):
+        import pandas as pd
+        for pdf in batches:
+            hosts, prefixes, tokens = [], [], []
+            for url, body in zip(pdf["url"], pdf["html"]):
+                host = host_of(url)
+                if not host:
+                    continue
+                rules = parse_robots_txt(
+                    body if body is not None else b"", agent)
+                merged: list[str] = []
+                for p in rules.disallow:
+                    if not any(p.startswith(a) for a in rules.allow) \
+                            and p not in merged:
+                        merged.append(p)
+                for p in merged:
+                    hosts.append(host)
+                    prefixes.append(p)
+                    tokens.append(None)
+                if rules.crawl_delay and rules.crawl_delay > 0:
+                    budget = max(1, math.floor(
+                        round_seconds / rules.crawl_delay))
+                    hosts.append(host)
+                    prefixes.append(None)
+                    tokens.append(min(default_tokens, budget))
+            yield pd.DataFrame({"host": hosts, "prefix": prefixes,
+                                "tokens": pd.array(tokens,
+                                                   dtype="Int32")})
+
+    # lazy localCheckpoint: the first action runs the (whole-table-
+    # scanning) parse once; the rules/budgets branches then both read
+    # the materialized result instead of re-scanning pages
+    harvested = robots.mapInPandas(_parse, schema=_HARVEST_SCHEMA) \
+        .localCheckpoint(eager=False)
+    rules_df = (harvested.filter(F.col("prefix").isNotNull())
+                .select("host", "prefix").distinct())
+    budgets_df = (harvested.filter(F.col("tokens").isNotNull())
+                  .groupBy("host").agg(F.min("tokens").alias("tokens")))
+    return rules_df, budgets_df
+
+
+def policy_from_tables(policy: CrawlPolicy, rules_df, budgets_df
+                       ) -> CrawlPolicy:
+    """Fold harvested TABLES into a dict-backed policy for the
+    single-threaded oracle (and for seed filtering) — a test-scale
+    collect by definition; the distributed engine never calls this."""
+    for r in rules_df.collect():
+        policy.robots_disallow.setdefault(r["host"], []).append(r["prefix"])
+    for h in policy.robots_disallow:
+        policy.robots_disallow[h] = sorted(policy.robots_disallow[h])
+    for r in budgets_df.collect():
+        cur = policy.host_tokens.get(r["host"], policy.default_tokens)
+        policy.host_tokens[r["host"]] = min(cur, int(r["tokens"]))
+    return policy
+
+
 def harvest_robots_from_pages(pages_df, policy: CrawlPolicy,
                               agent: str = "*",
                               round_seconds: float = 60.0) -> CrawlPolicy:
-    """Spark-side harvest: robots.txt rows are a tiny, pushdown-pruned
-    slice of the pages table (one row per host), collected to the
-    driver because the policy itself is broadcast-scale state."""
-    from pyspark.sql import functions as F
-    rows = (pages_df
-            .filter(F.col("url").endswith("/robots.txt"))
-            .select("url", "html").collect())
-    return harvest_robots([(r["url"], r["html"]) for r in rows],
-                          policy, agent, round_seconds)
+    """Dict-policy convenience on top of the table harvest (parse still
+    happens executor-side; only the parsed per-host RULES are
+    collected, bounded by rule count — suitable for config-scale host
+    counts and for building the oracle's policy)."""
+    rules_df, budgets_df = harvest_robots_tables(
+        pages_df, agent, round_seconds,
+        default_tokens=policy.default_tokens)
+    return policy_from_tables(policy, rules_df, budgets_df)

@@ -95,8 +95,58 @@ class TestJoinStrategies:
             "url string, host string, host_bucket int, depth int, "
             "score double, discovered_round int")
         pol = CrawlPolicy(default_tokens=2, host_tokens={"h0.test": 1})
-        wave, _ = select_wave(frontier, budgets_df(spark, pol), pol)
+        wave, _ = select_wave(frontier, budgets_df(spark, pol), pol,
+                              budgets_rows=1)
         assert has_broadcast_hash_join(wave)
+
+    def test_wave_joins_size_guarded(self, spark):
+        """Both broadcast regimes, plan-pinned: below the threshold the
+        residual anti-join broadcasts the wave; above it (Σ budgets ∝
+        host count — NOT bounded) the same join must fall back to a
+        shuffle join instead of an unbounded driver broadcast. Same for
+        an unknown-size budgets dim. (Auto-broadcast is disabled so the
+        tiny test tables can't be broadcast by stats — at real scale
+        the un-hinted sides are far beyond any auto threshold.)"""
+        from nipper_spark.crawl.politeness import (
+            CrawlPolicy, budgets_df, select_wave)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            frontier = spark.createDataFrame(
+                [(f"http://h{i % 3}.test/p/{i}", f"h{i % 3}.test", i % 4,
+                  1, 1.0, 0) for i in range(20)],
+                "url string, host string, host_bucket int, depth int, "
+                "score double, discovered_round int")
+            pol = CrawlPolicy(default_tokens=2)
+            dim = budgets_df(spark, pol)
+            _, res_small = select_wave(frontier, dim, pol,
+                                       wave_bound=10, budgets_rows=1)
+            assert has_broadcast_hash_join(res_small)
+            _, res_big = select_wave(
+                frontier, dim, pol,
+                wave_bound=pol.broadcast_wave_threshold + 1,
+                budgets_rows=pol.broadcast_dim_threshold + 1)
+            assert not has_broadcast_hash_join(res_big), \
+                plan_string(res_big)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_robots_filter_is_a_join_not_a_literal_expression(self, spark):
+        """Robots rules live in DATA: the candidate filter must be an
+        anti JOIN against the (host, prefix) table — a literal
+        expression would grow the plan linearly in rule count and kill
+        the analyzer at 10^5+ hosts."""
+        from nipper_spark.crawl.politeness import (
+            CrawlPolicy, robots_filter)
+        cand = spark.createDataFrame(
+            [(f"http://h{i}.test/p/{i}", f"h{i}.test") for i in range(6)],
+            "url string, host string")
+        rules = spark.range(3).select(
+            F.concat(F.lit("h"), F.col("id")).alias("host"),
+            F.lit("/p/").alias("prefix"))
+        out = robots_filter(cand, CrawlPolicy(), rules=rules, rules_rows=3)
+        plan = plan_string(out)
+        assert "LeftAnti" in plan, plan
 
 
 class TestPythonBoundary:

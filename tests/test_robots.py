@@ -114,3 +114,80 @@ class TestHarvest:
         for waves in got.values():
             for url, h, _, _ in waves:
                 assert policy.allowed(h, url)
+
+    def test_engine_oracle_agree_with_rules_tables_10k_hosts(self,
+                                                             tmp_path):
+        """The scale path: robots/budget state as per-host TABLES
+        (harvest_robots_tables) joined by the engine — never driver
+        dicts compiled into Catalyst literals. 10,000 distinct hosts
+        with rules prove the analyzer survives (a literal expression
+        would be a 10k-term boolean tree) while the crawl itself stays
+        oracle-exact; the oracle twin reads the SAME tables via
+        policy_from_tables."""
+        from nipper_spark.crawl.frontier import FrontierEngine
+        from nipper_spark.crawl.oracle import crawl_oracle
+        from nipper_spark.crawl.robots import (
+            harvest_robots_tables, policy_from_tables)
+        from nipper_spark.crawl.state import SCHEDULE_SCHEMA, CrawlState
+        from nipper_spark.session import build_session
+        from nipper_spark.sources.synthetic import (
+            PAGES_SCHEMA, synth_pages_rows)
+
+        spark = build_session("robots-tests", master="local[4]",
+                              shuffle_partitions=4)
+        rows = synth_pages_rows(n_pages=40, links_per_page=4, n_hosts=6,
+                                seed=23)
+        content_hosts = sorted({r[0].split("//")[1].split("/")[0]
+                                for r in rows})
+        ts = datetime.datetime(2024, 1, 1)
+        robots_rows = []
+        # two content hosts get real rules + a crawl delay; 10k
+        # unrelated hosts get rules too (the dim the join must survive)
+        for h in content_hosts[:2]:
+            robots_rows.append(
+                (f"http://{h}/robots.txt", ts,
+                 b"User-agent: *\nDisallow: /page/1\nCrawl-delay: 20\n",
+                 None, "en"))
+        for i in range(10_000):
+            robots_rows.append(
+                (f"http://rules{i:05d}.test/robots.txt", ts,
+                 f"User-agent: *\nDisallow: /x{i}\nCrawl-delay: 5\n"
+                 .encode(), None, "en"))
+        pages = spark.createDataFrame(rows + robots_rows, PAGES_SCHEMA)
+
+        rules_df, budgets_df = harvest_robots_tables(
+            pages, round_seconds=60.0, default_tokens=5)
+        assert rules_df.count() == 10_002
+        assert budgets_df.count() == 10_002
+
+        # oracle reads the same tables (test-scale collect)
+        opolicy = policy_from_tables(
+            CrawlPolicy(default_tokens=5, n_buckets=4),
+            rules_df, budgets_df)
+        assert opolicy.robots_disallow[content_hosts[0]] == ["/page/1"]
+        assert opolicy.host_tokens[content_hosts[0]] == 3  # 60/20
+
+        seeds = [(rows[0][0], 1.0), (rows[1][0], 0.9)]
+        oracle = crawl_oracle({u: h for (u, _, h, _, _) in rows},
+                              seeds, opolicy, max_rounds=4)
+
+        # engine gets ONLY the tables — its policy holds no rule dicts
+        epolicy = CrawlPolicy(default_tokens=5, n_buckets=4)
+        d = str(tmp_path / "state10k")
+        eng = FrontierEngine(spark, pages, d, epolicy,
+                             rules=rules_df, budgets=budgets_df)
+        eng.bootstrap(seeds)
+        for r in range(4):
+            eng.run_round(r)
+        st = CrawlState(spark, d)
+        sched = st.read_all_rounds("schedule", 3, SCHEDULE_SCHEMA) \
+            .orderBy("round", "seq").collect()
+        got = {}
+        for x in sched:
+            got.setdefault(x["round"], []).append(
+                (x["url"], x["host"], x["depth"], x["score"]))
+        for r, wave in enumerate(oracle.schedules[:4]):
+            assert got.get(r, []) == wave, f"round {r}"
+        for waves in got.values():
+            for url, h, _, _ in waves:
+                assert opolicy.allowed(h, url)
