@@ -39,6 +39,16 @@ _META_CHARSET_RE = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]+)""",
     re.IGNORECASE)
 
+# the WHATWG prescan SKIPS comments: a commented-out
+# <!--<meta charset=shift_jis>--> must not override the real meta.
+# An unterminated <!-- swallows the rest of the window (the spec jumps
+# past the comment or aborts at EOF without a meta match).
+_COMMENT_RE = re.compile(rb"<!--.*?(?:-->|\Z)", re.DOTALL)
+
+
+def _prescan_window(payload: bytes) -> bytes:
+    return _COMMENT_RE.sub(b"", payload[:1024])
+
 
 def sniff_encoding(payload: bytes) -> str:
     """Return the python codec name for an HTML byte payload."""
@@ -48,7 +58,7 @@ def sniff_encoding(payload: bytes) -> str:
         return "utf-16"          # utf-16 codec consumes the BOM
     if payload.startswith(codecs.BOM_UTF16_BE):
         return "utf-16"
-    m = _META_CHARSET_RE.search(payload[:1024])
+    m = _META_CHARSET_RE.search(_prescan_window(payload))
     if m:
         label = m.group(1).decode("ascii", "replace").strip().lower()
         codec = _LABELS.get(label)

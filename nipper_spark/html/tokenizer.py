@@ -427,8 +427,11 @@ def _doctype(s: str, pos: int):
     m = re.match(r"[\t\n\f ]*([^\t\n\f >]*)", body)
     name = m.group(1).lower()
     rest = body[m.end():]
-    public_id = ""
-    system_id = ""
+    # None = identifier ABSENT (distinct from present-but-empty: the
+    # quirks-mode public-id rules for HTML 4.01 Frameset/Transitional
+    # apply only when the system id is missing, not when it is "")
+    public_id = None
+    system_id = None
     pm = re.match(r'[\t\n\f ]*PUBLIC[\t\n\f ]*("([^"]*)"?|\'([^\']*)\'?)',
                   rest, re.IGNORECASE)
     if pm:

@@ -756,6 +756,96 @@ class TreeBuilder:
 # insertion-mode handlers
 # ======================================================================
 
+# WHATWG "initial" insertion mode, quirks conditions: legacy public-id
+# prefixes (case-insensitive), three exact public ids, one system id,
+# and two prefixes that are quirky only when the system id is MISSING
+# (html5ever mirrors the same table; the reference inherits it).
+_QUIRKY_PUBLIC_EXACT = frozenset((
+    "-//w3o//dtd w3 html strict 3.0//en//",
+    "-/w3c/dtd html 4.0 transitional/en",
+    "html",
+))
+_QUIRKY_PUBLIC_PREFIXES = (
+    "+//silmaril//dtd html pro v0r11 19970101//",
+    "-//as//dtd html 3.0 aswedit + extensions//",
+    "-//advasoft ltd//dtd html 3.0 aswedit + extensions//",
+    "-//ietf//dtd html 2.0 level 1//",
+    "-//ietf//dtd html 2.0 level 2//",
+    "-//ietf//dtd html 2.0 strict level 1//",
+    "-//ietf//dtd html 2.0 strict level 2//",
+    "-//ietf//dtd html 2.0 strict//",
+    "-//ietf//dtd html 2.0//",
+    "-//ietf//dtd html 2.1e//",
+    "-//ietf//dtd html 3.0//",
+    "-//ietf//dtd html 3.2 final//",
+    "-//ietf//dtd html 3.2//",
+    "-//ietf//dtd html 3//",
+    "-//ietf//dtd html level 0//",
+    "-//ietf//dtd html level 1//",
+    "-//ietf//dtd html level 2//",
+    "-//ietf//dtd html level 3//",
+    "-//ietf//dtd html strict level 0//",
+    "-//ietf//dtd html strict level 1//",
+    "-//ietf//dtd html strict level 2//",
+    "-//ietf//dtd html strict level 3//",
+    "-//ietf//dtd html strict//",
+    "-//ietf//dtd html//",
+    "-//metrius//dtd metrius presentational//",
+    "-//microsoft//dtd internet explorer 2.0 html strict//",
+    "-//microsoft//dtd internet explorer 2.0 html//",
+    "-//microsoft//dtd internet explorer 2.0 tables//",
+    "-//microsoft//dtd internet explorer 3.0 html strict//",
+    "-//microsoft//dtd internet explorer 3.0 html//",
+    "-//microsoft//dtd internet explorer 3.0 tables//",
+    "-//netscape comm. corp.//dtd html//",
+    "-//netscape comm. corp.//dtd strict html//",
+    "-//o'reilly and associates//dtd html 2.0//",
+    "-//o'reilly and associates//dtd html extended 1.0//",
+    "-//o'reilly and associates//dtd html extended relaxed 1.0//",
+    "-//softquad software//dtd hotmetal pro 6.0::19990601::"
+    "extensions to html 4.0//",
+    "-//softquad//dtd hotmetal pro 4.0::19971010::"
+    "extensions to html 4.0//",
+    "-//spyglass//dtd html 2.0 extended//",
+    "-//sq//dtd html 2.0 hotmetal + extensions//",
+    "-//sun microsystems corp.//dtd hotjava html//",
+    "-//sun microsystems corp.//dtd hotjava strict html//",
+    "-//w3c//dtd html 3 1995-03-24//",
+    "-//w3c//dtd html 3.2 draft//",
+    "-//w3c//dtd html 3.2 final//",
+    "-//w3c//dtd html 3.2//",
+    "-//w3c//dtd html 3.2s draft//",
+    "-//w3c//dtd html 4.0 frameset//",
+    "-//w3c//dtd html 4.0 transitional//",
+    "-//w3c//dtd html experimental 19960712//",
+    "-//w3c//dtd html experimental 970421//",
+    "-//w3c//dtd w3 html//",
+    "-//w3o//dtd w3 html 3.0//",
+    "-//webtechs//dtd mozilla html 2.0//",
+    "-//webtechs//dtd mozilla html//",
+)
+_QUIRKY_PUBLIC_PREFIXES_NO_SYSTEM = (
+    "-//w3c//dtd html 4.01 frameset//",
+    "-//w3c//dtd html 4.01 transitional//",
+)
+_QUIRKY_SYSTEM = "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd"
+
+
+def _doctype_is_quirky(name: str, public_id: str | None,
+                       system_id: str | None) -> bool:
+    if name != "html":
+        return True
+    if public_id is not None:
+        p = public_id.lower()
+        if p in _QUIRKY_PUBLIC_EXACT or \
+                p.startswith(_QUIRKY_PUBLIC_PREFIXES):
+            return True
+        if system_id is None and \
+                p.startswith(_QUIRKY_PUBLIC_PREFIXES_NO_SYSTEM):
+            return True
+    return system_id is not None and system_id.lower() == _QUIRKY_SYSTEM
+
+
 def _mode_initial(tb: TreeBuilder, tok) -> None:
     k = tok[0]
     if k == "doctype":
@@ -763,7 +853,7 @@ def _mode_initial(tb: TreeBuilder, tok) -> None:
             DOCTYPE, name=tok[1],
             text=(tok[2] or "") + "\x00" + (tok[3] or ""))
         tb.arena.append_child(0, nid)
-        if tok[1] != "html":
+        if _doctype_is_quirky(tok[1], tok[2], tok[3]):
             tb.quirks = True
         tb.mode = "before_html"
         return

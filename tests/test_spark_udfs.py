@@ -168,3 +168,19 @@ class TestEncodingSniff:
         from nipper_spark.html.encoding import decode_html
         decode_html(b"\xff\xfe\x00garbage\x80\x81<meta charset=nonsense>")
         decode_html(b"")
+
+    def test_commented_meta_skipped(self):
+        """WHATWG prescan skips comments: a commented-out meta must not
+        override the real one (a mis-sniff corrupts extracted text and
+        every dedup hash downstream)."""
+        from nipper_spark.html.encoding import sniff_encoding
+        body = (b"<!--<meta charset=shift_jis>-->"
+                b'<meta charset="windows-1252">')
+        assert sniff_encoding(body) == "cp1252"
+        # comment-only window: fall back, don't honor the commented meta
+        assert sniff_encoding(b"<!--<meta charset=shift_jis>-->") == "utf-8"
+        # unterminated comment swallows the rest of the window
+        assert sniff_encoding(b"<!--<meta charset=shift_jis>") == "utf-8"
+        # real meta BEFORE a comment still wins
+        assert sniff_encoding(
+            b'<meta charset="koi8-r"><!--<meta charset=big5>-->') == "koi8-r"

@@ -334,3 +334,43 @@ def test_quirks_table_in_p():
     assert body_html("<!--c--> <!DOCTYPE html><p>a<table><td>x</table>") \
         == "<body><p>a</p><table><tbody><tr><td>x</td></tr></tbody>" \
         "</table></body>"
+
+
+def test_quirks_legacy_public_ids():
+    """Name='html' legacy doctypes: the WHATWG public-id table decides
+    quirks (html5ever ships the same table). HTML 4.01 Transitional
+    WITHOUT a system id is quirks; WITH one it is standards mode."""
+    QUIRKS = "<body><p>a<table><tbody><tr><td>x</td></tr></tbody>" \
+        "</table></p></body>"
+    STANDARDS = "<body><p>a</p><table><tbody><tr><td>x</td></tr>" \
+        "</tbody></table></body>"
+    tail = "<p>a<table><td>x</table>"
+    assert body_html(
+        '<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN">'
+        + tail) == QUIRKS
+    assert body_html(
+        '<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN" '
+        '"http://www.w3.org/TR/html4/loose.dtd">' + tail) == STANDARDS
+    assert body_html(
+        '<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 3.2 Final//EN">'
+        + tail) == QUIRKS
+    # prefix table applies regardless of system id for the 4.0 family
+    assert body_html(
+        '<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.0 Transitional//EN" '
+        '"http://www.w3.org/TR/REC-html40/loose.dtd">' + tail) == QUIRKS
+    # case-insensitive match
+    assert body_html(
+        "<!DOCTYPE html PUBLIC '-//w3c//dtd html 3.2 final//en'>"
+        + tail) == QUIRKS
+    # exact "html" public id
+    assert body_html('<!DOCTYPE html PUBLIC "HTML">' + tail) == QUIRKS
+    # the IBM system id
+    assert body_html(
+        '<!DOCTYPE html SYSTEM '
+        '"http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd">'
+        + tail) == QUIRKS
+    # a modern-ish doctype with an unlisted public id stays standards
+    assert body_html(
+        '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Strict//EN" '
+        '"http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd">'
+        + tail) == STANDARDS
