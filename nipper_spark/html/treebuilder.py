@@ -21,14 +21,14 @@ tag-name/attribute case adjustment, HTML breakout tags, integration
 points (foreignObject/desc/title, annotation-xml, MathML text IPs),
 and tokenizer feedback so foreign children stay in the data state.
 ``<template>`` children parse into a separate detached contents
-fragment (arena.template_contents), html5ever semantics.
+fragment (arena.template_contents) under the spec's "in template"
+insertion mode with the full per-template insertion-mode STACK
+(html5ever semantics: table-structure tags re-route the current
+template mode; </template>/EOF pop it).
 
 Frameset documents follow the spec's in_frameset/after_frameset
 modes (body replaced when frameset_ok, whitespace-only text, frame
 voids, noframes rawtext).
-
-Known simplifications (none observable in the reference fixtures):
-- the template insertion-mode stack is approximated by _reset_mode.
 """
 
 from __future__ import annotations
@@ -75,6 +75,9 @@ _TABLE_SCOPE = frozenset(["html", "table", "template"])
 
 _IMPLIED_END = frozenset(
     ["dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"])
+# "generate all implied end tags thoroughly" (used by </template>)
+_IMPLIED_END_THOROUGH = _IMPLIED_END | frozenset(
+    ["caption", "colgroup", "tbody", "td", "tfoot", "th", "thead", "tr"])
 
 _CLOSE_P_TAGS = frozenset("""
 address article aside blockquote center details dialog dir div dl fieldset
@@ -137,6 +140,11 @@ class TreeBuilder:
         # not modeled — doctype-less legacy pages are the real-world
         # case.)
         self.quirks = False
+        # the spec's "stack of template insertion modes": one entry per
+        # open template; </template> pops it and _reset_mode returns
+        # the new top when it walks onto a template node
+        # (html5ever src/tree_builder/mod.rs keeps the same stack)
+        self.template_modes: list[str] = []
 
         if self.frag:
             html = self.arena.new_element("html")
@@ -563,17 +571,22 @@ class TreeBuilder:
         # unmatched foreign end tag: ignored
 
     def _end_template(self) -> None:
-        """`</template>`: implied end tags, pop through the template,
-        clear AFE to its marker, reset the insertion mode (the spec's
-        'in template' end handling, minus the separate template-mode
-        stack — _reset_mode covers the observable cases)."""
+        """`</template>` per spec: generate all implied end tags
+        THOROUGHLY, pop through the template, clear AFE to its marker,
+        pop the template insertion-mode stack, reset the insertion
+        mode (which lands on the new top of that stack when the walk
+        hits an enclosing template)."""
         if not any(self._name(n) == "template" for n in self.stack):
             return
-        self._generate_implied_end_tags()
+        while self.stack and \
+                self._name(self._current()) in _IMPLIED_END_THOROUGH:
+            self.stack.pop()
         while self.stack:
             if self._name(self.stack.pop()) == "template":
                 break
         self._afe_clear_to_marker()
+        if self.template_modes:
+            self.template_modes.pop()
         self.mode = self._reset_mode()
 
     # ---------------- mode resets -------------------------------------
@@ -599,7 +612,10 @@ class TreeBuilder:
             if name == "table":
                 return "in_table"
             if name == "template":
-                return "in_body"  # template contents accept body-ish input
+                # the CURRENT template insertion mode (top of the
+                # per-template mode stack)
+                return self.template_modes[-1] if self.template_modes \
+                    else "in_body"
             if name == "head" and not last:
                 return "in_head"
             if name == "body":
@@ -612,6 +628,9 @@ class TreeBuilder:
 
     def _reset_mode_for_fragment(self) -> str:
         ctx = self.frag_context
+        if ctx == "template":
+            self.template_modes.append("in_template")
+            return "in_template"
         if ctx in ("title", "textarea", "style", "script", "xmp", "iframe",
                    "noembed", "noframes", "noscript", "plaintext"):
             return "in_body"  # tokenizer handles raw modes separately
@@ -926,13 +945,20 @@ def _mode_in_head(tb: TreeBuilder, tok) -> None:
         if name in ("base", "basefont", "bgsound", "link", "meta"):
             tb._insert_element(name, tok[2], push=False)
             return
-        if name in ("title", "style", "script", "noscript", "noframes",
-                    "template"):
+        if name == "template":
+            # spec: insert, AFE marker, frameset-ok off, switch to the
+            # "in template" mode and push it onto the template-mode
+            # stack (popped by </template>)
+            tb._insert_element(name, tok[2])
+            tb.afe.append(MARKER)
+            tb.frameset_ok = False
+            tb.mode = "in_template"
+            tb.template_modes.append("in_template")
+            return
+        if name in ("title", "style", "script", "noscript", "noframes"):
             # rawtext/rcdata content arrives as a single text token;
             # pushing keeps the element current for that text.
             tb._insert_element(name, tok[2])
-            if name == "template":
-                tb.afe.append(MARKER)
             return
         if name == "head":
             return
@@ -1417,6 +1443,7 @@ def _mode_in_column_group(tb: TreeBuilder, tok) -> None:
         if tok[1] == "col":
             return
         if tok[1] == "template":
+            tb._end_template()
             return
     if tok[0] == "__text__":
         pass
@@ -1594,6 +1621,50 @@ def _mode_in_select(tb: TreeBuilder, tok) -> None:
             tb._pop_until("select")
             tb.mode = tb._reset_mode()
             return
+        if name == "template":
+            tb._end_template()
+            return
+        return
+
+
+def _mode_in_template(tb: TreeBuilder, tok) -> None:
+    """The spec's "in template" insertion mode: head-ish tags via
+    in-head rules; table-structure start tags re-route by REPLACING the
+    current template insertion mode and reprocessing; everything else
+    routes to in-body. (Character tokens take the in_body path in
+    _process_text's default branch.)"""
+    k = tok[0]
+    if k == "comment":
+        tb._insert_comment(tok[1])
+        return
+    if k == "doctype":
+        return
+    if k == "start":
+        name = tok[1]
+        if name in ("base", "basefont", "bgsound", "link", "meta",
+                    "noframes", "script", "style", "template", "title"):
+            _mode_in_head(tb, tok)
+            return
+        if name in ("caption", "colgroup", "tbody", "tfoot", "thead"):
+            new = "in_table"
+        elif name == "col":
+            new = "in_column_group"
+        elif name == "tr":
+            new = "in_table_body"
+        elif name in ("td", "th"):
+            new = "in_row"
+        else:
+            new = "in_body"
+        if tb.template_modes:
+            tb.template_modes[-1] = new  # pop + push
+        tb.mode = new
+        _MODE_DISPATCH[new](tb, tok)
+        return
+    if k == "end":
+        if tok[1] == "template":
+            tb._end_template()
+            return
+        _MODE_DISPATCH["in_body"](tb, tok)
         return
 
 
@@ -1724,6 +1795,7 @@ _MODE_DISPATCH = {
     "in_row": _mode_in_row,
     "in_cell": _mode_in_cell,
     "in_select": _mode_in_select,
+    "in_template": _mode_in_template,
     "text": _mode_text,
     "after_body": _mode_after_body,
     "after_after_body": _mode_after_after_body,

@@ -316,6 +316,46 @@ def test_tree_construction_frameset(name, inp, expected):
     assert serialize(parse_document(out1), 0, include_node=True) == out1
 
 
+# batch 7: the template insertion-mode STACK (spec "in template" mode;
+# html5ever keeps the same per-template mode stack) — observable in the
+# CONTENTS fragments, which these cases serialize directly
+def _contents(html):
+    from nipper_spark.html.serializer import serialize
+    from nipper_spark.html.treebuilder import parse_document
+    a = parse_document(html)
+    return [serialize(a, c, include_node=False)
+            for _, c in sorted(a.template_contents.items())]
+
+
+def test_template_mode_stack():
+    # plain flow content: NO implied body wrapper inside the contents
+    assert _contents("<template><div>x</div></template>") == ["<div>x</div>"]
+    # table-structure tags re-route the template mode: <tr> parses as a
+    # row WITHOUT an implied <table>/<tbody> (the spec's pop+push of
+    # the current template insertion mode)
+    assert _contents("<template><tr><td>c</td></tr></template>") == \
+        ["<tr><td>c</td></tr>"]
+    assert _contents("<template><td>cell</td></template>") == \
+        ["<td>cell</td>"]
+    assert _contents("<template><col></template>") == ["<col>"]
+    # a FULL misnested table inside a template gets the normal implied
+    # tbody (mode re-routes to in_body for <table>, then table rules)
+    assert _contents("<template><table><tr><td>m</table></template>") == \
+        ["<table><tbody><tr><td>m</td></tr></tbody></table>"]
+    # nested templates: inner pops back to the OUTER template's mode
+    assert _contents("<template><table><template><tr><td>z") == \
+        ["<table><template></template></table>", "<tr><td>z</td></tr>"]
+    # after </template> the enclosing mode resumes: the second row
+    # belongs to the real table, not the template
+    assert _contents(
+        "<table><template><tr><td>a</td></tr></template>"
+        "<tr><td>b</table>") == ["<tr><td>a</td></tr>"]
+    # head-ish tags stay in-template via in-head rules
+    assert _contents("<template><meta charset=x><title>t</title>"
+                     "</template>") == \
+        ['<meta charset="x"><title>t</title>']
+
+
 # batch 6: quirks mode (set_quirks_mode, reference src/document.rs)
 def test_quirks_table_in_p():
     """Doctype-less documents are quirks mode: <table> does NOT close
