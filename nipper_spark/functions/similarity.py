@@ -302,7 +302,7 @@ def pq_adc_scores(q: np.ndarray, list_ids: np.ndarray,
 def ann_ivfpq_topk(corpus: DataFrame,
                    queries: list[tuple[int, list[float]]], k: int = 10,
                    n_lists: int = 16, m: int = 8, k_pq: int = 32,
-                   n_probe: int = 4, rerank: int = 8,
+                   n_probe: int = 4, rerank: int = 16,
                    sample_size: int = 2048, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    seed: int = 42) -> DataFrame:
@@ -311,7 +311,11 @@ def ann_ivfpq_topk(corpus: DataFrame,
     — the index never ships vectors; queries probe n_probe lists,
     score candidates by ADC lookup, keep rerank·k per query, then
     re-rank those EXACTLY against true vectors joined back by id.
-    Output: (query_id, vec_id, cosine, rank) with exact cosines."""
+    Output: (query_id, vec_id, cosine, rank) with exact cosines.
+    Defaults are tuned on clustered (Gaussian-mixture) corpora to
+    recall@10 ≥ 0.9 vs brute force — growing the exact-rerank
+    shortlist is cheaper than probing more lists (the shortlist is
+    rerank·k ids per query; a probed list is corpus/n_lists codes)."""
     spark = corpus.sparkSession
     src = corpus.select(F.col(id_col).alias("vec_id"),
                         F.col(vec_col).alias("embedding"))

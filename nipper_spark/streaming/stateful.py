@@ -14,10 +14,15 @@ URLs exactly like the batch engine's per-bucket bloom payload. For a
 10^10-URL stream you'd raise n_buckets so each bucket's set stays
 executor-memory-sized — the same knob the batch layer exposes.
 
-Exact semantics (no false positives/negatives): the state holds exact
-64-bit url hashes (collision probability ≪ 1 at any realistic bucket
-size), mirroring the batch layer's exact-anti-join authority rather
-than its bloom prefilter.
+Exact semantics (no false positives/negatives): the state holds the
+EXACT url strings, mirroring the batch layer's exact-anti-join
+authority rather than its bloom prefilter. Hashes would be smaller but
+a 64-bit collision silently drops a distinct URL forever — a false
+negative, the one failure mode the URL-seen invariant forbids (at the
+10^10-URL scale this layer targets, the birthday expectation over 64
+bits is not negligible). Exactness costs state bytes, not semantics;
+n_buckets is the existing knob that keeps each bucket's set
+executor-sized.
 """
 
 from __future__ import annotations
@@ -32,20 +37,20 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from nipper_spark.sources.synthetic import PAGES_SCHEMA
 
 _OUT_SCHEMA = "url string, host_bucket int"
-_STATE_SCHEMA = "seen array<long>"
+_STATE_SCHEMA = "seen array<string>"
 
 
 def _dedup_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
-    """One host bucket: emit first occurrences, fold hashes into state."""
+    """One host bucket: emit first occurrences, fold exact urls into
+    state (exactness invariant: never a false negative)."""
     seen = set(state.get[0]) if state.exists else set()
     out_urls: list[str] = []
     n0 = len(seen)
     for pdf in pdfs:
-        for url, h in zip(pdf["url"], pdf["url_hash"]):
-            h = int(h)
-            if h not in seen:
-                seen.add(h)
+        for url in pdf["url"]:
+            if url not in seen:
+                seen.add(url)
                 out_urls.append(url)
     if len(seen) != n0:
         state.update((sorted(seen),))
@@ -63,8 +68,7 @@ def dedup_first_occurrences(pages: DataFrame, n_buckets: int = 32,
         "url",
         F.pmod(F.xxhash64(F.regexp_extract(
             "url", r"^https?://([^/:]+)", 1)), F.lit(n_buckets))
-        .cast("int").alias("host_bucket"),
-        F.xxhash64("url").alias("url_hash"))
+        .cast("int").alias("host_bucket"))
     return (keyed.groupBy("host_bucket")
             .applyInPandasWithState(
                 _dedup_fn, outputStructType=_OUT_SCHEMA,
