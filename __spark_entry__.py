@@ -855,6 +855,34 @@ def _o_media_features() -> str:
                               ("n_bytes", "INTEGER")])
 
 
+def _q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codecs (pure-python PPM + stdlib PCM WAV): decoded
+    dimensions/duration and a digest of the decoded SAMPLES — proof the
+    decode ran, not a container-byte hash."""
+    from nipper_spark.functions.multimodal import (
+        real_decode_summary, synth_real_media_df)
+    return real_decode_summary(synth_real_media_df(spark, n=24)).select(
+        F.col("media_id").cast("bigint").alias("media_id"), "kind",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("duration_ms").cast("int").alias("duration_ms"),
+        "content_sha")
+
+
+def _o_media_real_decode() -> str:
+    from nipper_spark.functions.multimodal import (
+        real_decode_record, synth_real_media_rows)
+    rows = []
+    for (mid, kind, payload, *_rest) in synth_real_media_rows(n=24):
+        rec = real_decode_record(kind, bytes(payload))
+        rows.append((mid, kind, rec["width"], rec["height"],
+                     rec["duration_ms"], rec["content_sha"]))
+    return _values_sql(rows, [("media_id", "BIGINT"), ("kind", "VARCHAR"),
+                              ("width", "INTEGER"), ("height", "INTEGER"),
+                              ("duration_ms", "INTEGER"),
+                              ("content_sha", "VARCHAR")])
+
+
 def _o_media_frames() -> str:
     from nipper_spark.functions.multimodal import (
         synth_media_rows, video_frame_records)
@@ -914,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (deterministic fake codecs, full oracle)
         "media_image_features": _q_media_features,
         "media_frame_samples": _q_media_frames,
+        "media_real_decode": _q_media_real_decode,
     }
 
 
@@ -1306,4 +1335,5 @@ def oracle_sql() -> dict[str, str]:
         "star_join_broadcast": _O_STAR,
         "media_image_features": _o_media_features(),
         "media_frame_samples": _o_media_frames(),
+        "media_real_decode": _o_media_real_decode(),
     }

@@ -29,11 +29,104 @@ FRAME_SAMPLE_SCHEMA = ("media_id long, frame_no int, ts_ms int, "
                        "frame_sha string")
 
 
-def _decode_image_real(payload: bytes):  # pragma: no cover
-    """Real decoder seam: PIL.Image.open(io.BytesIO(payload))."""
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL image decode for PPM (P6 binary / P3 ascii) — a complete
+    reference codec in pure numpy, no dependencies. Returns
+    (width, height, uint8 array of shape (h, w, 3)). Raises ValueError
+    on malformed input."""
+    if payload[:2] not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    # header tokens: magic, width, height, maxval — '#' comments legal
+    tokens: list[bytes] = []
+    i = 2
+    n = len(payload)
+    while len(tokens) < 3 and i < n:
+        c = payload[i:i + 1]
+        if c == b"#":
+            j = payload.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j:j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = (int(t) for t in tokens)
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+        raise ValueError("bad PPM dimensions")
+    if payload[:2] == b"P6":
+        i += 1  # single whitespace byte after maxval
+        need = w * h * 3 * (2 if maxval > 255 else 1)
+        raster = payload[i:i + need]
+        if len(raster) < need:
+            raise ValueError("truncated PPM raster")
+        dt = ">u2" if maxval > 255 else np.uint8
+        arr = np.frombuffer(raster, dtype=dt).astype(np.uint32)
+    else:  # P3: ascii sample values
+        vals = payload[i:].split()
+        if len(vals) < w * h * 3:
+            raise ValueError("truncated P3 raster")
+        arr = np.array([int(v) for v in vals[:w * h * 3]],
+                       dtype=np.uint32)
+    if maxval != 255:
+        arr = (arr * 255 + maxval // 2) // maxval
+    return w, h, arr.astype(np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → P6 payload (the synth-media generator's real
+    image format; shared with the oracle twin)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL audio decode for PCM WAV via the stdlib ``wave`` module —
+    returns (sample_rate, n_channels, int16 samples of shape
+    (n_frames, n_channels)). Raises ValueError on malformed input."""
+    import io
+    import wave
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as wf:
+            rate = wf.getframerate()
+            ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a PCM WAV payload: {e}") from e
+    if width != 2:
+        raise ValueError("only 16-bit PCM supported")
+    arr = np.frombuffer(frames, dtype="<i2").reshape(-1, ch)
+    return rate, ch, arr
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """(n, ch) int16 → PCM WAV payload (stdlib wave)."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.ascontiguousarray(
+            samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_image_real(payload: bytes):
+    """Real decoder seam. PPM decodes natively (pure numpy); other
+    formats need PIL, which this environment does not ship."""
+    if payload[:2] in (b"P6", b"P3"):
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "deterministic fake used instead (decode_fake=True)")
+        "only PPM decodes natively; other image codecs need PIL "
+        "(deterministic fake used instead when decode_fake=True)")
 
 
 def _fake_image_meta(payload: bytes) -> tuple[int, int]:
@@ -63,9 +156,97 @@ def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(synth_media_rows(n, seed), MEDIA_SCHEMA)
 
 
+def synth_real_media_rows(n: int = 24, seed: int = 7) -> list[tuple]:
+    """Deterministic REAL media payloads: P6 PPM images and 16-bit PCM
+    WAV audio — formats the engine decodes natively, so the decode path
+    under test is a working codec, not a digest fake. Pure function,
+    shared with the oracle twin."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w = int(4 + rng.randint(0, 12))
+            h = int(4 + rng.randint(0, 12))
+            pix = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            rows.append((i, "image", bytearray(encode_ppm(pix)),
+                         "image/x-portable-pixmap", w, h, None))
+        else:
+            nfr = int(400 + rng.randint(0, 800))
+            ch = 1 + (i // 2) % 2
+            samples = rng.randint(-20000, 20000,
+                                  size=(nfr, ch)).astype("<i2")
+            rows.append((i, "audio", bytearray(encode_wav(samples, 8000)),
+                         "audio/wav", None, None, nfr * 1000 // 8000))
+    return rows
+
+
+def synth_real_media_df(spark, n: int = 24, seed: int = 7) -> DataFrame:
+    return spark.createDataFrame(synth_real_media_rows(n, seed),
+                                 MEDIA_SCHEMA)
+
+
+REAL_DECODE_SCHEMA = ("media_id long, kind string, width int, height int, "
+                      "duration_ms int, content_sha string")
+
+
+def real_decode_record(kind: str, payload: bytes) -> dict:
+    """Per-media REAL-decode kernel: decoded dimensions/duration plus a
+    digest of the DECODED samples (not the container bytes — proof the
+    codec actually ran). Pure, shared by the UDF and the oracle."""
+    if kind == "image":
+        w, h, arr = decode_ppm(payload)
+        return {"width": w, "height": h, "duration_ms": None,
+                "content_sha": hashlib.sha256(arr.tobytes()).hexdigest()}
+    rate, _ch, arr = decode_wav(payload)
+    return {"width": None, "height": None,
+            "duration_ms": len(arr) * 1000 // rate,
+            "content_sha": hashlib.sha256(arr.tobytes()).hexdigest()}
+
+
+def real_decode_summary(media: DataFrame) -> DataFrame:
+    """media(binary) → decoded metadata via the REAL codecs (PPM/WAV).
+    Same mapInPandas shape as the feature kernels: payloads pruned into
+    the UDF, one Arrow batch per task."""
+    src = media.select("media_id", "kind", "payload")
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "width": [], "height": [],
+                   "duration_ms": [], "content_sha": []}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                rec = real_decode_record(str(kind), bytes(payload))
+                out["media_id"].append(int(mid))
+                out["kind"].append(str(kind))
+                out["width"].append(rec["width"])
+                out["height"].append(rec["height"])
+                out["duration_ms"].append(rec["duration_ms"])
+                out["content_sha"].append(rec["content_sha"])
+            pdf_out = pd.DataFrame(out)
+            for c in ("width", "height", "duration_ms"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
+
+    return src.mapInPandas(_dec, schema=REAL_DECODE_SCHEMA)
+
+
 def image_feature_record(payload: bytes, thumb: int = 8) -> dict:
-    """Per-image feature kernel (fake codec path): pure, deterministic,
-    shared by the mapInPandas UDF and the DuckDB VALUES oracle."""
+    """Per-image feature kernel: REAL decode + grayscale thumbnail for
+    PPM payloads; digest-seeded fake for opaque formats. Pure,
+    deterministic, shared by the mapInPandas UDF and the DuckDB VALUES
+    oracle."""
+    if payload[:2] in (b"P6", b"P3"):
+        w, h, arr = decode_ppm(payload)
+        tw, th_ = min(w, thumb), min(h, thumb)
+        ys = np.linspace(0, h - 1, th_).round().astype(int)
+        xs = np.linspace(0, w - 1, tw).round().astype(int)
+        gray = arr.astype(np.float32).mean(axis=2)
+        feat = (gray[np.ix_(ys, xs)] / np.float32(255.0)) \
+            .astype(np.float32).reshape(-1)
+        return {"sha256": hashlib.sha256(payload).hexdigest(),
+                "n_bytes": len(payload),
+                "thumb_w": tw, "thumb_h": th_,
+                "features": feat.tolist()}
     w, h = _fake_image_meta(payload)
     d = hashlib.sha256(b"feat" + payload).digest()
     feat = (np.frombuffer(d, dtype=np.uint8)[:thumb * thumb // 2]

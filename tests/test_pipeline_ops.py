@@ -321,6 +321,87 @@ class TestMultimodal:
             assert nos == list(range(len(nos)))
 
 
+class TestRealCodecs:
+    """PPM + PCM-WAV are REAL decoders (pure numpy / stdlib wave) — the
+    codec seam is a working reference implementation for these formats,
+    the digest fake remains only for formats needing external libs."""
+
+    def test_ppm_roundtrip(self):
+        import numpy as np
+
+        from nipper_spark.functions.multimodal import decode_ppm, encode_ppm
+        rng = np.random.RandomState(3)
+        pix = rng.randint(0, 256, size=(7, 5, 3)).astype(np.uint8)
+        w, h, arr = decode_ppm(encode_ppm(pix))
+        assert (w, h) == (5, 7)
+        assert (arr == pix).all()
+
+    def test_ppm_ascii_and_comments_and_maxval(self):
+        from nipper_spark.functions.multimodal import decode_ppm
+        p3 = b"P3\n# a comment\n2 1\n# another\n15\n15 0 7  0 15 7\n"
+        w, h, arr = decode_ppm(p3)
+        assert (w, h) == (2, 1)
+        assert arr[0, 0].tolist() == [255, 0, 119]  # scaled from maxval 15
+        assert arr[0, 1].tolist() == [0, 255, 119]
+
+    def test_ppm_malformed_raises(self):
+        import pytest as _pytest
+
+        from nipper_spark.functions.multimodal import decode_ppm
+        for bad in (b"JFIF....", b"P6\n3 3\n255\nshort", b"P6\n0 0\n255\n",
+                    b"P3\n2 2\n255\n1 2 3"):
+            with _pytest.raises(ValueError):
+                decode_ppm(bad)
+
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        from nipper_spark.functions.multimodal import decode_wav, encode_wav
+        rng = np.random.RandomState(4)
+        samples = rng.randint(-30000, 30000, size=(321, 2)).astype("<i2")
+        rate, ch, arr = decode_wav(encode_wav(samples, 16000))
+        assert (rate, ch) == (16000, 2)
+        assert (arr == samples).all()
+
+    def test_wav_malformed_raises(self):
+        import pytest as _pytest
+
+        from nipper_spark.functions.multimodal import decode_wav
+        with _pytest.raises(ValueError):
+            decode_wav(b"RIFFgarbage")
+
+    def test_image_features_real_path(self, spark):
+        """PPM payloads go through the REAL decode inside the same
+        image_features operator: thumbnail dims come from the actual
+        header, features from actual pixels."""
+        import numpy as np
+
+        from nipper_spark.functions.multimodal import (
+            MEDIA_SCHEMA, encode_ppm, image_features)
+        pix = np.zeros((4, 6, 3), dtype=np.uint8)
+        pix[:, :3] = 255  # left half white -> gray 1.0, right 0.0
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(encode_ppm(pix)),
+              "image/x-portable-pixmap", 6, 4, None)], MEDIA_SCHEMA)
+        row = image_features(media).collect()[0]
+        assert (row["thumb_w"], row["thumb_h"]) == (6, 4)
+        feats = row["features"]
+        assert feats[0] == 1.0 and feats[5] == 0.0
+
+    def test_real_decode_summary_vs_kernel(self, spark):
+        from nipper_spark.functions.multimodal import (
+            real_decode_record, real_decode_summary, synth_real_media_df,
+            synth_real_media_rows)
+        got = {r["media_id"]: (r["width"], r["height"], r["duration_ms"],
+                               r["content_sha"])
+               for r in real_decode_summary(
+                   synth_real_media_df(spark, n=12)).collect()}
+        for (mid, kind, payload, *_r) in synth_real_media_rows(n=12):
+            rec = real_decode_record(kind, bytes(payload))
+            assert got[mid] == (rec["width"], rec["height"],
+                                rec["duration_ms"], rec["content_sha"])
+
+
 class TestIvf:
     def test_ivf_recall_vs_brute(self, spark, emb):
         from nipper_spark.functions.similarity import (
