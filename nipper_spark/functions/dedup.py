@@ -298,8 +298,8 @@ def simhash_udf(ngram: int = 2):
     return _sh
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 50,
-                         checkpoint_every: int = 5) -> DataFrame:
+def connected_components(pairs: DataFrame,
+                         max_iter: int = 50) -> DataFrame:
     """(id_a, id_b) edges → (id, component) with component = min id
     reachable — the clustering step between near-dup PAIRS and a
     one-survivor-per-cluster dedup decision.
@@ -317,10 +317,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
     Convergence is detected with an aggregate (count of changed
     labels), no driver-side collect of labels; exhausting ``max_iter``
     without converging RAISES rather than silently returning labels
-    that would diverge from the union-find oracle. Every
-    ``checkpoint_every`` rounds the label table is localCheckpoint'ed:
-    chained join lineage otherwise grows linearly in rounds (analyzer
-    cost, and any cache-block loss replays the whole chain).
+    that would diverge from the union-find oracle. The label table is
+    localCheckpoint'ed EVERY round: the pointer-jump self-join triples
+    the logical plan per round, and Catalyst re-analyzes the full tree
+    even over cached data (measured: seconds of pure analysis by round
+    2 without truncation). The checkpointed table is pair-table-sized,
+    so materialization is the cheap side of that trade, and block loss
+    can replay at most one round.
 
     The returned DataFrame carries ``cc_rounds`` (int) for tests."""
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
@@ -332,36 +335,51 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
     labels.count()
     rounds = 0
     converged = False
+    from pyspark.sql import Observation
     for it in range(max_iter):
         rounds = it + 1
         neigh = (edges.join(labels.select(F.col("id").alias("b"),
                                           F.col("component").alias("nc")),
                             "b")
                  .groupBy("a").agg(F.min("nc").alias("min_nc")))
+        # cache the half-step: the pointer jump self-joins it (two plan
+        # references — uncached, the neighbor-min subtree would compute
+        # twice AND the logical plan would double every round)
         stepped = (labels.join(neigh.withColumnRenamed("a", "id"),
                                "id", "left")
-                   .select("id",
+                   .select("id", F.col("component").alias("_old"),
                            F.least("component",
                                    F.coalesce("min_nc", "component"))
-                           .alias("component")))
+                           .alias("component")).cache())
         # pointer jump: component ← stepped-label OF the component node.
         # Labels start as self-ids and only ever take values of reachable
         # node ids, so label(label(u)) ≤ label(u) and stays in-component.
+        # The convergence counter rides an Observation on the
+        # materializing checkpoint — one job per round, not two.
+        obs = Observation()
         new_labels = (stepped.alias("s")
                       .join(stepped.select(
                           F.col("id").alias("component"),
                           F.col("component").alias("_jump")),
                           "component", "left")
-                      .select("id", F.coalesce("_jump", "component")
-                              .alias("component")))
-        if rounds % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.cache()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .count())
+                      .select("id", "_old",
+                              F.coalesce("_jump", "component")
+                              .alias("component"))
+                      .observe(obs, F.sum((F.col("component") !=
+                                           F.col("_old")).cast("long"))
+                               .alias("changed"))
+                      .drop("_old")
+                      .localCheckpoint(eager=True))
+        try:
+            changed = int(obs.get["changed"] or 0)
+        except Exception:  # noqa: BLE001 — AQE empty-relation pruning
+            # can drop the CollectMetrics node on a degenerate (empty)
+            # round; the recompute is tiny by construction then
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "id")
+                       .filter(F.col("n.component") !=
+                               F.col("o.component")).count())
+        stepped.unpersist()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
