@@ -33,6 +33,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # bench corpus (distributed generation; deterministic seed 42)
 CORPUS = dict(n_pages=60000, links_per_page=20, n_hosts=200, seed=42)
+# medians-of-N for the two queries whose single-sample numbers have
+# disagreed across rounds (box noise ±30%)
+Q3_REPEATS = int(os.environ.get("SPARK_GRAFT_Q3_REPEATS", "5"))
+Q5_REPEATS = int(os.environ.get("SPARK_GRAFT_Q5_REPEATS", "5"))
 SCALING_CORPUS = dict(n_pages=150000, links_per_page=20, n_hosts=200,
                       seed=42)
 
@@ -88,29 +92,39 @@ def bench_queries(spark) -> tuple[dict, dict]:
                  .agg(F.sum("n_anchors"), F.count("*")).collect(),))
     extra["extract_pages"] = n_corpus
 
-    # q3: frontier rounds — the north-star number
+    # q3: frontier rounds — the north-star number. MEDIAN of 5
+    # independent runs (fresh state dir each): box noise on this query
+    # was ±30% between rounds, so a single sample is not a number of
+    # record.
+    from statistics import median
     policy = CrawlPolicy(default_tokens=150, n_buckets=32,
                          host_tokens={"host00.test": 60})
     seeds = [(page_url(i, CORPUS["n_hosts"], 1.2, CORPUS["seed"]), 1.0)
              for i in range(2000)]
-    state_dir = tempfile.mkdtemp(prefix="nipper_bench_")
-    eng = FrontierEngine(spark, corpus, state_dir, policy)
-    eng.bootstrap(seeds)
-    t0 = time.time()
+    q3_runs: list[float] = []
     sched = dedup = 0
     rounds = 3
-    bound = None
-    for r in range(rounds):
-        stats = eng.run_round(r, known_nonempty=r > 0, wave_bound=bound)
-        sched += stats.scheduled
-        dedup += stats.fresh
-        bound = stats.frontier_next
-    dt = time.time() - t0
+    for rep in range(Q3_REPEATS):
+        state_dir = tempfile.mkdtemp(prefix="nipper_bench_")
+        eng = FrontierEngine(spark, corpus, state_dir, policy)
+        eng.bootstrap(seeds)
+        t0 = time.time()
+        sched = dedup = 0
+        bound = None
+        for r in range(rounds):
+            stats = eng.run_round(r, known_nonempty=r > 0,
+                                  wave_bound=bound)
+            sched += stats.scheduled
+            dedup += stats.fresh
+            bound = stats.frontier_next
+        q3_runs.append(time.time() - t0)
+    dt = median(q3_runs)
     q["q3_frontier_rounds"] = dt
     urls_per_sec = (sched + dedup) / dt if dt else 0.0
     extra["frontier"] = {"rounds": rounds, "scheduled": sched,
                          "deduped_fresh": dedup,
-                         "urls_per_sec": round(urls_per_sec, 1)}
+                         "urls_per_sec": round(urls_per_sec, 1),
+                         "runs_sec": [round(x, 2) for x in q3_runs]}
 
     # ---- sf-dir table ops
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
@@ -119,8 +133,15 @@ def bench_queries(spark) -> tuple[dict, dict]:
     emb.count()
 
     q["q4_dedup_exact"], _ = timed(lambda: dedup_exact(docs).count())
-    pairs = minhash_lsh_pairs(docs, threshold=0.9)
-    q["q5_minhash_lsh"], _ = timed(pairs.cache().count)
+    # q5: median of 5 uncached runs (the r2 driver record disagreed
+    # 3.2x with the builder's runs — medians settle it)
+    q5_runs = [timed(lambda: minhash_lsh_pairs(docs,
+                                               threshold=0.9).count())[0]
+               for _ in range(Q5_REPEATS)]
+    q["q5_minhash_lsh"] = median(q5_runs)
+    extra["q5_runs_sec"] = [round(x, 2) for x in q5_runs]
+    pairs = minhash_lsh_pairs(docs, threshold=0.9).cache()
+    pairs.count()
     from nipper_spark.functions.dedup import near_dup_survivors
     q["q5b_cluster_survivors"], _ = timed(
         lambda: near_dup_survivors(docs, pairs).count())
@@ -220,24 +241,76 @@ def frontier_stress(master: str, shuffle: int, n_urls: int = 1_000_000,
         policy = CrawlPolicy(default_tokens=20, n_buckets=shuffle,
                              host_tokens={"h0.test": 500})
         budgets = budgets_df(spark, policy)
-        wave, residual = select_wave(frontier, budgets, policy)
+        # size-guarded joins: the config dim is 1 row; the wave bound
+        # is Σ budgets (known exactly here)
+        wave, residual = select_wave(
+            frontier, budgets, policy,
+            wave_bound=n_hosts * policy.default_tokens + 500,
+            budgets_rows=1)
         assert has_broadcast_hash_join(wave), "budgets must broadcast"
 
-        t0 = time.time()
-        sched = row_sequence(wave, wave_order_specs(), "seq")
-        n_wave = sched.count()
-        max_seq = sched.agg(F.max("seq")).collect()[0][0]
-        assert max_seq == n_wave - 1, (max_seq, n_wave)
-        fresh = frontier.join(seen, "url", "left_anti")
-        n_fresh = fresh.count()
-        dt = time.time() - t0
+        def one_pass() -> tuple[float, int, int]:
+            t0 = time.time()
+            # engine-faithful: run_round caches the wave and reuses it
+            # for the schedule seq and downstream joins — mirror that
+            # so the wave's top-k computes once, like a real round
+            w = wave.cache()
+            n_wave = w.count()
+            sched = row_sequence(w, wave_order_specs(), "seq")
+            # ONE action over the sequenced wave: count + max together
+            # (the cumsum operator deliberately persists nothing, so
+            # separate actions would recompute the two-phase plan)
+            n_seq, max_seq = sched.agg(
+                F.count("*"), F.max("seq")).collect()[0]
+            assert n_seq == n_wave and max_seq == n_wave - 1, \
+                (n_seq, max_seq, n_wave)
+            n_fresh = frontier.join(seen, "url", "left_anti").count()
+            dt = time.time() - t0
+            w.unpersist()
+            return dt, n_wave, n_fresh
+
+        # two passes, reported separately: the COLD pass includes
+        # scheduler/python-worker start-up (comparable across rounds);
+        # the WARM pass is the steady-state round cost. On one box the
+        # warm high level shares a single memory bus across all 32
+        # threads — a local-mode artifact a real 4x cluster (4x
+        # bandwidth) does not have — so both framings matter.
+        (dt_cold, n_wave, n_fresh) = one_pass()
+        (dt_warm, _, _) = one_pass()
         return {"master": master, "frontier_urls": n,
                 "hot_host_share": 0.3, "wave": n_wave,
                 "fresh_after_antijoin": n_fresh,
-                "seconds": round(dt, 2),
-                "urls_per_sec": round((n + n_fresh) / dt, 1)}
+                "seconds": round(dt_cold, 2),
+                "seconds_warm": round(dt_warm, 2),
+                "urls_per_sec": round((n + n_fresh) / dt_cold, 1),
+                "urls_per_sec_warm": round((n + n_fresh) / dt_warm, 1)}
     finally:
         spark.stop()
+
+
+def fingerprint_kernel_bench(n_docs: int = 1500,
+                             doc_bytes: int = 2048) -> dict:
+    """Vectorized-vs-scalar microbench for the fingerprint rolling
+    hash (the round-2 verdict's last per-byte Python kernel)."""
+    import random
+
+    from nipper_spark.functions.text_udfs import (
+        fingerprint, fingerprint_batch)
+    rnd = random.Random(7)
+    docs = ["".join(chr(rnd.randrange(32, 127))
+                    for _ in range(doc_bytes)) for _ in range(n_docs)]
+    fingerprint_batch(docs)  # warm (pow cache + numpy first-touch)
+    # min-of-N on BOTH sides: single samples of either swing 2x with
+    # box state (boost clocks for the scalar loop, page-cache/THP for
+    # the numpy passes) and corrupt the ratio
+    t_scalar = min(timed(lambda: [fingerprint(d) for d in docs])[0]
+                   for _ in range(2))
+    t_batch = min(timed(lambda: fingerprint_batch(docs))[0]
+                  for _ in range(5))
+    return {"docs": n_docs, "doc_bytes": doc_bytes,
+            "scalar_sec": round(t_scalar, 3),
+            "batch_sec": round(t_batch, 3),
+            "speedup": round(t_scalar / t_batch, 1)}
 
 
 def kernel_mp_scaling(n_low: int = 4, per_proc: int = 1500) -> dict:
@@ -298,10 +371,13 @@ def main() -> int:
                              n_urls=per_core * n_lo)
         hi = frontier_stress(f"local[{args.cpus}]", args.cpus,
                              n_urls=per_core * args.cpus)
-        eff = lo["seconds"] / hi["seconds"]  # 1.0 = perfect weak scaling
         print(json.dumps({"frontier_stress": hi,
                           "frontier_stress_low": lo,
-                          "weak_scaling_efficiency": round(eff, 3)}))
+                          "weak_scaling_efficiency": round(
+                              lo["seconds"] / hi["seconds"], 3),
+                          "weak_scaling_efficiency_warm": round(
+                              lo["seconds_warm"] / hi["seconds_warm"],
+                              3)}))
         return 0
 
     if args.scaling:
@@ -319,10 +395,15 @@ def main() -> int:
             "kernel_multiprocessing": kernel_mp_scaling(n)}}))
         return 0
 
+    # kernel microbench FIRST: pure numpy vs pure python on a quiet
+    # CPU — running it after a 3-minute 32-thread Spark session
+    # measures the box's thermal state, not the kernel
+    fp_bench = fingerprint_kernel_bench()
     spark = build(f"local[{args.cpus}]", args.cpus)
     t_all0 = time.time()
     q, extra = bench_queries(spark)
     total = time.time() - t_all0
+    spark.stop()
     sf = os.path.basename(args.sf.rstrip("/")).replace("sf", "")
     out = {
         "metric": "frontier round throughput (urls scheduled+deduped/sec)",
@@ -333,8 +414,24 @@ def main() -> int:
         "total_sec": round(total, 2),
         "detail": {k: v for k, v in extra.items() if k != "urls_per_sec"},
     }
+    out["detail"]["fingerprint_kernel"] = fp_bench
+    if not os.environ.get("SPARK_GRAFT_SKIP_STRESS"):
+        # weak-scaling frontier stress rides along in the recorded
+        # JSON so rounds compare on the queue machinery, not just the
+        # sf-dir query times (ideal weak scaling = constant seconds)
+        per_core = 125_000
+        n_lo = max(args.cpus // 4, 2)
+        lo = frontier_stress(f"local[{n_lo}]", n_lo,
+                             n_urls=per_core * n_lo)
+        hi = frontier_stress(f"local[{args.cpus}]", args.cpus,
+                             n_urls=per_core * args.cpus)
+        out["detail"]["frontier_stress"] = {
+            "low": lo, "high": hi,
+            "weak_scaling_efficiency": round(
+                lo["seconds"] / hi["seconds"], 3),
+            "weak_scaling_efficiency_warm": round(
+                lo["seconds_warm"] / hi["seconds_warm"], 3)}
     print(json.dumps(out))
-    spark.stop()
     return 0
 
 
