@@ -328,6 +328,73 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                        fingerprint_udf()(F.col("text")).alias("fingerprint"))
 
 
+VOCAB = dict(k=500)
+
+
+def _q_doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-rank vocabulary profile per document (the cheap
+    LLM-curation stand-in for LM perplexity): exact integer counters +
+    single divisions of exact integers, so the DuckDB twin reproduces
+    every double bit-for-bit."""
+    from nipper_spark.functions.text_udfs import doc_vocab_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = doc_vocab_stats(docs, k=VOCAB["k"])
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        "oov_ratio", "mean_rank")
+
+
+def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nipper_spark.functions.text_udfs import source_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = source_stats(docs)
+    return out.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        "mean_chars",
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("n_distinct_texts").cast("bigint")
+        .alias("n_distinct_texts"))
+
+
+_O_VOCAB_STATS = r"""
+WITH toks0 AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), toks AS (SELECT * FROM toks0 WHERE word <> ''),
+counts AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+vocab AS (
+  SELECT word, row_number() OVER (ORDER BY n DESC, word) AS rank
+  FROM counts ORDER BY n DESC, word LIMIT 500
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.rank IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST(sum(CASE WHEN v.rank IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS oov_ratio,
+       CASE WHEN count(v.rank) > 0
+            THEN CAST(sum(v.rank) AS DOUBLE) / count(v.rank) END
+           AS mean_rank
+FROM toks t LEFT JOIN vocab v USING (word)
+GROUP BY t.doc_id
+"""
+
+_O_SOURCE_STATS = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS DOUBLE) / count(*) AS mean_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+FROM documents GROUP BY source
+"""
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nipper_spark.functions.dedup import minhash_lsh_pairs
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -921,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_lang_pred": _q_doc_lang,
         "doc_fingerprints": _q_doc_fingerprints,
+        "doc_vocab_stats": _q_doc_vocab_stats,
+        "source_stats": _q_source_stats,
         "doc_sample_split": _q_sample_split,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
@@ -1319,6 +1388,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _O_QUALITY,
         "doc_lang_pred": _o_doc_lang(),
         "doc_fingerprints": _o_doc_fingerprints(),
+        "doc_vocab_stats": _O_VOCAB_STATS,
+        "source_stats": _O_SOURCE_STATS,
         "doc_sample_split": _o_sample_split(),
         "ann_brute_topk": _o_ann_brute(),
         "ann_lsh_topk": _o_ann_lsh(),

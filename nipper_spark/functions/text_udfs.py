@@ -345,6 +345,85 @@ def fingerprint_udf(window: int = 64):
     return _fp
 
 
+# ----------------------------------------------------------------------
+# corpus vocabulary statistics — pure Catalyst (the frequency-rank
+# scoring used by LLM-data curation pipelines in place of a full LM:
+# documents dominated by rare/OOV tokens score as low-quality)
+# ----------------------------------------------------------------------
+
+def _words(text_col: str) -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def vocab_top_k(docs: DataFrame, k: int = 1000,
+                text_col: str = "text") -> DataFrame:
+    """→ (word, n, rank): the corpus's k most frequent lowercased
+    whitespace tokens, rank 1 = most frequent, ties broken by word.
+    The global top-k is a TakeOrdered (bounded by k, no full sort);
+    the row_number window then runs over k rows only — driver-sized
+    by construction, never corpus-sized."""
+    counts = (docs.select(F.explode(_words(text_col)).alias("word"))
+              .filter(F.col("word") != "")
+              .groupBy("word").agg(F.count("*").alias("n")))
+    from pyspark.sql import Window
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def doc_vocab_stats(docs: DataFrame, k: int = 1000,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_tokens, n_oov, oov_ratio, mean_rank): per-document
+    vocabulary profile against the corpus top-k vocab. All counters are
+    exact integers; the two doubles are single divisions of exact
+    integers (IEEE-deterministic, so the DuckDB oracle reproduces them
+    bit-for-bit — no cross-row float accumulation anywhere).
+
+    Shuffle profile at scale: one token explode feeding a partial
+    (map-side) aggregation keyed by doc_id; the vocab joins broadcast
+    (k rows). No all-pairs work, no corpus-sized collect."""
+    vocab = vocab_top_k(docs, k, text_col)
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(_words(text_col)).alias("word"))
+            .filter(F.col("word") != ""))
+    j = toks.join(F.broadcast(vocab.select("word", "rank")), "word",
+                  "left")
+    agg = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("rank").isNull(), 1).otherwise(0))
+        .alias("n_oov"),
+        F.sum("rank").alias("_rank_sum"),
+        F.count("rank").alias("_n_invocab"))
+    return agg.select(
+        "doc_id", "n_tokens", "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens"))
+        .alias("oov_ratio"),
+        F.when(F.col("_n_invocab") > 0,
+               F.col("_rank_sum").cast("double") / F.col("_n_invocab"))
+        .alias("mean_rank"))
+
+
+def source_stats(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """→ per-source corpus health report: (source, n_docs, total_chars,
+    mean_chars, n_langs, n_distinct_texts). One groupBy on the source
+    key (partial aggregation applies); the distinct-text count goes
+    through md5 so the text itself never rides the shuffle."""
+    return (docs.select(
+        "source", F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("_chars"),
+        F.col("lang"),
+        F.md5(F.col(text_col)).alias("_h"))
+        .groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_chars").alias("total_chars"),
+            (F.sum("_chars").cast("double") / F.count("*"))
+            .alias("mean_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("_h").alias("n_distinct_texts")))
+
+
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """documents(text, …) → + token counts, quality features, lang_pred,
     fingerprint. One projection; native expressions stay fused in one

@@ -73,6 +73,50 @@ class TestTextAnalysis:
 
         prop()
 
+    def test_vocab_stats(self, spark, docs):
+        """Frequency-rank vocab profile: integer counters exact, OOV +
+        mean-rank consistent with a hand-computed python twin."""
+        from collections import Counter
+
+        from nipper_spark.functions.text_udfs import (
+            doc_vocab_stats, vocab_top_k)
+        k = 50
+        rows = docs.select("doc_id", "text").collect()
+        counts = Counter(w for r in rows
+                         for w in r["text"].lower().strip().split())
+        top = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:k]
+        rank = {w: i + 1 for i, (w, _) in enumerate(top)}
+        got_vocab = {(r["word"], r["rank"])
+                     for r in vocab_top_k(docs, k).collect()}
+        assert got_vocab == {(w, rank[w]) for w in rank}
+        got = {r["doc_id"]: r for r in
+               doc_vocab_stats(docs, k).collect()}
+        for r in rows[:40]:
+            words = r["text"].lower().strip().split()
+            g = got[r["doc_id"]]
+            assert g["n_tokens"] == len(words)
+            oov = sum(1 for w in words if w not in rank)
+            assert g["n_oov"] == oov
+            assert g["oov_ratio"] == oov / len(words)
+            ranks = [rank[w] for w in words if w in rank]
+            if ranks:
+                assert g["mean_rank"] == sum(ranks) / len(ranks)
+
+    def test_source_stats(self, spark, docs):
+        from nipper_spark.functions.text_udfs import source_stats
+        got = {r["source"]: r for r in source_stats(docs).collect()}
+        rows = docs.collect()
+        by_src: dict = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        assert set(got) == set(by_src)
+        for s, rs in by_src.items():
+            g = got[s]
+            assert g["n_docs"] == len(rs)
+            assert g["total_chars"] == sum(len(r["text"]) for r in rs)
+            assert g["n_langs"] == len({r["lang"] for r in rs})
+            assert g["n_distinct_texts"] == len({r["text"] for r in rs})
+
     def test_fingerprint_pure_matches_udf(self, spark, docs):
         from nipper_spark.functions.text_udfs import (
             fingerprint, fingerprint_udf)

@@ -76,6 +76,24 @@ def main() -> int:
         "`Exchange hashpartitioning(url…)` on the pages side).",
         formatted_plan(fetched)))
 
+    # 2b. robots anti-join (rules as data)
+    from nipper_spark.crawl.politeness import CrawlPolicy, robots_filter
+    cand = spark.createDataFrame(
+        [(f"http://h{i}.test/p/{i}", f"h{i}.test") for i in range(8)],
+        "url string, host string")
+    rules = spark.range(4).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        F.lit("/p/").alias("prefix"))
+    sections.append((
+        "Robots filter (candidates ANTI JOIN rules table)",
+        "Robots rules live in DATA: a LEFT ANTI join on host equality "
+        "+ path-startswith(prefix), shuffled (or broadcast when the "
+        "measured rule count is small). A literal expression over the "
+        "rule set would grow the Catalyst tree linearly in rule count "
+        "— fatal to the analyzer at 10^5+ hosts.",
+        formatted_plan(robots_filter(cand, CrawlPolicy(), rules=rules,
+                                     rules_rows=None))))
+
     # 3. MinHash LSH banding
     from nipper_spark.functions.dedup import minhash_lsh_pairs
     sections.append((

@@ -38,7 +38,7 @@ def main() -> int:
 
     from nipper_spark.crawl.frontier import FrontierEngine
     from nipper_spark.crawl.politeness import CrawlPolicy
-    from nipper_spark.crawl.robots import harvest_robots_from_pages
+    from nipper_spark.crawl.robots import harvest_robots_tables
 
     seeds = []
     with open(args.seeds) as f:
@@ -53,11 +53,17 @@ def main() -> int:
     pages = spark.read.parquet(args.pages)
     policy = CrawlPolicy(default_tokens=args.tokens,
                          n_buckets=args.buckets)
+    rules = budgets = None
     if args.harvest_robots:
-        policy = harvest_robots_from_pages(pages, policy)
+        # scale path: robots rules + crawl-delay budgets as per-host
+        # TABLES joined per round (parse happens executor-side; nothing
+        # host-count-sized ever lands on the driver)
+        rules, budgets = harvest_robots_tables(
+            pages, default_tokens=args.tokens)
 
     import os
-    eng = FrontierEngine(spark, pages, args.state, policy)
+    eng = FrontierEngine(spark, pages, args.state, policy,
+                         rules=rules, budgets=budgets)
     if not os.path.isdir(os.path.join(args.state, "frontier", "round=0")):
         eng.bootstrap(seeds)
     stats = eng.run(max_rounds=args.rounds)
