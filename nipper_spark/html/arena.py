@@ -85,10 +85,32 @@ class Arena:
         return nid
 
     def new_element(self, name: str, attrs: list[list[str]] | None = None) -> int:
-        return self.new_node(ELEMENT, name=name, attrs=attrs if attrs is not None else [])
+        # inlined new_node: elements + text nodes are ~95% of all
+        # allocations on the extraction hot path
+        nid = len(self.kind)
+        self.kind.append(ELEMENT)
+        self.name.append(name)
+        self.attrs.append(attrs if attrs is not None else [])
+        self.text.append(None)
+        self.parent.append(NIL)
+        self.prev.append(NIL)
+        self.next.append(NIL)
+        self.first.append(NIL)
+        self.last.append(NIL)
+        return nid
 
     def new_text(self, contents: str) -> int:
-        return self.new_node(TEXT, text=contents)
+        nid = len(self.kind)
+        self.kind.append(TEXT)
+        self.name.append(None)
+        self.attrs.append(None)
+        self.text.append(contents)
+        self.parent.append(NIL)
+        self.prev.append(NIL)
+        self.next.append(NIL)
+        self.first.append(NIL)
+        self.last.append(NIL)
+        return nid
 
     # ------------------------------------------------------------------
     # link surgery (doubly-linked child list; cf. src/dom_tree.rs:212-262)

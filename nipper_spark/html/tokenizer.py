@@ -119,6 +119,20 @@ def decode_charrefs(text: str, in_attr: bool) -> str:
     return "".join(out)
 
 
+_RAW_END_RES: dict = {}
+
+
+def _raw_end_re(tag: str):
+    """End-tag pattern for a rawtext/rcdata element — cached (the tag
+    set is tiny and style/textarea recur on every real page)."""
+    r = _RAW_END_RES.get(tag)
+    if r is None:
+        r = re.compile(r"</%s(?=[\t\n\f />]|$)" % re.escape(tag),
+                       re.IGNORECASE)
+        _RAW_END_RES[tag] = r
+    return r
+
+
 class TokenizerFeedback:
     """Tree-builder → tokenizer feedback (the spec's coupling): while
     the parser is in foreign (svg/math) content, start tags like
@@ -153,8 +167,7 @@ def tokenize(html: str, feedback: TokenizerFeedback | None = None):
             if tag == "script":
                 m = _script_end(s, pos)
             else:
-                m = re.compile(r"</%s(?=[\t\n\f />]|$)" % re.escape(tag),
-                               re.IGNORECASE).search(s, pos)
+                m = _raw_end_re(tag).search(s, pos)
             if m is None:
                 data = s[pos:]
                 end_at = n
