@@ -394,11 +394,18 @@ class TreeBuilder:
                 and all(e is MARKER or e[0] != cur for e in self.afe)):
             self.stack.pop()
             return None
-        for _ in range(8):
+        for it in range(8):
             entry = self._afe_find(subject)
             if entry is None:
                 return "any_other"
             fe = entry[0]
+            if it == 0 and fe == cur:
+                # properly-nested close (</b> with <b> current): fe is
+                # trivially in scope, no furthest block can exist below
+                # it — pop + drop the AFE entry, skipping the scans
+                self.stack.pop()
+                self.afe.remove(entry)
+                return None
             if fe not in self.stack:
                 self.afe.remove(entry)
                 return None
