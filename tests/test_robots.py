@@ -115,6 +115,41 @@ class TestHarvest:
             for url, h, _, _ in waves:
                 assert policy.allowed(h, url)
 
+    def test_harvest_tables_edge_cases(self):
+        """Duplicate robots rows per host merge (distinct prefixes, min
+        tokens); delay-only and garbage bodies don't emit rule rows."""
+        import datetime
+
+        from nipper_spark.crawl.robots import harvest_robots_tables
+        from nipper_spark.session import build_session
+        from nipper_spark.sources.synthetic import PAGES_SCHEMA
+
+        spark = build_session("robots-tests", master="local[4]",
+                              shuffle_partitions=4)
+        ts = datetime.datetime(2024, 1, 1)
+        rows = [
+            ("http://a.test/robots.txt", ts,
+             b"User-agent: *\nDisallow: /x\nCrawl-delay: 30\n", None, "en"),
+            # second row for the same host: overlapping prefix + a
+            # LOOSER delay — prefixes union, tokens take the min
+            ("http://a.test/robots.txt", ts,
+             b"User-agent: *\nDisallow: /x\nDisallow: /y\n"
+             b"Crawl-delay: 10\n", None, "en"),
+            ("http://delay-only.test/robots.txt", ts,
+             b"User-agent: *\nCrawl-delay: 600\n", None, "en"),
+            ("http://garbage.test/robots.txt", ts,
+             b"\xff\xfe\x00not robots at all", None, "en"),
+        ]
+        pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+        rules, budgets = harvest_robots_tables(pages, round_seconds=60.0,
+                                               default_tokens=8)
+        got_rules = sorted((r["host"], r["prefix"])
+                           for r in rules.collect())
+        assert got_rules == [("a.test", "/x"), ("a.test", "/y")]
+        got_budget = {r["host"]: r["tokens"] for r in budgets.collect()}
+        # 60/30=2 and 60/10=6 → min 2; delay 600 → floor(0.1) → min 1
+        assert got_budget == {"a.test": 2, "delay-only.test": 1}
+
     def test_engine_oracle_agree_with_rules_tables_10k_hosts(self,
                                                              tmp_path):
         """The scale path: robots/budget state as per-host TABLES
