@@ -168,8 +168,13 @@ def extraction_throughput(master: str, shuffle: int) -> dict:
     from nipper_spark.sources.synthetic import synth_pages_df
     spark = build(master, shuffle)
     try:
+        # 4 waves of equal partitions: page sizes vary, so fewer/larger
+        # partitions leave a straggler tail inside the timed region
+        # (measured: 2 waves -> 0.63-0.77 efficiency from tail effects
+        # alone; 4 waves -> 0.82 with the best absolute throughput;
+        # 8 waves -> per-task overhead starts to dominate)
         corpus = synth_pages_df(spark, **SCALING_CORPUS,
-                                partitions=shuffle * 2).cache()
+                                partitions=shuffle * 4).cache()
         n = corpus.count()
         bytes_total = corpus.agg(F.sum(F.length("html"))).collect()[0][0]
         # warm ALL python workers (fork + heavy imports) across every
