@@ -402,7 +402,11 @@ class TreeBuilder:
             if it == 0 and fe == cur:
                 # properly-nested close (</b> with <b> current): fe is
                 # trivially in scope, no furthest block can exist below
-                # it — pop + drop the AFE entry, skipping the scans
+                # it — pop + drop the AFE entry, skipping the scans.
+                # (NB: fe == cur must be checked against the FOUND
+                # entry — "cur's name matches" alone is not enough,
+                # because a fostered same-name element can hold a LATER
+                # AFE entry while cur is also listed.)
                 self.stack.pop()
                 self.afe.remove(entry)
                 return None

@@ -356,6 +356,22 @@ def test_template_mode_stack():
         ['<meta charset="x"><title>t</title>']
 
 
+def test_stale_afe_entry_fostered_formatting():
+    """A fostered same-name formatting element keeps a LATER active-
+    formatting entry than the still-open outer one: <b#2> is fostered
+    before the table, reconstructed for the post-table text, and the
+    single </b> must close the reconstruction while <b#1> stays open
+    for 'z'. (Pins the adoption-agency fast path against treating
+    'current node name matches' as 'current node is the entry'.)"""
+    from nipper_spark.html.serializer import serialize
+    from nipper_spark.html.treebuilder import parse_document
+    h = '<b id=1><table><b id=2><tr><td>x</td></tr></table>y</b>z'
+    assert serialize(parse_document(h), 0, include_node=True) == (
+        '<html><head></head><body><b id="1"><b id="2"></b>'
+        '<table><tbody><tr><td>x</td></tr></tbody></table>'
+        '<b id="2">y</b>z</b></body></html>')
+
+
 # batch 6: quirks mode (set_quirks_mode, reference src/document.rs)
 def test_quirks_table_in_p():
     """Doctype-less documents are quirks mode: <table> does NOT close
