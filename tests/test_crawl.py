@@ -156,6 +156,36 @@ class TestEngineMatchesOracle:
             assert sum(b["fresh"] for b in buckets) == t["fresh"]
 
 
+class TestShuffleJoinRegime:
+    def test_engine_matches_oracle_without_broadcasts(
+            self, spark, pages, seeds, oracle, tmp_path_factory):
+        """The size-guarded fallback regime (wave bound above the
+        broadcast threshold → every wave/dim join is a shuffle join)
+        must stay ORACLE-EXACT, not just plan-shaped: join strategy is
+        a physical concern and may never change results."""
+        import dataclasses
+        pol = dataclasses.replace(
+            POLICY, host_tokens=dict(POLICY.host_tokens),
+            robots_disallow={k: list(v)
+                             for k, v in POLICY.robots_disallow.items()},
+            broadcast_wave_threshold=0,   # always take the shuffle join
+            broadcast_dim_threshold=0)
+        state_dir = str(tmp_path_factory.mktemp("crawl_state_shuffle"))
+        eng = FrontierEngine(spark, pages, state_dir, pol)
+        eng.bootstrap(seeds)
+        stats = eng.run(max_rounds=64)
+        engine_scheds = read_engine_schedules(spark, state_dir,
+                                              len(stats) + 1)
+        non_empty = {r: w for r, w in engine_scheds.items() if w}
+        assert len(non_empty) == len(oracle.schedules)
+        for r, wave in enumerate(oracle.schedules):
+            assert non_empty[r] == wave, f"round {r} ordering mismatch"
+        st = CrawlState(spark, state_dir)
+        seen = {r["url"] for r in st.read_all_rounds(
+            "seen", len(stats) + 1, SEEN_SCHEMA).collect()}
+        assert seen == oracle.seen
+
+
 class TestResume:
     def test_exact_resume(self, spark, pages, oracle, seeds, tmp_path_factory):
         # uninterrupted reference run
