@@ -41,9 +41,14 @@ class Arena:
 
     __slots__ = ("kind", "name", "attrs", "text",
                  "parent", "prev", "next", "first", "last",
-                 "template_contents", "ns")
+                 "template_contents", "ns", "quirks_mode")
 
     def __init__(self) -> None:
+        # document quirks mode: "no-quirks" | "limited-quirks" |
+        # "quirks" — the tri-state the reference exposes publicly as
+        # Document.quirks_mode (src/document.rs:26-27, markup5ever
+        # QuirksMode), default NoQuirks (src/document.rs:35)
+        self.quirks_mode: str = "no-quirks"
         # sparse namespace map: node id → "svg" | "math" for foreign
         # elements; absence = HTML namespace (the overwhelming case)
         self.ns: dict[int, str] = {}

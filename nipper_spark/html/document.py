@@ -83,6 +83,14 @@ class Document:
         return s if s.length > 0 else None
 
     # -- properties ----------------------------------------------------
+    @property
+    def quirks_mode(self) -> str:
+        """The document's quirks mode — "no-quirks" | "limited-quirks"
+        | "quirks", mirroring the reference's public tri-state field
+        (src/document.rs:26-27,100-102; markup5ever QuirksMode).
+        Fragments always parse no-quirks (src/manipulation.rs:25)."""
+        return self.arena.quirks_mode
+
     def html(self) -> str:
         return serialize(self.arena, 0, include_node=True)
 

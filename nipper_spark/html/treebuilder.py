@@ -134,11 +134,13 @@ class TreeBuilder:
         self.frameset_ok = True
         self.done = False
         # quirks mode (set_quirks_mode in the reference sink,
-        # src/document.rs): missing doctype or a non-"html" doctype
-        # name → quirks. Observable here: <table> does NOT close an
-        # open <p> in quirks mode. (The full public-id prefix table is
-        # not modeled — doctype-less legacy pages are the real-world
-        # case.)
+        # src/document.rs:100-102): missing doctype, a non-"html"
+        # doctype name, or a legacy public/system id from the WHATWG
+        # table (_doctype_is_quirky below) → quirks. Observable in tree
+        # construction: <table> does NOT close an open <p> in quirks
+        # mode. The tri-state incl. limited-quirks (layout-only, no
+        # tree-construction effect) is recorded on arena.quirks_mode
+        # for parity with the reference's public Document.quirks_mode.
         self.quirks = False
         # the spec's "stack of template insertion modes": one entry per
         # open template; </template> pops it and _reset_mode returns
@@ -876,6 +878,33 @@ def _doctype_is_quirky(name: str, public_id: str | None,
     return system_id is not None and system_id.lower() == _QUIRKY_SYSTEM
 
 
+# limited-quirks conditions (evaluated only when not fully quirky):
+# XHTML 1.0 Frameset/Transitional public ids, plus the HTML 4.01
+# Frameset/Transitional ids when a system id IS present (the
+# system-id-MISSING case is full quirks, table above). Limited quirks
+# never changes tree construction — it is recorded for the public
+# quirks_mode tri-state only (reference src/document.rs:26-27).
+_LIMITED_PUBLIC_PREFIXES = (
+    "-//w3c//dtd xhtml 1.0 frameset//",
+    "-//w3c//dtd xhtml 1.0 transitional//",
+)
+_LIMITED_PUBLIC_PREFIXES_WITH_SYSTEM = (
+    "-//w3c//dtd html 4.01 frameset//",
+    "-//w3c//dtd html 4.01 transitional//",
+)
+
+
+def _doctype_is_limited_quirks(public_id: str | None,
+                               system_id: str | None) -> bool:
+    if public_id is None:
+        return False
+    p = public_id.lower()
+    if p.startswith(_LIMITED_PUBLIC_PREFIXES):
+        return True
+    return system_id is not None and \
+        p.startswith(_LIMITED_PUBLIC_PREFIXES_WITH_SYSTEM)
+
+
 def _mode_initial(tb: TreeBuilder, tok) -> None:
     k = tok[0]
     if k == "doctype":
@@ -885,6 +914,9 @@ def _mode_initial(tb: TreeBuilder, tok) -> None:
         tb.arena.append_child(0, nid)
         if _doctype_is_quirky(tok[1], tok[2], tok[3]):
             tb.quirks = True
+            tb.arena.quirks_mode = "quirks"
+        elif _doctype_is_limited_quirks(tok[2], tok[3]):
+            tb.arena.quirks_mode = "limited-quirks"
         tb.mode = "before_html"
         return
     if k == "comment":
@@ -893,6 +925,7 @@ def _mode_initial(tb: TreeBuilder, tok) -> None:
     # anything else before a doctype (non-ws text arrives here as a
     # pre-stripped __text__ reprocess token): quirks mode
     tb.quirks = True
+    tb.arena.quirks_mode = "quirks"
     tb.mode = "before_html"
     _MODE_DISPATCH["before_html"](tb, tok)
 

@@ -430,3 +430,108 @@ def test_quirks_legacy_public_ids():
         '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Strict//EN" '
         '"http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd">'
         + tail) == STANDARDS
+
+
+def test_quirks_mode_tristate():
+    """Document.quirks_mode exposes the same tri-state as the
+    reference's public field (src/document.rs:26-27; markup5ever
+    QuirksMode::{NoQuirks, LimitedQuirks, Quirks})."""
+    from nipper_spark.html.document import Document
+
+    def mode(src: str) -> str:
+        return Document.from_html(src).quirks_mode
+
+    assert mode("<!DOCTYPE html><p>x") == "no-quirks"
+    assert mode("<p>x") == "quirks"                      # missing doctype
+    assert mode("<!DOCTYPE foo><p>x") == "quirks"        # non-html name
+    assert mode('<!DOCTYPE HTML PUBLIC '
+                '"-//W3C//DTD HTML 4.01 Transitional//EN"><p>x') == "quirks"
+    # 4.01 Transitional WITH a system id: limited quirks, not standards
+    assert mode('<!DOCTYPE HTML PUBLIC '
+                '"-//W3C//DTD HTML 4.01 Transitional//EN" '
+                '"http://www.w3.org/TR/html4/loose.dtd"><p>x') == \
+        "limited-quirks"
+    assert mode('<!DOCTYPE html PUBLIC '
+                '"-//W3C//DTD XHTML 1.0 Transitional//EN" '
+                '"http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd">'
+                '<p>x') == "limited-quirks"
+    # XHTML 1.0 Frameset/Transitional are limited even without system id
+    assert mode('<!DOCTYPE html PUBLIC '
+                '"-//W3C//DTD XHTML 1.0 Frameset//EN"><p>x') == \
+        "limited-quirks"
+    assert mode('<!DOCTYPE html PUBLIC '
+                '"-//W3C//DTD XHTML 1.0 Strict//EN" '
+                '"http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd">'
+                '<p>x') == "no-quirks"
+    # limited-quirks must NOT change tree construction: <table> still
+    # closes the open <p> exactly as in no-quirks mode
+    assert body_html('<!DOCTYPE html PUBLIC '
+                     '"-//W3C//DTD XHTML 1.0 Transitional//EN" '
+                     '"http://www.w3.org/TR/xhtml1/DTD/'
+                     'xhtml1-transitional.dtd">'
+                     "<p>a<table><td>x</table>") == \
+        "<body><p>a</p><table><tbody><tr><td>x</td></tr></tbody>" \
+        "</table></body>"
+    # fragments always parse no-quirks (src/manipulation.rs:25)
+    assert Document.fragment("<p>x").quirks_mode == "no-quirks"
+
+
+# batch 7: classic misnesting/scope cases (spec-derived expected trees;
+# behaviors html5ever implements via the same WHATWG algorithms the
+# builder follows — adoption agency, implied end tags, element scopes,
+# foster parenting, the form pointer, PLAINTEXT's permanent raw state)
+BATCH7 = [
+    # adoption agency across block boundaries: <a> reopened per block
+    ("<a>1<div>2<div>3</a>4",
+     "<body><a>1</a><div><a>2</a><div><a>3</a>4</div></div></body>"),
+    # AAA: </b> with an open <p> clones the formatting element inside
+    ("<b>1<p>2</b>3", "<body><b>1</b><p><b>2</b>3</p></body>"),
+    # in-select: <optgroup> closes an open <option>
+    ("<select><option>a<optgroup><option>b</select>c",
+     "<body><select><option>a</option><optgroup><option>b</option>"
+     "</optgroup></select>c</body>"),
+    # ruby implied end tags
+    ("<ruby><rb>x<rt>y</ruby>",
+     "<body><ruby><rb>x</rb><rt>y</rt></ruby></body>"),
+    # <image> is translated to <img>
+    ("<image src=x>", '<body><img src="x"></body>'),
+    # <li> closes <li> but a nested <ul> opens a fresh list scope
+    ("<ul><li>a<li>b<ul><li>c</ul>",
+     "<body><ul><li>a</li><li>b<ul><li>c</li></ul></li></ul></body>"),
+    # <dd>/<dt> mutually imply end tags
+    ("<dl><dd>a<dt>b<dd>c</dl>",
+     "<body><dl><dd>a</dd><dt>b</dt><dd>c</dd></dl></body>"),
+    # nested <form> ignored while the form pointer is set
+    ("<form><div><form><input>",
+     "<body><form><div><input></div></form></body>"),
+    # PLAINTEXT: tokenizer never leaves the state — everything after is
+    # literal text of the element (serialized raw)
+    ("<plaintext>x</plaintext><b>",
+     "<body><plaintext>x</plaintext><b></plaintext></body>"),
+    # xmp is raw text
+    ("<xmp><b>x</b></xmp>", "<body><xmp><b>x</b></xmp></body>"),
+    # <td> inside <caption> closes the caption and opens the row
+    ("<table><caption>a<td>b</table>",
+     "<body><table><caption>a</caption><tbody><tr><td>b</td></tr>"
+     "</tbody></table></body>"),
+    # <td> in colgroup mode pops back to in-table and builds the row
+    ("<table><colgroup><col><td>x</table>",
+     "<body><table><colgroup><col></colgroup><tbody><tr><td>x</td></tr>"
+     "</tbody></table></body>"),
+    # second <body> tag merges missing attributes only
+    ("<body bgcolor=red><body text=blue>x",
+     '<body bgcolor="red" text="blue">x</body>'),
+    # <option> closes an open <option> outside select too
+    ("<option>a<option>b",
+     "<body><option>a</option><option>b</option></body>"),
+    # inner table closes cleanly; trailing text stays in the outer cell
+    ("<table><tr><td><table><tr></table>z</table>",
+     "<body><table><tbody><tr><td><table><tbody><tr></tr></tbody>"
+     "</table>z</td></tr></tbody></table></body>"),
+]
+
+
+@pytest.mark.parametrize("src,expected", BATCH7,
+                         ids=[s[:28] for s, _ in BATCH7])
+def test_misnesting_and_scopes(src, expected):
+    assert body_html("<!DOCTYPE html>" + src) == expected
