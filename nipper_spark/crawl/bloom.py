@@ -11,9 +11,14 @@ Spark's own runtime bloom filters are join-internal and not
 persistable across rounds, hence this explicit structure.
 
 Hashing: blake2b(url) → two independent 64-bit lanes; k probe indices
-are h1 + i*h2 mod m (standard double hashing). Deterministic across
-processes (no PYTHONHASHSEED dependence) so payloads built on one
-executor probe identically on another.
+are (h1 + i*h2) mod 2^64 mod m (standard double hashing, with uint64
+wraparound so the whole index grid vectorizes in numpy). Deterministic
+across processes (no PYTHONHASHSEED dependence) so payloads built on
+one executor probe identically on another. Build and probe share
+``_probe_indices`` — the single definition is what guarantees the
+no-false-negative invariant; payloads are NOT portable across versions
+of this module (crawl state is rebuilt per run; the periodic exact
+rebuild would re-create them anyway).
 """
 
 from __future__ import annotations
@@ -26,11 +31,33 @@ import numpy as np
 DEFAULT_BITS_PER_KEY = 10  # ~1% fp at k=7
 DEFAULT_K = 7
 
+_LANE_I = np.arange(16, dtype=np.uint64)
 
-def _lanes(url: str) -> tuple[int, int]:
-    d = hashlib.blake2b(url.encode("utf-8"), digest_size=16,
-                        person=b"urlbloom").digest()
-    return (int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1)
+
+def _lanes_batch(urls) -> tuple[np.ndarray, np.ndarray]:
+    """blake2b lanes for a batch of urls → (h1, h2) uint64 arrays.
+    The hash itself is C-speed; only the per-url dispatch is Python."""
+    n = len(urls)
+    h1 = np.empty(n, dtype=np.uint64)
+    h2 = np.empty(n, dtype=np.uint64)
+    blake2b = hashlib.blake2b
+    from_bytes = int.from_bytes
+    for j, u in enumerate(urls):
+        d = blake2b(u.encode("utf-8"), digest_size=16,
+                    person=b"urlbloom").digest()
+        h1[j] = from_bytes(d[:8], "big")
+        h2[j] = from_bytes(d[8:], "big") | 1
+    return h1, h2
+
+
+def _probe_indices(urls, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) uint64 probe-index grid — the one definition both build
+    and probe use (false-negative freedom = build/probe agreement)."""
+    h1, h2 = _lanes_batch(urls)
+    # uint64 arithmetic wraps mod 2^64 (numpy semantics) before % m —
+    # consistent on both sides, so membership still never false-negates
+    return (h1[:, None] + _LANE_I[:k][None, :] * h2[:, None]) \
+        % np.uint64(m_bits)
 
 
 def bloom_sizing(n_items: int, bits_per_key: int = DEFAULT_BITS_PER_KEY) -> int:
@@ -39,13 +66,18 @@ def bloom_sizing(n_items: int, bits_per_key: int = DEFAULT_BITS_PER_KEY) -> int:
     return ((m + 7) // 8) * 8
 
 
+def _set_bits(bits: np.ndarray, idx: np.ndarray) -> None:
+    byte_idx = (idx >> np.uint64(3)).astype(np.int64).ravel()
+    bit = np.left_shift(
+        np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)).ravel()
+    np.bitwise_or.at(bits, byte_idx, bit)
+
+
 def bloom_build(urls, m_bits: int, k: int = DEFAULT_K) -> bytes:
+    urls = list(urls)
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
-    for u in urls:
-        h1, h2 = _lanes(u)
-        for i in range(k):
-            idx = (h1 + i * h2) % m_bits
-            bits[idx >> 3] |= 1 << (idx & 7)
+    if urls:
+        _set_bits(bits, _probe_indices(urls, m_bits, k))
     return bits.tobytes()
 
 
@@ -54,13 +86,10 @@ def bloom_add(payload: bytes | None, urls, m_bits: int,
     """OR new keys into an existing payload (payload=None → fresh)."""
     if payload is None or len(payload) == 0:
         return bloom_build(urls, m_bits, k)
+    urls = list(urls)
     bits = np.frombuffer(payload, dtype=np.uint8).copy()
-    m = len(bits) * 8
-    for u in urls:
-        h1, h2 = _lanes(u)
-        for i in range(k):
-            idx = (h1 + i * h2) % m
-            bits[idx >> 3] |= 1 << (idx & 7)
+    if urls:
+        _set_bits(bits, _probe_indices(urls, len(bits) * 8, k))
     return bits.tobytes()
 
 
@@ -76,19 +105,14 @@ def bloom_or(a: bytes, b: bytes) -> bytes:
 def bloom_might_contain(payload: bytes, urls, k: int = DEFAULT_K) -> np.ndarray:
     """Vectorized membership test → bool array aligned with ``urls``.
     False = definitely unseen (safe to keep as fresh candidate)."""
+    urls = list(urls)
+    if not urls:
+        return np.empty(0, dtype=bool)
     bits = np.frombuffer(payload, dtype=np.uint8)
-    m = len(bits) * 8
-    out = np.empty(len(urls), dtype=bool)
-    for j, u in enumerate(urls):
-        h1, h2 = _lanes(u)
-        hit = True
-        for i in range(k):
-            idx = (h1 + i * h2) % m
-            if not (bits[idx >> 3] >> (idx & 7)) & 1:
-                hit = False
-                break
-        out[j] = hit
-    return out
+    idx = _probe_indices(urls, len(bits) * 8, k)
+    probes = (bits[(idx >> np.uint64(3)).astype(np.int64)]
+              >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+    return probes.all(axis=1)
 
 
 def expected_fp_rate(n_items: int, m_bits: int, k: int = DEFAULT_K) -> float:

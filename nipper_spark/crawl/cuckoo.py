@@ -45,14 +45,44 @@ def _fingerprint_and_index(url: str, n_buckets: int) -> tuple[int, int]:
     return fp, i1
 
 
+def _fp_index_batch(urls, n_buckets: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batch fingerprints + primary indices (same blake2b lanes as the
+    scalar path — add and probe must agree or probes false-negate)."""
+    n = len(urls)
+    fps = np.empty(n, dtype=np.uint16)
+    i1 = np.empty(n, dtype=np.int64)
+    blake2b = hashlib.blake2b
+    from_bytes = int.from_bytes
+    for j, u in enumerate(urls):
+        d = blake2b(u.encode("utf-8"), digest_size=16,
+                    person=b"urlcucko").digest()
+        fps[j] = from_bytes(d[:2], "big") | 1
+        i1[j] = from_bytes(d[2:10], "big") % n_buckets
+    return fps, i1
+
+
+# fp → full alt-hash, all 2^16 fingerprints, built once per process on
+# first use (≈0.1 s) so batch probes are a pure numpy gather
+_ALT_TABLE: np.ndarray | None = None
+
+
+def _alt_table() -> np.ndarray:
+    global _ALT_TABLE
+    if _ALT_TABLE is None:
+        blake2b = hashlib.blake2b
+        from_bytes = int.from_bytes
+        _ALT_TABLE = np.array(
+            [from_bytes(blake2b(fp.to_bytes(2, "big"), digest_size=8,
+                                person=b"cuckooalt").digest(), "big")
+             for fp in range(1 << 16)], dtype=np.uint64)
+    return _ALT_TABLE
+
+
 def _alt_index(i: int, fp: int, n_buckets: int) -> int:
     """Partial-key displacement: i XOR hash(fp). n_buckets is always a
     power of two so the masked XOR is an involution — alt(alt(i)) == i,
     which `contains` relies on to find displaced fingerprints."""
-    h = int.from_bytes(
-        hashlib.blake2b(fp.to_bytes(2, "big"), digest_size=8,
-                        person=b"cuckooalt").digest(), "big")
-    return i ^ (h & (n_buckets - 1))
+    return i ^ (int(_alt_table()[fp]) & (n_buckets - 1))
 
 
 class CuckooFilter:
@@ -132,10 +162,20 @@ class CuckooFilter:
         return False
 
     def contains_vec(self, urls) -> np.ndarray:
+        """Batch membership — both candidate buckets gathered and
+        compared in numpy (the scalar ``contains`` stays the oracle
+        twin for the property test)."""
+        urls = list(urls)
         if self.saturated:
             return np.ones(len(urls), dtype=bool)
-        return np.fromiter((self.contains(u) for u in urls), dtype=bool,
-                           count=len(urls))
+        if not urls:
+            return np.empty(0, dtype=bool)
+        fps, i1 = _fp_index_batch(urls, self.n_buckets)
+        mask = np.uint64(self.n_buckets - 1)
+        i2 = i1 ^ (_alt_table()[fps] & mask).astype(np.int64)
+        fcol = fps[:, None]
+        return ((self.table[i1] == fcol).any(axis=1)
+                | (self.table[i2] == fcol).any(axis=1))
 
     @property
     def load(self) -> float:
