@@ -428,7 +428,14 @@ class FrontierEngine:
         rows.append((r, -1, stats.candidates, stats.bloom_hits,
                      stats.fresh, stats.scheduled, stats.fetched,
                      stats.residual, float(max_share)))
-        return self.spark.createDataFrame(rows, ROUND_LOG_SCHEMA)
+        # n_buckets+1 rows by construction at ANY scale: ONE slice from
+        # the start (one task, one file). NOT .coalesce(1) — that makes
+        # a single task compute all defaultParallelism python-parallelize
+        # slices sequentially (~150 ms of worker round-trip each;
+        # measured 5 s/round at local[32]).
+        return self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(rows, 1),
+            ROUND_LOG_SCHEMA)
 
 
 # ----------------------------------------------------------------------
