@@ -91,3 +91,47 @@ class TestCuckooFrontier:
         oracle_first4 = oracle.seen if oracle.rounds <= 4 else None
         if oracle_first4 is not None:
             assert seen == oracle.seen
+
+
+class TestVectorizedEqualsScalar:
+    """The batch probe paths were vectorized (numpy gathers, uint64
+    wraparound index math shared by build and probe). The scalar
+    methods stay the oracle twins: property-test agreement, and pin
+    the one invariant that matters — NEVER a false negative."""
+
+    def test_cuckoo_vec_equals_scalar(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.lists(st.text(min_size=1, max_size=40), min_size=1,
+                        max_size=60),
+               st.lists(st.text(min_size=1, max_size=40), max_size=60))
+        def prop(members, probes):
+            f = CuckooFilter(n_items=max(len(members), 16))
+            for u in members:
+                f.add(u)
+            batch = list(f.contains_vec(probes + members))
+            scalar = [f.contains(u) for u in probes + members]
+            assert batch == scalar
+            # members must all hit (no false negatives, saturated or not)
+            assert all(batch[len(probes):])
+
+        prop()
+
+    def test_bloom_build_probe_no_false_negative(self):
+        from hypothesis import given, settings, strategies as st
+
+        from nipper_spark.crawl import bloom as B
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.lists(st.text(min_size=1, max_size=40), min_size=1,
+                        max_size=80),
+               st.integers(min_value=0, max_value=3))
+        def prop(members, split):
+            m = B.bloom_sizing(len(members))
+            base, extra = members[split:], members[:split]
+            payload = B.bloom_build(base, m)
+            payload = B.bloom_add(payload, extra, m)
+            assert B.bloom_might_contain(payload, members).all()
+
+        prop()
