@@ -936,6 +936,31 @@ def _q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_sha")
 
 
+def _q_sitemap_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery (sitemaps.org protocol: urlset, sitemapindex,
+    gzip, plain-text): sitemap rows of a pages table parse executor-
+    side (mapInPandas) into canonicalized same-host (host, url, kind,
+    lastmod, priority) entries — the advertisement side of per-host
+    crawl state, joining robots.txt's restriction side."""
+    from nipper_spark.crawl.sitemaps import (
+        harvest_sitemap_tables, synth_sitemap_rows)
+    from nipper_spark.sources.synthetic import PAGES_SCHEMA
+    pages = spark.createDataFrame(synth_sitemap_rows(), PAGES_SCHEMA)
+    return harvest_sitemap_tables(pages).select(
+        "host", "url", "kind", "lastmod",
+        F.col("priority").cast("double").alias("priority"))
+
+
+def _o_sitemap_harvest() -> str:
+    from nipper_spark.crawl.sitemaps import (
+        harvest_sitemap_entries_py, synth_sitemap_rows)
+    rows = harvest_sitemap_entries_py(
+        [(u, bytes(b)) for (u, _ts, b, _t, _l) in synth_sitemap_rows()])
+    return _values_sql(rows, [("host", "VARCHAR"), ("url", "VARCHAR"),
+                              ("kind", "VARCHAR"), ("lastmod", "VARCHAR"),
+                              ("priority", "DOUBLE")])
+
+
 def _o_media_real_decode() -> str:
     from nipper_spark.functions.multimodal import (
         real_decode_record, synth_real_media_rows)
@@ -1012,6 +1037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": _q_media_features,
         "media_frame_samples": _q_media_frames,
         "media_real_decode": _q_media_real_decode,
+        # sitemap discovery (urlset/sitemapindex/gzip/txt, same-host)
+        "sitemap_harvest": _q_sitemap_harvest,
     }
 
 
@@ -1407,4 +1434,5 @@ def oracle_sql() -> dict[str, str]:
         "media_image_features": _o_media_features(),
         "media_frame_samples": _o_media_frames(),
         "media_real_decode": _o_media_real_decode(),
+        "sitemap_harvest": _o_sitemap_harvest(),
     }

@@ -200,6 +200,45 @@ class FrontierEngine:
         self.state.commit_round(-1)
 
     # ------------------------------------------------------------------
+    def bootstrap_from_df(self, seed_frontier: DataFrame) -> None:
+        """Distributed round-0 state from a FRONTIER_SCHEMA-shaped
+        seed TABLE (e.g. ``sitemaps.sitemap_seed_frontier`` output) —
+        the 10^10-scale twin of :meth:`bootstrap`, which takes a
+        driver-side list bounded by contract. Everything stays
+        executor-side: dedup per url keeps the max score (insertion
+        order does not exist in a table — scheduling order is fully
+        determined by (depth, -score, url) anyway), robots filtering
+        uses the same rules tables the rounds use, and the per-bucket
+        bloom/cuckoo payloads build in the same cogroup kernel that
+        merges them every round."""
+        pol = self.policy
+        seeds = (seed_frontier
+                 .groupBy("url")
+                 .agg(F.min("depth").alias("depth"),
+                      F.max("score").alias("score"))
+                 .withColumn("discovered_round", F.lit(0).cast("int")))
+        seeds = _host_cols(seeds, pol)
+        seeds = robots_filter(seeds, pol, rules=self._rules,
+                              rules_rows=self._rules_rows).cache()
+        frontier = (seeds
+                    .select("url", "host", "host_bucket", "depth",
+                            "score", "discovered_round")
+                    .repartition(pol.n_buckets, "host_bucket")
+                    .sortWithinPartitions("depth", F.desc("score"), "url"))
+        self.state.write("frontier", 0, frontier)
+        self.state.write("seen", 0, seeds.select(
+            "url", "host_bucket", "url_hash",
+            F.lit(0).alias("round")))
+        empty_bloom = self.spark.createDataFrame([], BLOOM_SCHEMA)
+        payloads = (seeds.groupBy("host_bucket")
+                    .cogroup(empty_bloom.groupBy("host_bucket"))
+                    .applyInPandas(_make_merge_fn(pol.filter_kind),
+                                   schema=BLOOM_SCHEMA))
+        self.state.write("bloom", 0, payloads)
+        seeds.unpersist()
+        self.state.commit_round(-1)
+
+    # ------------------------------------------------------------------
     def resume_round(self) -> int:
         """Next round to run; cleans any uncommitted partial writes and
         finishes any crash-interrupted compaction."""

@@ -1,0 +1,183 @@
+"""Sitemap harvesting: kernel parse, executor-side table harvest, and
+the distributed frontier bootstrap — engine==oracle end-to-end when a
+crawl is seeded from harvested sitemaps instead of a driver list."""
+
+import datetime
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from nipper_spark.crawl.frontier import FrontierEngine
+from nipper_spark.crawl.oracle import crawl_oracle
+from nipper_spark.crawl.politeness import CrawlPolicy
+from nipper_spark.crawl.sitemaps import (
+    harvest_sitemap_tables, parse_sitemap, sitemap_seed_frontier)
+from nipper_spark.crawl.state import SCHEDULE_SCHEMA, SEEN_SCHEMA, CrawlState
+from nipper_spark.sources.synthetic import PAGES_SCHEMA, synth_pages_rows
+
+
+class TestParseKernel:
+    def test_urlset(self):
+        xml = (b'<?xml version="1.0"?>'
+               b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+               b"<url><loc>http://h.test/a?x=1&amp;y=2</loc>"
+               b"<lastmod>2026-01-01</lastmod><priority>0.8</priority></url>"
+               b"<url><loc> http://h.test/b </loc></url>"
+               b"<url><lastmod>2026-01-01</lastmod></url></urlset>")
+        assert parse_sitemap(xml) == [
+            ("url", "http://h.test/a?x=1&y=2", "2026-01-01", 0.8),
+            ("url", "http://h.test/b", None, None)]
+        # gzip payload: identical result
+        assert parse_sitemap(gzip.compress(xml)) == parse_sitemap(xml)
+
+    def test_sitemapindex(self):
+        idx = (b"<sitemapindex><sitemap>"
+               b"<loc>http://h.test/sitemap1.xml</loc>"
+               b"<lastmod>2025-12-31</lastmod></sitemap></sitemapindex>")
+        assert parse_sitemap(idx) == [
+            ("sitemap", "http://h.test/sitemap1.xml", "2025-12-31", None)]
+
+    def test_plaintext_variant(self):
+        body = b"http://h.test/p1\nhttps://h.test/p2\n# junk\nnot a url\n"
+        assert parse_sitemap(body) == [
+            ("url", "http://h.test/p1", None, None),
+            ("url", "https://h.test/p2", None, None)]
+
+    def test_garbage_never_raises(self):
+        for body in (b"", b"\x1f\x8b broken gzip", b"<urlset><url><loc>",
+                     b"\x00\xff binary", "plain text no urls",
+                     b"<urlset><url><loc></loc></url></urlset>",
+                     b"<urlset><url><loc>http://h.test/x</loc>"
+                     b"<priority>high</priority></url></urlset>"):
+            out = parse_sitemap(body)
+            assert isinstance(out, list)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from nipper_spark.session import build_session
+    return build_session("sitemap-tests", master="local[4]",
+                         shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return synth_pages_rows(n_pages=40, links_per_page=4, n_hosts=8,
+                            seed=42)
+
+
+def _sitemap_rows(rows):
+    """Sitemap pages-table rows advertising a subset of the synthetic
+    corpus: an XML urlset (with priorities + a cross-host spam entry),
+    a gzipped child urlset behind a sitemapindex, and a plain-text
+    sitemap — one per host."""
+    from nipper_spark.functions.url import host_of
+    by_host: dict[str, list[str]] = {}
+    for (u, _, _, _, _) in rows:
+        by_host.setdefault(host_of(u), []).append(u)
+    hosts = sorted(h for h, us in by_host.items() if len(us) >= 3)
+    ha, hb, hc = hosts[0], hosts[1], hosts[2]
+    ts = rows[0][1]
+    a_urls = by_host[ha][:3]
+    xml_a = ("<urlset>"
+             + f"<url><loc>{a_urls[0]}</loc><priority>0.9</priority></url>"
+             + f"<url><loc>{a_urls[1]}</loc><priority>0.7</priority>"
+               "<lastmod>2026-02-02</lastmod></url>"
+             + f"<url><loc>{a_urls[2]}</loc></url>"
+             + "<url><loc>http://evil.test/spam</loc>"
+               "<priority>1.0</priority></url>"
+             + "</urlset>").encode()
+    b_urls = by_host[hb][:2]
+    child_b = gzip.compress(
+        ("<urlset>"
+         + "".join(f"<url><loc>{u}</loc><priority>0.6</priority></url>"
+                   for u in b_urls)
+         + "</urlset>").encode())
+    index_b = (f"<sitemapindex><sitemap><loc>http://{hb}/sitemap-b.xml.gz"
+               "</loc></sitemap></sitemapindex>").encode()
+    c_urls = by_host[hc][:2]
+    txt_c = ("\n".join(c_urls) + "\n").encode()
+    return [
+        (f"http://{ha}/sitemap.xml", ts, xml_a, "", "en"),
+        (f"http://{hb}/sitemap.xml", ts, index_b, "", "en"),
+        (f"http://{hb}/sitemap-b.xml.gz", ts, child_b, "", "en"),
+        (f"http://{hc}/sitemap.txt", ts, txt_c, "", "en"),
+    ], dict(ha=ha, hb=hb, hc=hc, a_urls=a_urls, b_urls=b_urls,
+            c_urls=c_urls)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, rows):
+    smap_rows, info = _sitemap_rows(rows)
+    pages = spark.createDataFrame(rows + smap_rows, PAGES_SCHEMA).cache()
+    pages.count()
+    return pages, info
+
+
+class TestHarvest:
+    def test_entries(self, spark, corpus):
+        pages, info = corpus
+        entries = harvest_sitemap_tables(pages)
+        got = {(r["host"], r["url"], r["kind"],
+                r["lastmod"], r["priority"])
+               for r in entries.collect()}
+        expect = {
+            (info["ha"], info["a_urls"][0], "url", None, 0.9),
+            (info["ha"], info["a_urls"][1], "url", "2026-02-02", 0.7),
+            (info["ha"], info["a_urls"][2], "url", None, None),
+            # index reference surfaces as kind='sitemap'
+            (info["hb"], f"http://{info['hb']}/sitemap-b.xml.gz",
+             "sitemap", None, None),
+            (info["hb"], info["b_urls"][0], "url", None, 0.6),
+            (info["hb"], info["b_urls"][1], "url", None, 0.6),
+            (info["hc"], info["c_urls"][0], "url", None, None),
+            (info["hc"], info["c_urls"][1], "url", None, None),
+        }
+        # cross-host spam entry must be gone
+        assert not any("evil.test" in u for (_, u, _, _, _) in got)
+        assert got == expect
+
+
+class TestBootstrapFromSitemaps:
+    def test_engine_matches_oracle(self, spark, rows, corpus,
+                                   tmp_path_factory):
+        pages, _ = corpus
+        policy = CrawlPolicy(default_tokens=6, n_buckets=4, max_depth=16)
+        entries = harvest_sitemap_tables(pages)
+        seed_df = sitemap_seed_frontier(entries, policy)
+
+        state_dir = str(tmp_path_factory.mktemp("sitemap_state"))
+        eng = FrontierEngine(spark, pages, state_dir, policy)
+        eng.bootstrap_from_df(seed_df)
+        stats = eng.run(max_rounds=64)
+
+        # oracle twin: same seeds as a (url, score) list — order is
+        # irrelevant (scheduling is (depth, -score, url)-determined)
+        seed_rows = (entries.filter(F.col("kind") == "url")
+                     .select("url", F.coalesce("priority", F.lit(0.5))
+                             .alias("score"))
+                     .orderBy("url").collect())
+        # sitemap rows exist in the pages table too: the oracle must
+        # see the identical fetch universe
+        pages_dict = {r["url"]: bytes(r["html"]) for r in
+                      pages.select("url", "html").collect()}
+        oracle = crawl_oracle(pages_dict,
+                              [(r["url"], r["score"]) for r in seed_rows],
+                              policy, max_rounds=64)
+
+        st = CrawlState(spark, state_dir)
+        sched = st.read_all_rounds("schedule", len(stats) + 1,
+                                   SCHEDULE_SCHEMA) \
+            .orderBy("round", "seq").collect()
+        got: dict[int, list] = {}
+        for x in sched:
+            got.setdefault(x["round"], []).append(
+                (x["url"], x["host"], x["depth"], x["score"]))
+        non_empty = {r: w for r, w in got.items() if w}
+        assert len(non_empty) == len(oracle.schedules)
+        for r, wave in enumerate(oracle.schedules):
+            assert non_empty[r] == wave, f"round {r}"
+        seen = {r["url"] for r in st.read_all_rounds(
+            "seen", len(stats) + 1, SEEN_SCHEMA).collect()}
+        assert seen == oracle.seen
