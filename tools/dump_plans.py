@@ -164,6 +164,20 @@ def main() -> int:
         formatted_plan(stratified_hash_sample(
             docs, "lang", {"en": 0.5}, "doc_id", 0.1))))
 
+    # 9. sitemap harvest: scan-filtered mapInPandas + one host-keyed agg
+    from nipper_spark.crawl.sitemaps import (
+        harvest_sitemap_tables, synth_sitemap_rows)
+    from nipper_spark.sources.synthetic import PAGES_SCHEMA
+    smap_pages = spark.createDataFrame(synth_sitemap_rows(),
+                                       PAGES_SCHEMA)
+    sections.append((
+        "Sitemap harvest (`harvest_sitemap_tables`)",
+        "The pages scan filters to sitemap rows BEFORE the single "
+        "`MapInPandas` parse boundary; the only exchange is the "
+        "(host, url, kind) dedup aggregation over parsed entries — "
+        "sitemap BODIES never shuffle and never reach the driver.",
+        formatted_plan(harvest_sitemap_tables(smap_pages))))
+
     out = ["# PLANS — physical plans of the headline operators",
            "",
            "Generated by `python tools/dump_plans.py` "
