@@ -293,6 +293,44 @@ def frontier_stress(master: str, shuffle: int, n_urls: int = 1_000_000,
         spark.stop()
 
 
+def frontier_stress_pair(n_lo: int, n_hi: int, per_core: int,
+                         repeats: int = 3) -> tuple[dict, dict]:
+    """INTERLEAVED median-of-N sampling of both stress levels.
+
+    Why interleaved: a fresh-session "cold" sample on this box swings
+    ±40% with page-cache state (measured back-to-back: 4.9 s and
+    7.7 s for the SAME level), and samples taken later in a run are
+    systematically warmer — so min-of-N per level, or running all of
+    one level before the other, hands whichever level sampled later a
+    free advantage and the derived weak-scaling ratio flips between
+    0.61 and 0.92 on identical code. Alternating lo/hi gives both
+    levels the same cache-state distribution and the median filters
+    co-tenant bursts; per-level cold samples are recorded so the
+    spread is visible in the artifact."""
+    from statistics import median
+
+    lo_s, hi_s = [], []
+    for _ in range(repeats):
+        lo_s.append(frontier_stress(f"local[{n_lo}]", n_lo,
+                                    n_urls=per_core * n_lo))
+        hi_s.append(frontier_stress(f"local[{n_hi}]", n_hi,
+                                    n_urls=per_core * n_hi))
+
+    def fold(samples: list[dict]) -> dict:
+        out = dict(samples[len(samples) // 2])  # schema/carried fields
+        n_eff = out["frontier_urls"] + out["fresh_after_antijoin"]
+        out["seconds"] = round(median(s["seconds"] for s in samples), 2)
+        out["seconds_warm"] = round(
+            median(s["seconds_warm"] for s in samples), 2)
+        out["urls_per_sec"] = round(n_eff / out["seconds"], 1)
+        out["urls_per_sec_warm"] = round(n_eff / out["seconds_warm"], 1)
+        out["cold_samples_sec"] = [s["seconds"] for s in samples]
+        out["warm_samples_sec"] = [s["seconds_warm"] for s in samples]
+        return out
+
+    return fold(lo_s), fold(hi_s)
+
+
 def fingerprint_kernel_bench(n_docs: int = 1500,
                              doc_bytes: int = 2048) -> dict:
     """Vectorized-vs-scalar microbench for the fingerprint rolling
@@ -372,10 +410,7 @@ def main() -> int:
         # has its own strong-scaling pair under --scaling.
         per_core = 125_000
         n_lo = max(args.cpus // 4, 2)
-        lo = frontier_stress(f"local[{n_lo}]", n_lo,
-                             n_urls=per_core * n_lo)
-        hi = frontier_stress(f"local[{args.cpus}]", args.cpus,
-                             n_urls=per_core * args.cpus)
+        lo, hi = frontier_stress_pair(n_lo, args.cpus, per_core)
         print(json.dumps({"frontier_stress": hi,
                           "frontier_stress_low": lo,
                           "weak_scaling_efficiency": round(
@@ -426,10 +461,7 @@ def main() -> int:
         # sf-dir query times (ideal weak scaling = constant seconds)
         per_core = 125_000
         n_lo = max(args.cpus // 4, 2)
-        lo = frontier_stress(f"local[{n_lo}]", n_lo,
-                             n_urls=per_core * n_lo)
-        hi = frontier_stress(f"local[{args.cpus}]", args.cpus,
-                             n_urls=per_core * args.cpus)
+        lo, hi = frontier_stress_pair(n_lo, args.cpus, per_core)
         out["detail"]["frontier_stress"] = {
             "low": lo, "high": hi,
             "weak_scaling_efficiency": round(
