@@ -201,8 +201,9 @@ class FrontierEngine:
 
     # ------------------------------------------------------------------
     def bootstrap_from_df(self, seed_frontier: DataFrame) -> None:
-        """Distributed round-0 state from a FRONTIER_SCHEMA-shaped
-        seed TABLE (e.g. ``sitemaps.sitemap_seed_frontier`` output) —
+        """Distributed round-0 state from a seed TABLE with at least
+        ``(url, depth, score)`` columns (FRONTIER_SCHEMA is a
+        superset; e.g. ``sitemaps.sitemap_seed_frontier`` output) —
         the 10^10-scale twin of :meth:`bootstrap`, which takes a
         driver-side list bounded by contract. Everything stays
         executor-side: dedup per url keeps the max score (insertion
