@@ -299,7 +299,8 @@ class FrontierEngine:
 
         wave, residual = select_wave(frontier, self._budgets, pol,
                                      wave_bound=bound,
-                                     budgets_rows=self._budgets_rows)
+                                     budgets_rows=self._budgets_rows,
+                                     frontier_bound=bound)
         obs_wave = Observation()
         wave = wave.observe(obs_wave, F.count(F.lit(1)).alias("n")).cache()
 

@@ -99,13 +99,24 @@ def _maybe_broadcast(df: DataFrame, n_rows: int | None,
 
 def select_wave(frontier: DataFrame, budgets: DataFrame,
                 policy: CrawlPolicy, wave_bound: int | None = None,
-                budgets_rows: int | None = None
+                budgets_rows: int | None = None,
+                frontier_bound: int | None = None
                 ) -> tuple[DataFrame, DataFrame]:
     """Split a round's frontier into (wave, residual).
 
-    Per-host top-k goes through the salted two-phase operator so a
-    Zipf-hot host cannot pin a shuffle partition. Ordering inside a
-    host — and globally — is the deterministic (depth, -score, url) key.
+    Per-host top-k is adaptive on ``frontier_bound`` (an upper bound
+    on the FRONTIER row count — the previous round's frontier_next, or
+    one count job; NOT the wave/Σ-budgets bound, which says nothing
+    about how many rows one hot host can pile into a window
+    partition): at or under ``seq_window_threshold`` a plain
+    per-host window ranks in ONE shuffle — a ≤1M-row frontier cannot
+    contain a >1M-row host, so the skew argument is vacuous there —
+    and above it (or when no bound is known) the salted two-phase
+    operator keeps a Zipf-hot host from pinning a shuffle partition
+    at the cost of a second (much smaller) exchange. Both paths rank
+    by the same deterministic (depth, -score, url) key, so results
+    are identical (pinned by test_salted_equals_plain_window and the
+    forced-big-paths crawl oracle test).
 
     Join strategy is size-guarded, never assumed: the budgets dim
     broadcasts only when its row count is known ≤
@@ -125,9 +136,11 @@ def select_wave(frontier: DataFrame, budgets: DataFrame,
         .withColumn("_tokens", F.coalesce(F.col("tokens"),
                                           F.lit(policy.default_tokens))) \
         .drop("tokens")
+    small = frontier_bound is not None and \
+        frontier_bound <= policy.seq_window_threshold
     ranked = topk_per_key(
         f, "host", wave_order(), F.col("_tokens"),
-        salt=policy.salt, rank_col="_rk")
+        salt=0 if small else policy.salt, rank_col="_rk")
     wave = ranked.drop("_rk", "_tokens")
     residual = frontier.join(
         _maybe_broadcast(wave.select("url"), wave_bound,

@@ -159,17 +159,18 @@ class TestEngineMatchesOracle:
 class TestShuffleJoinRegime:
     def test_engine_matches_oracle_without_broadcasts(
             self, spark, pages, seeds, oracle, tmp_path_factory):
-        """The size-guarded fallback regime (wave bound above the
-        broadcast threshold → every wave/dim join is a shuffle join)
-        must stay ORACLE-EXACT, not just plan-shaped: join strategy is
-        a physical concern and may never change results."""
+        """The at-scale regime (wave bound above every threshold →
+        shuffle joins everywhere, salted two-phase top-k, two-phase
+        schedule seq) must stay ORACLE-EXACT, not just plan-shaped:
+        physical strategy may never change results."""
         import dataclasses
         pol = dataclasses.replace(
             POLICY, host_tokens=dict(POLICY.host_tokens),
             robots_disallow={k: list(v)
                              for k, v in POLICY.robots_disallow.items()},
             broadcast_wave_threshold=0,   # always take the shuffle join
-            broadcast_dim_threshold=0)
+            broadcast_dim_threshold=0,
+            seq_window_threshold=0)       # salted top-k + two-phase seq
         state_dir = str(tmp_path_factory.mktemp("crawl_state_shuffle"))
         eng = FrontierEngine(spark, pages, state_dir, pol)
         eng.bootstrap(seeds)
