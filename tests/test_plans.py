@@ -264,3 +264,54 @@ class TestTopkEquivalence:
                  topk_per_key(df, "k", order, 5, salt=0).collect()}
         assert salted == plain
         assert len(plain) == 35
+
+
+class TestAdaptiveWaveTopk:
+    """select_wave keys the per-host top-k on the FRONTIER-size bound:
+    a bounded-small frontier takes the plain one-window rank, an
+    unbounded/large one takes the salted two-phase operator. Pin the
+    physical shapes so the adaptive switch can't silently die."""
+
+    def _frontier(self, spark):
+        return spark.range(500).select(
+            F.concat(F.lit("http://h"), (F.col("id") % 9).cast("string"),
+                     F.lit(".test/p/"), F.col("id").cast("string"))
+            .alias("url"),
+            F.concat(F.lit("h"), (F.col("id") % 9).cast("string"),
+                     F.lit(".test")).alias("host"),
+            (F.col("id") % 4).cast("int").alias("host_bucket"),
+            (F.col("id") % 3).cast("int").alias("depth"),
+            (F.col("id") % 100 / 100.0).alias("score"),
+            F.lit(0).cast("int").alias("discovered_round"))
+
+    def test_small_bound_is_single_window(self, spark):
+        from nipper_spark.crawl.politeness import (
+            CrawlPolicy, budgets_df, select_wave)
+        pol = CrawlPolicy(default_tokens=5, n_buckets=4)
+        wave, _ = select_wave(self._frontier(spark),
+                              budgets_df(spark, pol), pol,
+                              wave_bound=500, budgets_rows=1,
+                              frontier_bound=500)
+        plan = wave._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window") == 1, plan
+
+    def test_no_bound_is_salted_two_phase(self, spark):
+        from nipper_spark.crawl.politeness import (
+            CrawlPolicy, budgets_df, select_wave)
+        pol = CrawlPolicy(default_tokens=5, n_buckets=4)
+        wave, _ = select_wave(self._frontier(spark),
+                              budgets_df(spark, pol), pol,
+                              wave_bound=500, budgets_rows=1)
+        plan = wave._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window") == 2, plan
+
+    def test_both_regimes_same_rows(self, spark):
+        from nipper_spark.crawl.politeness import (
+            CrawlPolicy, budgets_df, select_wave)
+        pol = CrawlPolicy(default_tokens=5, n_buckets=4)
+        f = self._frontier(spark)
+        b = budgets_df(spark, pol)
+        small, _ = select_wave(f, b, pol, frontier_bound=500)
+        big, _ = select_wave(f, b, pol)  # no bound -> salted
+        assert {r["url"] for r in small.collect()} == \
+            {r["url"] for r in big.collect()}
