@@ -181,3 +181,33 @@ class TestBootstrapFromSitemaps:
         seen = {r["url"] for r in st.read_all_rounds(
             "seen", len(stats) + 1, SEEN_SCHEMA).collect()}
         assert seen == oracle.seen
+
+    def test_robots_filter_applies_to_sitemap_seeds(
+            self, spark, rows, corpus, tmp_path_factory):
+        """A disallow rule for a sitemap host must drop its advertised
+        URLs at bootstrap, exactly like the oracle's seed filter."""
+        pages, info = corpus
+        blocked_prefix = "/" + info["a_urls"][0].split("/", 3)[3]
+        policy = CrawlPolicy(
+            default_tokens=6, n_buckets=4, max_depth=16,
+            robots_disallow={info["ha"]: [blocked_prefix]})
+        entries = harvest_sitemap_tables(pages)
+        seed_df = sitemap_seed_frontier(entries, policy)
+        state_dir = str(tmp_path_factory.mktemp("sitemap_robots"))
+        eng = FrontierEngine(spark, pages, state_dir, policy)
+        eng.bootstrap_from_df(seed_df)
+        stats = eng.run(max_rounds=64)
+        seed_rows = (entries.filter(F.col("kind") == "url")
+                     .select("url", F.coalesce("priority", F.lit(0.5))
+                             .alias("score"))
+                     .orderBy("url").collect())
+        pages_dict = {r["url"]: bytes(r["html"]) for r in
+                      pages.select("url", "html").collect()}
+        oracle = crawl_oracle(pages_dict,
+                              [(r["url"], r["score"]) for r in seed_rows],
+                              policy, max_rounds=64)
+        assert info["a_urls"][0] not in oracle.seen  # rule really bites
+        st = CrawlState(spark, state_dir)
+        seen = {r["url"] for r in st.read_all_rounds(
+            "seen", len(stats) + 1, SEEN_SCHEMA).collect()}
+        assert seen == oracle.seen
