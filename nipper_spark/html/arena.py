@@ -41,7 +41,7 @@ class Arena:
 
     __slots__ = ("kind", "name", "attrs", "text",
                  "parent", "prev", "next", "first", "last",
-                 "template_contents", "ns", "quirks_mode")
+                 "template_contents", "ns", "quirks_mode", "errors")
 
     def __init__(self) -> None:
         # document quirks mode: "no-quirks" | "limited-quirks" |
@@ -49,6 +49,12 @@ class Arena:
         # Document.quirks_mode (src/document.rs:26-27, markup5ever
         # QuirksMode), default NoQuirks (src/document.rs:35)
         self.quirks_mode: str = "no-quirks"
+        # parse-error messages (the reference exposes Document.errors,
+        # src/document.rs:23-24, filled by the sink's parse_error,
+        # :79-81). Message STRINGS are engine-specific on both sides
+        # (the reference's come from html5ever internals), so only
+        # presence/position is meaningful across engines.
+        self.errors: list[str] = []
         # sparse namespace map: node id → "svg" | "math" for foreign
         # elements; absence = HTML namespace (the overwhelming case)
         self.ns: dict[int, str] = {}

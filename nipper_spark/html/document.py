@@ -84,6 +84,17 @@ class Document:
 
     # -- properties ----------------------------------------------------
     @property
+    def errors(self) -> list:
+        """Parse-error messages collected during tree construction —
+        the reference's public ``Document.errors``
+        (src/document.rs:23-24, filled via the sink's ``parse_error``,
+        :79-81). Message strings are engine-specific on BOTH sides
+        (html5ever's come from its internals), so cross-engine
+        comparison is presence/count, not bytes. Clean documents
+        parse with ``errors == []``."""
+        return self.arena.errors
+
+    @property
     def quirks_mode(self) -> str:
         """The document's quirks mode — "no-quirks" | "limited-quirks"
         | "quirks", mirroring the reference's public tri-state field

@@ -778,6 +778,7 @@ class TreeBuilder:
             self._insert_text(data)
             return
         # non-whitespace in table: foster-parent via in-body rules
+        self.arena.errors.append("unexpected-characters-in-table")
         self.foster = True
         self._afe_reconstruct()
         self._insert_text(data)
@@ -915,6 +916,7 @@ def _mode_initial(tb: TreeBuilder, tok) -> None:
         if _doctype_is_quirky(tok[1], tok[2], tok[3]):
             tb.quirks = True
             tb.arena.quirks_mode = "quirks"
+            tb.arena.errors.append("quirky-doctype")
         elif _doctype_is_limited_quirks(tok[2], tok[3]):
             tb.arena.quirks_mode = "limited-quirks"
         tb.mode = "before_html"
@@ -926,6 +928,8 @@ def _mode_initial(tb: TreeBuilder, tok) -> None:
     # pre-stripped __text__ reprocess token): quirks mode
     tb.quirks = True
     tb.arena.quirks_mode = "quirks"
+    tb.arena.errors.append("expected-doctype-but-got-" +
+                           ("chars" if k == "__text__" else k))
     tb.mode = "before_html"
     _MODE_DISPATCH["before_html"](tb, tok)
 
@@ -1107,6 +1111,7 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
             return
         if name == "body":
             if (len(tb.stack) > 1 and tb._name(tb.stack[1]) == "body"):
+                a.errors.append("unexpected-start-tag-body")
                 a.add_attrs_if_missing(tb.stack[1], attrs)
             return
         if name in _CLOSE_P_TAGS:
@@ -1126,6 +1131,7 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
             return
         if name == "form":
             if tb.form_id is not None:
+                tb.arena.errors.append("unexpected-start-tag-form")
                 return
             tb._maybe_close_p()
             tb.form_id = tb._insert_element("form", attrs)
@@ -1327,6 +1333,7 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
                 tb._afe_clear_to_marker()
             return
         if name == "br":
+            tb.arena.errors.append("unexpected-end-tag-br")
             tb._afe_reconstruct()
             tb._insert_element("br", [], push=False)
             return
@@ -1342,7 +1349,9 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
                 del tb.stack[i:]
                 return
             if nm in SPECIAL:
+                tb.arena.errors.append("unexpected-end-tag-" + name)
                 return
+        tb.arena.errors.append("unexpected-end-tag-" + name)
         return
 
 
@@ -1431,6 +1440,7 @@ def _mode_in_table(tb: TreeBuilder, tok) -> None:
                     "td", "tfoot", "th", "thead", "tr"):
             return
     # anything else: process via in_body with foster parenting enabled
+    tb.arena.errors.append("unexpected-token-in-table")
     tb.foster = True
     _MODE_DISPATCH["in_body"](tb, tok)
     tb.foster = False

@@ -535,3 +535,33 @@ BATCH7 = [
                          ids=[s[:28] for s, _ in BATCH7])
 def test_misnesting_and_scopes(src, expected):
     assert body_html("<!DOCTYPE html>" + src) == expected
+
+
+def test_parse_errors_surface():
+    """Document.errors mirrors the reference's public errors vec
+    (src/document.rs:23-24,79-81): empty on clean documents, populated
+    at anomaly branches. Strings are engine-specific by design."""
+    from nipper_spark.html.document import Document
+
+    def errs(src: str) -> list:
+        return Document.from_html(src).errors
+
+    assert errs("<!DOCTYPE html><p>clean</p>") == []
+    assert errs("<p>x") == ["expected-doctype-but-got-start"]
+    assert errs('<!DOCTYPE HTML PUBLIC '
+                '"-//W3C//DTD HTML 3.2 Final//EN"><p>x') == \
+        ["quirky-doctype"]
+    assert "unexpected-end-tag-br" in errs("<!DOCTYPE html>a</br>b")
+    assert "unexpected-start-tag-form" in errs(
+        "<!DOCTYPE html><form><div><form>")
+    assert "unexpected-start-tag-body" in errs(
+        "<!DOCTYPE html><body a=1><body b=2>")
+    assert "unexpected-characters-in-table" in errs(
+        "<!DOCTYPE html><table>x<td>1</table>")
+    assert "unexpected-token-in-table" in errs(
+        "<!DOCTYPE html><table><div>d</div><td>1</table>")
+    assert "unexpected-end-tag-span" in errs("<!DOCTYPE html>x</span>")
+    # misnesting handled by the adoption agency is not double-reported
+    # here, but a stray close against a SPECIAL boundary is
+    assert "unexpected-end-tag-b" in errs(
+        "<!DOCTYPE html><table><tr><td><i>x</td></tr></table></b>")
