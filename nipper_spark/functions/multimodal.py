@@ -77,12 +77,25 @@ def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, arr.astype(np.uint8).reshape(h, w, 3)
 
 
-def encode_ppm(pixels: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 → P6 payload (the synth-media generator's real
-    image format; shared with the oracle twin)."""
+def encode_ppm(pixels: np.ndarray, maxval: int = 255,
+               ascii_p3: bool = False) -> bytes:
+    """(h, w, 3) samples → PPM payload. Defaults (P6, maxval 255)
+    are the synth-media generator's byte-exact format (shared with
+    the oracle twin); ``maxval > 255`` writes big-endian two-byte
+    samples and ``ascii_p3`` the decimal P3 form — the full netpbm
+    writer matching everything :func:`decode_ppm` reads."""
     h, w, _ = pixels.shape
-    return b"P6\n%d %d\n255\n" % (w, h) + \
-        np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+    if not (0 < maxval < 65536):
+        raise ValueError("bad maxval")
+    arr = np.ascontiguousarray(pixels).astype(
+        ">u2" if maxval > 255 else np.uint8)
+    header = b"%s\n%d %d\n%d\n" % (b"P3" if ascii_p3 else b"P6",
+                                   w, h, maxval)
+    if ascii_p3:
+        body = "\n".join(
+            " ".join(str(int(v)) for v in row.ravel()) for row in arr)
+        return header + body.encode() + b"\n"
+    return header + arr.tobytes()
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:

@@ -388,6 +388,25 @@ class TestRealCodecs:
         assert arr[0, 0].tolist() == [255, 0, 119]  # scaled from maxval 15
         assert arr[0, 1].tolist() == [0, 255, 119]
 
+    def test_ppm_16bit_and_p3_writer_roundtrip(self):
+        import numpy as np
+
+        from nipper_spark.functions.multimodal import decode_ppm, encode_ppm
+        rng = np.random.RandomState(9)
+        pix8 = rng.randint(0, 256, size=(4, 3, 3)).astype(np.uint16)
+        # 16-bit P6: 0..255 * 257 spans 0..65535 exactly, so the
+        # decoder's rescale-to-255 inverts losslessly
+        w, h, arr = decode_ppm(encode_ppm(pix8 * 257, maxval=65535))
+        assert (w, h) == (3, 4) and (arr == pix8).all()
+        # ascii P3 writer, 8-bit
+        w, h, arr = decode_ppm(encode_ppm(pix8.astype(np.uint8),
+                                          ascii_p3=True))
+        assert (w, h) == (3, 4) and (arr == pix8).all()
+        # ascii P3 writer at 16-bit depth
+        w, h, arr = decode_ppm(encode_ppm(pix8 * 257, maxval=65535,
+                                          ascii_p3=True))
+        assert (arr == pix8).all()
+
     def test_ppm_malformed_raises(self):
         import pytest as _pytest
 
