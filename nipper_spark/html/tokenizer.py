@@ -142,10 +142,14 @@ class TokenizerFeedback:
     generator reads it when it resumes (i.e. after the consumer handled
     the start tag that might switch modes)."""
 
-    __slots__ = ("foreign",)
+    __slots__ = ("foreign", "cdata_ok")
 
     def __init__(self) -> None:
         self.foreign = False
+        # True while the builder's CURRENT node is in a foreign
+        # namespace (updated after every token): gates the CDATA
+        # section state, which is legal only in foreign content
+        self.cdata_ok = False
 
 
 def tokenize(html: str, feedback: TokenizerFeedback | None = None):
@@ -204,6 +208,21 @@ def tokenize(html: str, feedback: TokenizerFeedback | None = None):
         c = s[lt + 1]
 
         if c == "!":
+            if feedback is not None and feedback.cdata_ok \
+                    and s.startswith("[CDATA[", lt + 2):
+                # CDATA section state: legal ONLY in foreign content
+                # (adjusted current node not in the HTML namespace) —
+                # contents are literal text, no charref decoding; in
+                # HTML content `<![CDATA[` stays a bogus comment
+                end = s.find("]]>", lt + 9)
+                if end == -1:
+                    if lt + 9 < n:
+                        yield ("text", s[lt + 9:])
+                    return
+                if end > lt + 9:
+                    yield ("text", s[lt + 9: end])
+                pos = end + 3
+                continue
             pos, tok = _markup_declaration(s, lt + 2)
             if tok is not None:
                 yield tok

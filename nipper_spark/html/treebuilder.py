@@ -72,6 +72,10 @@ _DEFAULT_SCOPE = frozenset(
 _LIST_ITEM_SCOPE = _DEFAULT_SCOPE | {"ol", "ul"}
 _BUTTON_SCOPE = _DEFAULT_SCOPE | {"button"}
 _TABLE_SCOPE = frozenset(["html", "table", "template"])
+# table-structure tags that terminate a select opened inside a table
+# (the spec's "in select in table" insertion mode)
+_SELECT_TABLE_STRUCTURE = frozenset(
+    ["caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th"])
 
 _IMPLIED_END = frozenset(
     ["dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"])
@@ -176,6 +180,12 @@ class TreeBuilder:
                 fb.foreign = False
                 self.skip_next_lf = False
                 dispatch[self.mode](self, tok)
+            # CDATA sections are legal only while the current node is
+            # foreign (spec markup-declaration-open: adjusted current
+            # node not in the HTML namespace); ns is empty for pure-HTML
+            # documents so this is one falsy check on the hot path
+            fb.cdata_ok = bool(ns) and bool(self.stack) \
+                and self.stack[-1] in ns
             if self.done:
                 break
         self._finish()
@@ -1656,6 +1666,16 @@ def _mode_in_select(tb: TreeBuilder, tok) -> None:
         if name in ("script", "template"):
             _MODE_DISPATCH["in_head"](tb, tok)
             return
+        if name in _SELECT_TABLE_STRUCTURE and any(
+                tb._name(nid) == "table" for nid in tb.stack):
+            # spec "in select in table" mode: a table-structure start
+            # tag closes the select and reprocesses (html5ever
+            # InSelectInTable; the select was opened inside a table)
+            tb.arena.errors.append("unexpected-start-tag-in-select")
+            tb._pop_until("select")
+            tb.mode = tb._reset_mode()
+            _MODE_DISPATCH[tb.mode](tb, tok)
+            return
         return
     if k == "end":
         name = tok[1]
@@ -1677,6 +1697,15 @@ def _mode_in_select(tb: TreeBuilder, tok) -> None:
             return
         if name == "template":
             tb._end_template()
+            return
+        if name in _SELECT_TABLE_STRUCTURE and any(
+                tb._name(nid) == "table" for nid in tb.stack):
+            # "in select in table" end-tag rule: close + reprocess only
+            # when the named element is in table scope
+            if tb._in_scope(name, _TABLE_SCOPE):
+                tb._pop_until("select")
+                tb.mode = tb._reset_mode()
+                _MODE_DISPATCH[tb.mode](tb, tok)
             return
         return
 

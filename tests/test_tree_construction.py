@@ -565,3 +565,45 @@ def test_parse_errors_surface():
     # here, but a stray close against a SPECIAL boundary is
     assert "unexpected-end-tag-b" in errs(
         "<!DOCTYPE html><table><tr><td><i>x</td></tr></table></b>")
+
+
+# batch 8: select-in-table mode + CDATA sections in foreign content
+CASES8 = [
+    # "in select in table": a table-structure start tag closes the
+    # select and reprocesses (here: opens a nested table in the cell)
+    ("select-table-start", "<table><tr><td><select><table>",
+     "<body><table><tbody><tr><td><select></select><table></table>"
+     "</td></tr></tbody></table></body>"),
+    # ... and <tr> starts the next row after closing the select
+    ("select-table-tr", "<table><tr><td><select><option>a<tr><td>y</table>",
+     "<body><table><tbody><tr><td><select><option>a</option></select>"
+     "</td></tr><tr><td>y</td></tr></tbody></table></body>"),
+    # plain (non-table) select still IGNORES a <table> start tag
+    ("select-plain-table", "<select><table>x",
+     "<body><select>x</select></body>"),
+    # </table> end tag in select-in-table closes select + the table
+    ("select-table-end", "<table><tr><td><select></table>z",
+     "<body><table><tbody><tr><td><select></select></td></tr></tbody>"
+     "</table>z</body>"),
+    # CDATA section in foreign content = literal text, no charrefs
+    ("cdata-svg", "<svg><![CDATA[<b>raw & stuff]]></svg>",
+     "<body><svg>&lt;b&gt;raw &amp; stuff</svg></body>"),
+    # unterminated CDATA runs to EOF
+    ("cdata-eof", "<svg><![CDATA[unterminated",
+     "<body><svg>unterminated</svg></body>"),
+    # partial ]] inside the section
+    ("cdata-brackets", "<svg><![CDATA[a]]b]]></svg>",
+     "<body><svg>a]]b</svg></body>"),
+    # in HTML content <![CDATA[ stays a bogus comment
+    ("cdata-html-bogus", "<p><![CDATA[x]]></p>",
+     "<body><p><!--[CDATA[x]]--></p></body>"),
+    # integration-point child (svg desc is SVG-namespace): still CDATA
+    ("cdata-desc", "<svg><desc><![CDATA[in desc]]></desc></svg>",
+     "<body><svg><desc>in desc</desc></svg></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES8,
+                         ids=[c[0] for c in CASES8])
+def test_select_in_table_and_cdata(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
