@@ -607,3 +607,44 @@ CASES8 = [
                          ids=[c[0] for c in CASES8])
 def test_select_in_table_and_cdata(name, inp, expected):
     assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+# batch 9: frameset-ok flag, Noah's Ark clause, attribute charrefs
+CASES9 = [
+    # frameset after non-ws content: frameset-ok is false -> ignored
+    ("frameset-not-ok", "<p>x</p><frameset><frame>",
+     "<body><p>x</p></body>"),
+    # Noah's Ark: 4 identical <b> in the tree, only 3 reconstruct
+    ("noahs-ark", "<p><b><b><b><b>x</p><p>y</p>",
+     "<body><p><b><b><b><b>x</b></b></b></b></p>"
+     "<p><b><b><b>y</b></b></b></p></body>"),
+    # attribute-distinct entries are not 'identical' -> both reconstruct
+    ("noahs-ark-attrs", '<p><b a="1"><b a="2">x</p><p>y</p>',
+     '<body><p><b a="1"><b a="2">x</b></b></p>'
+     '<p><b a="1"><b a="2">y</b></b></p></body>'),
+    # attribute charref rule: &not followed by '=' must NOT decode
+    ("attr-charref-eq", '<a href="?a=1&not=2">x</a>',
+     '<body><a href="?a=1&amp;not=2">x</a></body>'),
+    # NUL numeric ref -> U+FFFD; no-semicolon numeric still decodes
+    ("nul-and-nosemi", "<p>&#0;&#x41</p>", "<body><p>�A</p></body>"),
+    # svg tag-name case adjustment
+    ("svg-case-adjust", "<svg><animatemotion></animatemotion>"
+     "<feimage></feimage></svg>",
+     "<body><svg><animateMotion></animateMotion><feImage></feImage>"
+     "</svg></body>"),
+    # metadata after </head> re-enters the head
+    ("link-after-head", "<head></head> <link><body>x",
+     "<body>x</body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES9,
+                         ids=[c[0] for c in CASES9])
+def test_frameset_ok_afe_charrefs(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+def test_link_after_head_lands_in_head():
+    from nipper_spark.html.document import Document
+    d = Document.from_html("<!DOCTYPE html><head></head> <link><body>x")
+    assert d.select("head").html() == "<head><link></head>"
