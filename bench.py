@@ -33,10 +33,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # bench corpus (distributed generation; deterministic seed 42)
 CORPUS = dict(n_pages=60000, links_per_page=20, n_hosts=200, seed=42)
-# medians-of-N for the two queries whose single-sample numbers have
-# disagreed across rounds (box noise ±30%)
+# medians-of-N: EVERY query is a median — the r3 driver record showed
+# single samples (q1 3.31 s vs same-session local median 1.26 s) are
+# box-state measurements, not engine measurements. q3/q5 keep the
+# deeper 5-run median their cross-round disputes earned.
 Q3_REPEATS = int(os.environ.get("SPARK_GRAFT_Q3_REPEATS", "5"))
 Q5_REPEATS = int(os.environ.get("SPARK_GRAFT_Q5_REPEATS", "5"))
+Q_REPEATS = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
 SCALING_CORPUS = dict(n_pages=150000, links_per_page=20, n_hosts=200,
                       seed=42)
 
@@ -55,6 +58,18 @@ def timed(fn):
     return time.time() - t0, out
 
 
+def median_timed(fn, repeats: int = None):
+    """Median-of-N wall clock for one query; returns
+    (median_sec, all_runs_sec, last_output)."""
+    from statistics import median
+    repeats = repeats or Q_REPEATS
+    runs, out = [], None
+    for _ in range(repeats):
+        dt, out = timed(fn)
+        runs.append(dt)
+    return median(runs), [round(x, 2) for x in runs], out
+
+
 def bench_queries(spark) -> tuple[dict, dict]:
     from pyspark.sql import functions as F
     from nipper_spark.crawl.frontier import FrontierEngine
@@ -71,9 +86,26 @@ def bench_queries(spark) -> tuple[dict, dict]:
     q: dict[str, float] = {}
     extra: dict = {}
 
+    q_runs: dict[str, list[float]] = {}
+
     # ---- corpus (generated once, cached, materialized outside timers)
     corpus = synth_pages_df(spark, **CORPUS).cache()
     n_corpus = corpus.count()
+
+    # ---- session warm-up BEFORE any timed query: fork + import every
+    # python worker across all partitions, and JIT the extraction path
+    # once. Without this the first timed query pays worker cold-start
+    # (~2 s of the r3 driver's q1 3.31 s record was exactly this).
+    import pandas as pd_  # noqa: F401
+
+    @F.pandas_udf("int")
+    def _warm(u):
+        import nipper_spark.functions.html_udfs  # noqa: F401
+        import pandas as pd
+        return pd.Series([0] * len(u), dtype="int32")
+
+    corpus.select(_warm("url").alias("w")).agg(F.max("w")).collect()
+    extract_pages(corpus.limit(256)).count()
 
     # q1: flagship hacker-news extraction, fixture page replicated 512×
     hn = [r for r in fixture_pages_rows()
@@ -82,12 +114,12 @@ def bench_queries(spark) -> tuple[dict, dict]:
         [(f"http://fixture.test/hn/{i}",) + hn[1:] for i in range(512)],
         PAGES_SCHEMA).cache()
     hn_df.count()
-    q["q1_hn_extract"], n = timed(lambda: (hacker_news_stories(hn_df)
-                                           .count(),))
+    q["q1_hn_extract"], q_runs["q1"], n = median_timed(
+        lambda: (hacker_news_stories(hn_df).count(),))
     extra["hn_rows"] = n[0]
 
     # q2: fused parse+text+outlinks over the synthetic corpus
-    q["q2_extract_pages"], n = timed(
+    q["q2_extract_pages"], q_runs["q2"], n = median_timed(
         lambda: (extract_pages(corpus)
                  .agg(F.sum("n_anchors"), F.count("*")).collect(),))
     extra["extract_pages"] = n_corpus
@@ -132,7 +164,8 @@ def bench_queries(spark) -> tuple[dict, dict]:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
     emb.count()
 
-    q["q4_dedup_exact"], _ = timed(lambda: dedup_exact(docs).count())
+    q["q4_dedup_exact"], q_runs["q4"], _ = median_timed(
+        lambda: dedup_exact(docs).count())
     # q5: median of 5 uncached runs (the r2 driver record disagreed
     # 3.2x with the builder's runs — medians settle it)
     q5_runs = [timed(lambda: minhash_lsh_pairs(docs,
@@ -143,20 +176,22 @@ def bench_queries(spark) -> tuple[dict, dict]:
     pairs = minhash_lsh_pairs(docs, threshold=0.9).cache()
     pairs.count()
     from nipper_spark.functions.dedup import near_dup_survivors
-    q["q5b_cluster_survivors"], _ = timed(
+    q["q5b_cluster_survivors"], q_runs["q5b"], _ = median_timed(
         lambda: near_dup_survivors(docs, pairs).count())
     pairs.unpersist()
-    q["q6_simhash"], _ = timed(lambda: simhash_near_dups(docs).count())
-    q["q7_text_features"], _ = timed(
+    q["q6_simhash"], q_runs["q6"], _ = median_timed(
+        lambda: simhash_near_dups(docs).count())
+    q["q7_text_features"], q_runs["q7"], _ = median_timed(
         lambda: with_text_features(docs).agg(
             F.sum("bpe_tokens"), F.avg("quality")).collect())
     queries = [(r["vec_id"], r["embedding"])
                for r in emb.orderBy("vec_id").limit(8).collect()]
-    q["q8_ann_brute"], _ = timed(
+    q["q8_ann_brute"], q_runs["q8"], _ = median_timed(
         lambda: ann_brute_topk(emb, queries, k=10).count())
 
     corpus.unpersist()
     hn_df.unpersist()
+    extra["query_runs_sec"] = q_runs
     return q, {"urls_per_sec": urls_per_sec, **extra}
 
 
@@ -215,7 +250,8 @@ def frontier_stress(master: str, shuffle: int, n_urls: int = 1_000_000,
     from nipper_spark.crawl.politeness import (
         CrawlPolicy, budgets_df, select_wave, wave_order_specs)
     from nipper_spark.operators.cumsum import row_sequence
-    from nipper_spark.plans.inspect import has_broadcast_hash_join
+    from nipper_spark.plans.inspect import (
+        has_broadcast_hash_join, shuffle_bytes)
 
     spark = build(master, shuffle)
     try:
@@ -254,7 +290,13 @@ def frontier_stress(master: str, shuffle: int, n_urls: int = 1_000_000,
             budgets_rows=1)
         assert has_broadcast_hash_join(wave), "budgets must broadcast"
 
-        def one_pass() -> tuple[float, int, int]:
+        def one_pass() -> tuple[float, int, int, int]:
+            # shuffle-bytes bracketing: bytes WRITTEN to shuffle during
+            # this pass, from the AppStatusStore. Constant bytes/URL
+            # across stress levels is the box-independent evidence the
+            # plan scales — one-box wall clocks share a memory bus a
+            # real 4x cluster doesn't.
+            _, w0 = shuffle_bytes(spark)
             t0 = time.time()
             # engine-faithful: run_round caches the wave and reuses it
             # for the schedule seq and downstream joins — mirror that
@@ -271,8 +313,10 @@ def frontier_stress(master: str, shuffle: int, n_urls: int = 1_000_000,
                 (n_seq, max_seq, n_wave)
             n_fresh = frontier.join(seen, "url", "left_anti").count()
             dt = time.time() - t0
+            time.sleep(0.2)  # listener-bus drain before the snapshot
+            _, w1 = shuffle_bytes(spark)
             w.unpersist()
-            return dt, n_wave, n_fresh
+            return dt, n_wave, n_fresh, w1 - w0
 
         # two passes, reported separately: the COLD pass includes
         # scheduler/python-worker start-up (comparable across rounds);
@@ -280,15 +324,17 @@ def frontier_stress(master: str, shuffle: int, n_urls: int = 1_000_000,
         # warm high level shares a single memory bus across all 32
         # threads — a local-mode artifact a real 4x cluster (4x
         # bandwidth) does not have — so both framings matter.
-        (dt_cold, n_wave, n_fresh) = one_pass()
-        (dt_warm, _, _) = one_pass()
+        (dt_cold, n_wave, n_fresh, sb_cold) = one_pass()
+        (dt_warm, _, _, sb_warm) = one_pass()
         return {"master": master, "frontier_urls": n,
                 "hot_host_share": 0.3, "wave": n_wave,
                 "fresh_after_antijoin": n_fresh,
                 "seconds": round(dt_cold, 2),
                 "seconds_warm": round(dt_warm, 2),
                 "urls_per_sec": round((n + n_fresh) / dt_cold, 1),
-                "urls_per_sec_warm": round((n + n_fresh) / dt_warm, 1)}
+                "urls_per_sec_warm": round((n + n_fresh) / dt_warm, 1),
+                "shuffle_write_mb": round(sb_warm / 1e6, 2),
+                "shuffle_bytes_per_url": round(sb_warm / n, 1)}
     finally:
         spark.stop()
 

@@ -91,3 +91,23 @@ def python_eval_count(df: DataFrame) -> int:
     if detail:
         return len(detail)
     return len(re.findall(names, plan))
+
+
+def shuffle_bytes(spark) -> tuple[int, int]:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all
+    executors of this session, from the JVM AppStatusStore (the same
+    store the Spark UI reads — works with spark.ui.enabled=false).
+
+    Diff two snapshots around a job to get that job's shuffle volume.
+    This is the box-independent scale-invariance metric: wall-clock on
+    a one-box local[N] pair is memory-bus-bound, but bytes shuffled
+    per URL is a property of the PLAN and carries to a real cluster.
+    """
+    store = spark.sparkContext._jsc.sc().statusStore()
+    it = store.executorList(False).iterator()
+    read = write = 0
+    while it.hasNext():
+        e = it.next()
+        read += e.totalShuffleRead()
+        write += e.totalShuffleWrite()
+    return read, write
