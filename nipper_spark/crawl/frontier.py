@@ -45,7 +45,7 @@ from nipper_spark.crawl.politeness import (
 from nipper_spark.crawl.state import (
     BLOOM_SCHEMA, FRONTIER_SCHEMA, ROUND_LOG_SCHEMA, SCHEDULE_SCHEMA,
     SEEN_SCHEMA, CrawlState)
-from nipper_spark.functions.html_udfs import extract_pages
+from nipper_spark.crawl.sitemaps import crawl_extract_outlinks
 from nipper_spark.functions.url import (
     canonicalize_url, host_bucket, host_of, url_hash64)
 from nipper_spark.operators.cumsum import row_sequence
@@ -343,16 +343,28 @@ class FrontierEngine:
         fetched = self.pages.join(_wave_side(wave.select("url")), "url") \
             .select("url", "html")
         obs_fetch = Observation()
-        ext = extract_pages(fetched).observe(
+        # one fused Python crossing: HTML pages → a[href] outlinks
+        # (priority null); sitemap-pattern URLs → parse_sitemap entries
+        # (advertised pages AND child sitemaps, with priorities) — the
+        # recursion that follows a sitemapindex chain across rounds.
+        # Shared kernel crawl_extract_outlinks == the oracle's.
+        ext = _crawl_extract(fetched).observe(
             obs_fetch, F.count(F.lit(1)).alias("n"))
 
-        links = (ext.select("url", F.explode("outlinks").alias("dst"))
+        links = (ext.select("url", F.explode("outlinks").alias("l"))
+                 .select("url", F.col("l.dst").alias("dst"),
+                         F.col("l.priority").alias("prio"))
                  .join(_wave_side(wave.select("url", "depth", "score")),
                        "url"))
         cand = (links
                 .select(F.col("dst").alias("url"),
                         (F.col("depth") + 1).alias("depth"),
-                        (F.col("score") * pol.score_decay).alias("score"))
+                        # sitemap-advertised priority wins over decay —
+                        # the advertisement is the better signal
+                        F.coalesce(
+                            F.col("prio"),
+                            F.col("score") * pol.score_decay)
+                        .alias("score"))
                 .groupBy("url")
                 .agg(F.min("depth").alias("depth"),
                      F.max("score").alias("score")))
@@ -477,6 +489,27 @@ class FrontierEngine:
         return self.spark.createDataFrame(
             self.spark.sparkContext.parallelize(rows, 1),
             ROUND_LOG_SCHEMA)
+
+
+_CRAWL_EXT_SCHEMA = ("url string, "
+                     "outlinks array<struct<dst:string,priority:double>>")
+
+
+def _crawl_extract(fetched: DataFrame) -> DataFrame:
+    """(url, html) → (url, outlinks[(dst, priority)]) in ONE
+    ``mapInPandas`` crossing, dispatching per row on the sitemap URL
+    pattern via the shared pure kernel
+    :func:`~nipper_spark.crawl.sitemaps.crawl_extract_outlinks`."""
+    def _ext(batches):
+        for pdf in batches:
+            urls, outs = [], []
+            for url, h in zip(pdf["url"], pdf["html"]):
+                urls.append(url)
+                outs.append([{"dst": d, "priority": p}
+                             for d, p in crawl_extract_outlinks(url, h)])
+            yield pd.DataFrame({"url": urls, "outlinks": outs})
+
+    return fetched.mapInPandas(_ext, schema=_CRAWL_EXT_SCHEMA)
 
 
 # ----------------------------------------------------------------------

@@ -16,7 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from nipper_spark.crawl.politeness import CrawlPolicy
-from nipper_spark.functions.html_udfs import extract_text_and_links
+from nipper_spark.crawl.sitemaps import crawl_extract_outlinks
 from nipper_spark.functions.url import canonicalize_url, host_of
 
 
@@ -64,15 +64,18 @@ def crawl_oracle(pages: dict[str, bytes | str],
         for url, _, _, _ in wave:
             del frontier[url]
 
-        # fetch + extract (same kernel as the Spark UDF)
+        # fetch + extract (same kernel as the Spark UDF): HTML pages
+        # yield a[href] outlinks (priority None → score decay);
+        # sitemap-pattern URLs yield parse_sitemap entries — including
+        # child sitemaps, which recurse as ordinary frontier rows
         cand: dict[str, tuple[int, float]] = {}
         for url, host, d, s in wave:
             html = pages.get(url)
             if html is None:
                 continue
-            _, links, _, _ = extract_text_and_links(url, html)
-            for dst in links:
-                nd, ns = d + 1, s * policy.score_decay
+            for dst, prio in crawl_extract_outlinks(url, html):
+                nd = d + 1
+                ns = prio if prio is not None else s * policy.score_decay
                 if dst in cand:
                     od, os_ = cand[dst]
                     cand[dst] = (min(od, nd), max(os_, ns))

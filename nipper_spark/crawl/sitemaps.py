@@ -96,6 +96,55 @@ SITEMAP_SCHEMA = ("host string, url string, kind string, "
                   "lastmod string, priority double")
 
 
+def is_sitemap_url(url: str) -> bool:
+    """Fetch-dispatch heuristic shared by engine and oracle: a frontier
+    row whose URL path looks like a sitemap is parsed with
+    :func:`parse_sitemap` instead of the HTML extractor."""
+    return re.search(_SITEMAP_URL_RE, url) is not None
+
+
+def sitemap_outlinks(url: str, body) -> list[tuple[str, float | None]]:
+    """Fetched-sitemap body → sorted ``[(canonical dst, priority|None)]``.
+
+    Emits BOTH ``kind='url'`` page advertisements and ``kind='sitemap'``
+    child references — the recursion step: a child sitemap URL becomes
+    an ordinary fetchable frontier row (politeness-budgeted,
+    robots-checked, deduped) and is parsed as a sitemap when its body
+    is fetched in a later round, so a sitemapindex chain discovered
+    mid-crawl is followed to any depth. Same-host filter and
+    canonicalization as :func:`harvest_sitemap_tables`; duplicate locs
+    keep the max priority. Pure kernel — the crawl oracle runs the
+    identical function."""
+    host = host_of(url)
+    if not host:
+        return []
+    acc: dict[str, float | None] = {}
+    for _kind, loc, _lastmod, prio in parse_sitemap(
+            body if body is not None else b""):
+        canon = canonicalize_url(loc)
+        if canon is None or host_of(canon) != host:
+            continue
+        old = acc.get(canon)
+        if canon not in acc or (prio is not None
+                                and (old is None or prio > old)):
+            acc[canon] = prio
+    return sorted(acc.items())
+
+
+def crawl_extract_outlinks(url: str, body) -> list[tuple[str,
+                                                         float | None]]:
+    """THE fetch-extraction kernel of a crawl round: sitemap-pattern
+    URLs parse as sitemaps (priorities surface so the scheduler can
+    honor them); everything else takes the WHATWG parse + ``a[href]``
+    path (priority ``None`` → the caller applies score decay). Shared
+    verbatim by the Spark round UDF and the single-threaded oracle."""
+    if is_sitemap_url(url):
+        return sitemap_outlinks(url, body)
+    from nipper_spark.functions.html_udfs import extract_text_and_links
+    _, links, _, _ = extract_text_and_links(url, body)
+    return [(dst, None) for dst in links]
+
+
 def harvest_sitemap_tables(pages_df):
     """Executor-side harvest: sitemap rows of the pages table parse
     inside ``mapInPandas`` (same :func:`parse_sitemap` kernel the

@@ -211,3 +211,97 @@ class TestBootstrapFromSitemaps:
         seen = {r["url"] for r in st.read_all_rounds(
             "seen", len(stats) + 1, SEEN_SCHEMA).collect()}
         assert seen == oracle.seen
+
+
+class TestRecursiveSitemapScheduling:
+    """A sitemapindex chain discovered MID-CRAWL is followed across
+    rounds: sitemap URLs are ordinary frontier rows (budgeted, robots-
+    checked, deduped) whose fetch parses as a sitemap instead of HTML
+    (crawl_extract_outlinks — shared kernel, so engine==oracle stays
+    structural)."""
+
+    @staticmethod
+    def _chain_pages():
+        import datetime
+        ts = datetime.datetime(2026, 1, 1)
+        host = "chain.test"
+        docs = [f"http://{host}/doc/{i}" for i in range(4)]
+        # 2-deep index chain: root index -> gzipped child index -> urlset
+        root = (f"<sitemapindex><sitemap><loc>http://{host}"
+                "/sitemap-l1.xml.gz</loc></sitemap></sitemapindex>")
+        l1 = gzip.compress(
+            (f"<sitemapindex><sitemap><loc>http://{host}"
+             "/sitemap-l2.xml</loc></sitemap></sitemapindex>").encode())
+        l2 = ("<urlset>"
+              + "".join(f"<url><loc>{u}</loc><priority>0.{9 - i}"
+                        f"</priority></url>"
+                        for i, u in enumerate(docs[:3]))
+              + "</urlset>")
+        html = {u: (f"<html><body><a href='{docs[(i + 1) % 4]}'>n</a>"
+                    f"<p>doc {i}</p></body></html>")
+                for i, u in enumerate(docs)}
+        rows = [(f"http://{host}/sitemap.xml", ts, root.encode(),
+                 "", "en"),
+                (f"http://{host}/sitemap-l1.xml.gz", ts, l1, "", "en"),
+                (f"http://{host}/sitemap-l2.xml", ts, l2.encode(),
+                 "", "en")]
+        rows += [(u, ts, html[u].encode(), "", "en") for u in docs]
+        return rows, host, docs
+
+    def test_chain_followed_engine_matches_oracle(self, spark,
+                                                  tmp_path_factory):
+        rows, host, docs = self._chain_pages()
+        pages = spark.createDataFrame(rows, PAGES_SCHEMA).cache()
+        pages.count()
+        policy = CrawlPolicy(default_tokens=2, n_buckets=4, max_depth=16)
+        seeds = [(f"http://{host}/sitemap.xml", 1.0)]
+
+        state_dir = str(tmp_path_factory.mktemp("sitemap_chain"))
+        eng = FrontierEngine(spark, pages, state_dir, policy)
+        eng.bootstrap(seeds)
+        stats = eng.run(max_rounds=16)
+
+        pages_dict = {r["url"]: bytes(r["html"]) for r in
+                      pages.select("url", "html").collect()}
+        oracle = crawl_oracle(pages_dict, seeds, policy, max_rounds=16)
+
+        # the chain really recursed: each level scheduled one round
+        # after its parent, then the advertised docs
+        flat = [u for wave in oracle.schedules for (u, _, _, _) in wave]
+        assert f"http://{host}/sitemap.xml" in flat
+        assert f"http://{host}/sitemap-l1.xml.gz" in flat
+        assert f"http://{host}/sitemap-l2.xml" in flat
+        assert set(docs) <= oracle.seen
+        assert flat.index(f"http://{host}/sitemap-l1.xml.gz") \
+            < flat.index(f"http://{host}/sitemap-l2.xml") \
+            < flat.index(docs[0])
+
+        st = CrawlState(spark, state_dir)
+        sched = st.read_all_rounds("schedule", len(stats) + 1,
+                                   SCHEDULE_SCHEMA) \
+            .orderBy("round", "seq").collect()
+        got: dict[int, list] = {}
+        for x in sched:
+            got.setdefault(x["round"], []).append(
+                (x["url"], x["host"], x["depth"], x["score"]))
+        non_empty = {r: w for r, w in got.items() if w}
+        assert len(non_empty) == len(oracle.schedules)
+        for r, wave in enumerate(oracle.schedules):
+            assert non_empty[r] == wave, f"round {r}"
+        seen = {r["url"] for r in st.read_all_rounds(
+            "seen", len(stats) + 1, SEEN_SCHEMA).collect()}
+        assert seen == oracle.seen
+
+    def test_priority_beats_decay(self):
+        """Advertised priority overrides the decayed parent score in
+        the shared kernel output."""
+        from nipper_spark.crawl.sitemaps import crawl_extract_outlinks
+        body = (b"<urlset><url><loc>http://h.test/a</loc>"
+                b"<priority>0.3</priority></url>"
+                b"<url><loc>http://h.test/b</loc></url></urlset>")
+        out = crawl_extract_outlinks("http://h.test/sitemap.xml", body)
+        assert out == [("http://h.test/a", 0.3), ("http://h.test/b", None)]
+        # non-sitemap URL takes the HTML path: priority always None
+        html = b"<a href='http://h.test/x'>x</a>"
+        assert crawl_extract_outlinks("http://h.test/page", html) == [
+            ("http://h.test/x", None)]
