@@ -270,6 +270,55 @@ def _crawl_seeds():
     return [(rows[0][0], 1.0), (rows[1][0], 0.9), (rows[2][0], 0.8)]
 
 
+def _q_round_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round skew metrics over the crawl's round_log (SURVEY §1.3:
+    per-partition lineage + skew stats): the public round_metrics
+    query recomputes max / nearest-rank-p99 / max-share of per-bucket
+    fresh counts distributively from the log's bucket rows."""
+    from nipper_spark.crawl.frontier import FrontierEngine, round_metrics
+    from nipper_spark.crawl.state import ROUND_LOG_SCHEMA, CrawlState
+    pages = _synth_pages(spark)
+    state_dir = tempfile.mkdtemp(prefix="nipper_skew_q_")
+    eng = FrontierEngine(spark, pages, state_dir, _crawl_policy())
+    eng.bootstrap(_crawl_seeds())
+    for r in range(CRAWL_ROUNDS):
+        eng.run_round(r)
+    st = CrawlState(spark, state_dir)
+    log = st.read_all_rounds("round_log", CRAWL_ROUNDS - 1,
+                             ROUND_LOG_SCHEMA)
+    return (round_metrics(log)
+            .select(F.col("round").cast("int").alias("round"),
+                    F.col("active_buckets").cast("bigint")
+                    .alias("active_buckets"),
+                    F.col("fresh").cast("bigint").alias("fresh"),
+                    F.col("max_bucket_fresh").cast("bigint")
+                    .alias("max_bucket_fresh"),
+                    F.col("p99_bucket_fresh").cast("bigint")
+                    .alias("p99_bucket_fresh"),
+                    "max_bucket_share")
+            .orderBy("round"))
+
+
+def _o_round_skew() -> str:
+    from nipper_spark.crawl.oracle import crawl_oracle
+    from nipper_spark.crawl.state import bucket_skew
+    from nipper_spark.sources.synthetic import synth_pages_rows
+    pages = {u: h for (u, _, h, _, _) in synth_pages_rows(**CRAWL_PAGES)}
+    res = crawl_oracle(pages, _crawl_seeds(), _crawl_policy(),
+                       max_rounds=CRAWL_ROUNDS)
+    rows = []
+    for r in range(CRAWL_ROUNDS):
+        buckets = (res.fresh_buckets[r]
+                   if r < len(res.fresh_buckets) else {})
+        mx, p99, share = bucket_skew(buckets.values())
+        rows.append((r, len(buckets), sum(buckets.values()),
+                     mx, p99, float(share)))
+    return _values_sql(rows, [
+        ("round", "INTEGER"), ("active_buckets", "BIGINT"),
+        ("fresh", "BIGINT"), ("max_bucket_fresh", "BIGINT"),
+        ("p99_bucket_fresh", "BIGINT"), ("max_bucket_share", "DOUBLE")])
+
+
 def _q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nipper_spark.functions.dedup import exact_dup_groups
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1000,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl layer (SURVEY.md §2.8, north rule)
         "canonicalize_urls": _q_canonicalize,
         "crawl_schedule": _q_crawl_schedule,
+        "round_skew": _q_round_skew,
         # training-data ops: dedup family
         "doc_exact_dup_groups": _q_doc_exact_dups,
         "dedup_exact_survivors": _q_dedup_exact_survivors,
@@ -1404,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_outlinks": _o_extract_outlinks(),
         "canonicalize_urls": _o_canonicalize(),
         "crawl_schedule": _o_crawl_schedule(),
+        "round_skew": _o_round_skew(),
         "doc_exact_dup_groups": _O_EXACT_DUPS,
         "dedup_exact_survivors": _O_EXACT_SURVIVORS,
         "dedup_minhash_lsh": _o_minhash(),

@@ -473,14 +473,15 @@ class FrontierEngine:
     # ------------------------------------------------------------------
     def _log_df(self, r: int, stats: RoundStats,
                 per_bucket: list[tuple[int, int]]) -> DataFrame:
-        total_fresh = sum(n for _, n in per_bucket) or 1
-        max_share = max((n / total_fresh for _, n in per_bucket),
-                        default=0.0)
-        rows = [(r, int(b), 0, 0, int(n), 0, 0, 0, 0.0)
+        from nipper_spark.crawl.state import bucket_skew
+        max_fresh, p99_fresh, max_share = bucket_skew(
+            n for _, n in per_bucket)
+        rows = [(r, int(b), 0, 0, int(n), 0, 0, 0, 0.0, 0, 0)
                 for b, n in sorted(per_bucket)]
         rows.append((r, -1, stats.candidates, stats.bloom_hits,
                      stats.fresh, stats.scheduled, stats.fetched,
-                     stats.residual, float(max_share)))
+                     stats.residual, float(max_share),
+                     int(max_fresh), int(p99_fresh)))
         # n_buckets+1 rows by construction at ANY scale: ONE slice from
         # the start (one task, one file). NOT .coalesce(1) — that makes
         # a single task compute all defaultParallelism python-parallelize
@@ -489,6 +490,51 @@ class FrontierEngine:
         return self.spark.createDataFrame(
             self.spark.sparkContext.parallelize(rows, 1),
             ROUND_LOG_SCHEMA)
+
+
+def round_metrics(round_log: DataFrame) -> DataFrame:
+    """Public per-round lineage + skew metrics over a ``round_log``
+    table (any number of crawls/rounds unioned): recomputes the skew
+    statistics DISTRIBUTIVELY from the per-bucket rows — same
+    nearest-rank definition as the pure :func:`~nipper_spark.crawl.
+    state.bucket_skew` kernel that stamps the summary row, so the two
+    cross-check.
+
+    Output: (round, active_buckets, fresh, max_bucket_fresh,
+    p99_bucket_fresh, max_bucket_share) — one row per logged round,
+    zero-filled for rounds with no fresh URLs.
+
+    Scale shape: the only grouped state is one array of per-bucket
+    counts per round, bounded by ``n_buckets`` (a config constant) —
+    never by URL count."""
+    totals = (round_log.filter(F.col("host_bucket") == -1)
+              .select("round"))
+    buckets = (round_log.filter(F.col("host_bucket") >= 0)
+               .groupBy("round")
+               .agg(F.count("*").alias("active_buckets"),
+                    F.sum("fresh").alias("fresh"),
+                    F.array_sort(F.collect_list("fresh")).alias("_s")))
+    buckets = buckets.select(
+        "round", "active_buckets", "fresh",
+        F.element_at("_s", F.size("_s")).alias("max_bucket_fresh"),
+        F.element_at(
+            "_s",
+            F.ceil(F.size("_s") * F.lit(0.99)).cast("int"))
+        .alias("p99_bucket_fresh"),
+        (F.element_at("_s", F.size("_s")) / F.col("fresh"))
+        .alias("max_bucket_share"))
+    return (totals.join(buckets, "round", "left")
+            .select("round",
+                    F.coalesce("active_buckets", F.lit(0))
+                    .cast("long").alias("active_buckets"),
+                    F.coalesce("fresh", F.lit(0)).cast("long")
+                    .alias("fresh"),
+                    F.coalesce("max_bucket_fresh", F.lit(0))
+                    .cast("long").alias("max_bucket_fresh"),
+                    F.coalesce("p99_bucket_fresh", F.lit(0))
+                    .cast("long").alias("p99_bucket_fresh"),
+                    F.coalesce("max_bucket_share", F.lit(0.0))
+                    .cast("double").alias("max_bucket_share")))
 
 
 _CRAWL_EXT_SCHEMA = ("url string, "

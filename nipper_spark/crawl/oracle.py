@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 
 from nipper_spark.crawl.politeness import CrawlPolicy
 from nipper_spark.crawl.sitemaps import crawl_extract_outlinks
-from nipper_spark.functions.url import canonicalize_url, host_of
+from nipper_spark.functions.url import canonicalize_url, host_bucket, host_of
 
 
 @dataclass
@@ -27,6 +27,9 @@ class OracleResult:
         default_factory=list)
     seen: set[str] = field(default_factory=set)
     rounds: int = 0
+    # per round: host_bucket -> fresh-URL count (twin of the engine's
+    # round_log per-bucket rows; feeds the skew-stats oracle)
+    fresh_buckets: list[dict[int, int]] = field(default_factory=list)
 
 
 def crawl_oracle(pages: dict[str, bytes | str],
@@ -83,16 +86,21 @@ def crawl_oracle(pages: dict[str, bytes | str],
                     cand[dst] = (nd, ns)
 
         # robots + depth cap + URL-seen dedup
+        buckets: dict[int, int] = {}
         for dst in sorted(cand):
             d, s = cand[dst]
             if d > policy.max_depth:
                 continue
-            if not policy.allowed(host_of(dst), dst):
+            host = host_of(dst)
+            if not policy.allowed(host, dst):
                 continue
             if dst in res.seen:
                 continue
             res.seen.add(dst)
             frontier[dst] = (d, s)
+            b = host_bucket(host, policy.n_buckets)
+            buckets[b] = buckets.get(b, 0) + 1
+        res.fresh_buckets.append(buckets)
 
         if not frontier:
             break

@@ -172,16 +172,35 @@ def harvest_robots_tables(pages_df, agent: str = "*",
     return rules_df, budgets_df
 
 
-def policy_from_tables(policy: CrawlPolicy, rules_df, budgets_df
+POLICY_COLLECT_MAX_ROWS = 1_000_000
+
+
+def policy_from_tables(policy: CrawlPolicy, rules_df, budgets_df,
+                       max_rows: int = POLICY_COLLECT_MAX_ROWS
                        ) -> CrawlPolicy:
     """Fold harvested TABLES into a dict-backed policy for the
     single-threaded oracle (and for seed filtering) — a test-scale
-    collect by definition; the distributed engine never calls this."""
-    for r in rules_df.collect():
+    collect by definition; the distributed engine never calls this.
+
+    The contract is enforced structurally: each collect goes through a
+    ``limit(max_rows + 1)`` and raises if the table exceeds the bound,
+    so an engine-path caller at corpus scale fails fast instead of
+    OOMing the driver."""
+    def _bounded(df, name):
+        rows = df.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"policy_from_tables: {name} exceeds {max_rows} rows — "
+                "this oracle-twin helper collects to the driver; the "
+                "distributed engine must join the tables instead "
+                "(FrontierEngine(rules=..., budgets=...))")
+        return rows
+
+    for r in _bounded(rules_df, "rules_df"):
         policy.robots_disallow.setdefault(r["host"], []).append(r["prefix"])
     for h in policy.robots_disallow:
         policy.robots_disallow[h] = sorted(policy.robots_disallow[h])
-    for r in budgets_df.collect():
+    for r in _bounded(budgets_df, "budgets_df"):
         cur = policy.host_tokens.get(r["host"], policy.default_tokens)
         policy.host_tokens[r["host"]] = min(cur, int(r["tokens"]))
     return policy

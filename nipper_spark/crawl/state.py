@@ -37,7 +37,24 @@ SCHEDULE_SCHEMA = ("round int, seq long, url string, host string, "
                    "depth int, score double")
 ROUND_LOG_SCHEMA = ("round int, host_bucket int, candidates long, "
                     "bloom_hits long, fresh long, scheduled long, "
-                    "fetched long, residual long, max_bucket_share double")
+                    "fetched long, residual long, max_bucket_share double, "
+                    "max_bucket_fresh long, p99_bucket_fresh long")
+
+
+def bucket_skew(counts) -> tuple[int, int, float]:
+    """Skew statistics over per-bucket fresh counts (buckets that
+    received ≥1 fresh URL this round): ``(max, p99 nearest-rank,
+    max share of total)``. Pure kernel — the engine's round_log
+    summary row, the distributed ``round_metrics`` query, and the
+    crawl oracle's twin all use this exact definition, so the skew
+    numbers are comparable everywhere. Empty → (0, 0, 0.0)."""
+    import math
+    vals = sorted(int(c) for c in counts)
+    if not vals:
+        return 0, 0, 0.0
+    total = sum(vals)
+    p99 = vals[max(0, math.ceil(0.99 * len(vals)) - 1)]
+    return vals[-1], p99, (vals[-1] / total if total else 0.0)
 
 
 class CrawlState:

@@ -132,7 +132,18 @@ def running_sum(df: DataFrame, order_specs: list[OrderSpec], value_col: str,
     """Add ``out_col`` = running sum of ``value_col`` over the global
     total order ``order_specs`` — same rows and values as a global
     window, without the single-partition exchange, without persisting
-    anything (the bucket mapping is a literal expression)."""
+    anything (the bucket mapping is a literal expression).
+
+    CONTRACT — one action per result: nothing is persisted, so each
+    action over the returned DataFrame recomputes the full two-phase
+    plan (boundary sampling included). Consumers needing several
+    statistics must aggregate them in ONE action
+    (``df.agg(F.count("*"), F.max(out_col))``) or cache explicitly.
+    Results are deterministic across recomputes either way — the
+    boundaries are driver-sampled literals baked into the plan, not a
+    runtime RangePartitioner — so a second action wastes time, never
+    correctness (pinned by test_cumsum's recompute-determinism test).
+    """
     specs = _check_specs(order_specs)
     if num_partitions is None:
         num_partitions = int(df.sparkSession.conf.get(

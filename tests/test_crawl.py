@@ -143,17 +143,51 @@ class TestEngineMatchesOracle:
     def test_round_log_lineage(self, spark, engine_run):
         state_dir, stats = engine_run
         st = CrawlState(spark, state_dir)
-        from nipper_spark.crawl.state import ROUND_LOG_SCHEMA
+        from nipper_spark.crawl.state import ROUND_LOG_SCHEMA, bucket_skew
         log = st.read_all_rounds("round_log", len(stats) + 1,
                                  ROUND_LOG_SCHEMA)
         totals = log.filter("host_bucket = -1").orderBy("round").collect()
         assert len(totals) == len(stats)
-        # totals row reconciles with per-bucket fresh rows
+        # totals row reconciles with per-bucket fresh rows, and its
+        # skew columns equal the pure kernel over those rows
         for t in totals:
             buckets = log.filter(
                 (F.col("round") == t["round"]) &
                 (F.col("host_bucket") >= 0)).collect()
             assert sum(b["fresh"] for b in buckets) == t["fresh"]
+            mx, p99, share = bucket_skew(b["fresh"] for b in buckets)
+            assert t["max_bucket_fresh"] == mx
+            assert t["p99_bucket_fresh"] == p99
+            assert t["max_bucket_share"] == pytest.approx(share)
+
+    def test_round_metrics_cross_checks_summary(self, spark, engine_run,
+                                                oracle):
+        """The distributed round_metrics query over per-bucket rows
+        reproduces the driver-stamped summary skew columns AND the
+        oracle's per-round fresh bucket counts."""
+        from nipper_spark.crawl.frontier import round_metrics
+        from nipper_spark.crawl.state import ROUND_LOG_SCHEMA, bucket_skew
+        state_dir, stats = engine_run
+        st = CrawlState(spark, state_dir)
+        log = st.read_all_rounds("round_log", len(stats) + 1,
+                                 ROUND_LOG_SCHEMA)
+        m = {r["round"]: r for r in round_metrics(log).collect()}
+        totals = {r["round"]: r
+                  for r in log.filter("host_bucket = -1").collect()}
+        assert set(m) == set(totals)
+        for rnd, t in totals.items():
+            assert m[rnd]["fresh"] == t["fresh"]
+            assert m[rnd]["max_bucket_fresh"] == t["max_bucket_fresh"]
+            assert m[rnd]["p99_bucket_fresh"] == t["p99_bucket_fresh"]
+            assert m[rnd]["max_bucket_share"] == pytest.approx(
+                t["max_bucket_share"])
+        # oracle twin: per-round bucket counts agree exactly
+        for rnd, buckets in enumerate(oracle.fresh_buckets):
+            mx, p99, share = bucket_skew(buckets.values())
+            assert m[rnd]["active_buckets"] == len(buckets)
+            assert m[rnd]["fresh"] == sum(buckets.values())
+            assert m[rnd]["max_bucket_fresh"] == mx
+            assert m[rnd]["p99_bucket_fresh"] == p99
 
 
 class TestShuffleJoinRegime:

@@ -103,3 +103,19 @@ def test_plan_is_bucket_partitioned_and_unpersisted(spark, df):
         ((F.col("id") * 11) % 5).alias("w"))
     fresh_plan = plan_string(running_sum(fresh, SPECS(), "w", "run"))
     assert "inmemory" not in fresh_plan.lower(), fresh_plan
+
+
+def test_recompute_determinism_across_actions(spark, df):
+    """The single-action CONTRACT's safety half: nothing is persisted,
+    so separate actions recompute the plan — and because the bucket
+    boundaries are driver-sampled literals (not a runtime
+    RangePartitioner), every recompute yields identical values. Two
+    separate actions must agree exactly with one combined action."""
+    from nipper_spark.operators.cumsum import running_sum
+    out = running_sum(df, SPECS(), "v", "cum")
+    n1 = out.count()                                  # action 1
+    mx1 = out.agg(F.max("cum")).collect()[0][0]       # action 2 (recompute)
+    n2, mx2 = out.agg(F.count("*"), F.max("cum")).collect()[0]  # combined
+    assert (n1, mx1) == (n2, mx2)
+    total = df.agg(F.sum("v")).collect()[0][0]
+    assert mx1 == total

@@ -226,3 +226,27 @@ class TestHarvest:
         for waves in got.values():
             for url, h, _, _ in waves:
                 assert opolicy.allowed(h, url)
+
+
+class TestPolicyCollectGuard:
+    def test_policy_from_tables_raises_above_bound(self, tmp_path):
+        """The oracle-twin collect is structurally bounded: an
+        engine-path caller handing it a corpus-scale table fails fast
+        instead of OOMing the driver."""
+        from nipper_spark.crawl.politeness import CrawlPolicy
+        from nipper_spark.crawl.robots import policy_from_tables
+        from nipper_spark.session import build_session
+        spark = build_session("robots-guard", master="local[4]",
+                              shuffle_partitions=4)
+        from pyspark.sql import functions as F
+        rules = spark.range(50).select(
+            F.concat(F.lit("h"), F.col("id").cast("string"),
+                     F.lit(".test")).alias("host"),
+            F.lit("/private").alias("prefix"))
+        budgets = spark.createDataFrame([], "host string, tokens int")
+        with pytest.raises(ValueError, match="exceeds 10 rows"):
+            policy_from_tables(CrawlPolicy(), rules, budgets, max_rows=10)
+        # within the bound: folds normally
+        pol = policy_from_tables(CrawlPolicy(), rules.limit(5), budgets,
+                                 max_rows=10)
+        assert len(pol.robots_disallow) == 5
