@@ -972,7 +972,7 @@ def _o_media_features() -> str:
 
 
 def _q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL codecs (pure-python PPM + stdlib PCM WAV): decoded
+    """REAL codecs (pure-numpy PPM + BMP, stdlib PCM WAV): decoded
     dimensions/duration and a digest of the decoded SAMPLES — proof the
     decode ran, not a container-byte hash."""
     from nipper_spark.functions.multimodal import (

@@ -2,10 +2,11 @@
 
 The Spark-side plumbing is real and tested — schemas, Arrow batch
 shapes, partition-friendly mapInPandas kernels; the codec step itself
-is stubbed behind ``NotImplementedError`` or a deterministic fake
-because the sandbox has no image/audio libraries. Swapping in PIL/
-torchaudio touches ONLY the two ``_decode_*_real`` functions; batch
-shape, schema, and the pipeline around them stay as-is.
+is REAL where pure-python codecs exist (PPM + BMP images, PCM WAV
+audio) and stubbed behind ``NotImplementedError`` or a deterministic
+fake only for formats that need external libraries (JPEG/PNG → PIL).
+Swapping in PIL/torchaudio touches ONLY ``decode_image``; batch shape,
+schema, and the pipeline around them stay as-is.
 """
 
 from __future__ import annotations
@@ -98,6 +99,71 @@ def encode_ppm(pixels: np.ndarray, maxval: int = 255,
     return header + arr.tobytes()
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL image decode for uncompressed BMP (BITMAPINFOHEADER or
+    later, 24/32-bit BI_RGB, bottom-up or top-down) — pure numpy, no
+    dependencies. Returns (width, height, uint8 RGB array of shape
+    (h, w, 3)). Raises ValueError on malformed input."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off, = struct.unpack_from("<I", payload, 10)
+    hdr_size, = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMPs not supported")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if planes != 1 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"only uncompressed 24/32-bit BI_RGB supported "
+            f"(bpp={bpp}, compression={compression})")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
+        raise ValueError("bad BMP dimensions")
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3  # rows pad to 4 bytes
+    need = stride * h
+    raster = payload[data_off:data_off + need]
+    if len(raster) < need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, :w * bytes_pp].reshape(h, w, bytes_pp)
+    if not top_down:
+        px = px[::-1]
+    # stored BGR(A) → RGB
+    return w, h, np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit bottom-up BI_RGB BMP payload —
+    the writer twin of :func:`decode_bmp` (shared with the oracle)."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    raster_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + raster_size, 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          raster_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = np.ascontiguousarray(
+        pixels[::-1, :, ::-1]).reshape(h, w * 3)  # bottom-up, BGR
+    return header + rows.tobytes()
+
+
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Magic-byte dispatch over the native image codecs (PPM, BMP) —
+    the single real-decode entry every image path uses. Returns
+    (w, h, uint8 RGB (h, w, 3)); ValueError on malformed input,
+    NotImplementedError for formats that need external libs."""
+    if payload[:2] in (b"P6", b"P3"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only PPM and BMP decode natively; other image codecs need PIL "
+        "(deterministic fake used instead when decode_fake=True)")
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL audio decode for PCM WAV via the stdlib ``wave`` module —
     returns (sample_rate, n_channels, int16 samples of shape
@@ -133,13 +199,9 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def _decode_image_real(payload: bytes):
-    """Real decoder seam. PPM decodes natively (pure numpy); other
-    formats need PIL, which this environment does not ship."""
-    if payload[:2] in (b"P6", b"P3"):
-        return decode_ppm(payload)
-    raise NotImplementedError(
-        "only PPM decodes natively; other image codecs need PIL "
-        "(deterministic fake used instead when decode_fake=True)")
+    """Real decoder seam: PPM and BMP decode natively (pure numpy);
+    other formats need PIL, which this environment does not ship."""
+    return decode_image(payload)
 
 
 def _fake_image_meta(payload: bytes) -> tuple[int, int]:
@@ -177,19 +239,25 @@ def synth_real_media_rows(n: int = 24, seed: int = 7) -> list[tuple]:
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
-        if i % 2 == 0:
+        if i % 3 == 0:
             w = int(4 + rng.randint(0, 12))
             h = int(4 + rng.randint(0, 12))
             pix = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
             rows.append((i, "image", bytearray(encode_ppm(pix)),
                          "image/x-portable-pixmap", w, h, None))
-        else:
+        elif i % 3 == 1:
             nfr = int(400 + rng.randint(0, 800))
-            ch = 1 + (i // 2) % 2
+            ch = 1 + (i // 3) % 2
             samples = rng.randint(-20000, 20000,
                                   size=(nfr, ch)).astype("<i2")
             rows.append((i, "audio", bytearray(encode_wav(samples, 8000)),
                          "audio/wav", None, None, nfr * 1000 // 8000))
+        else:
+            w = int(3 + rng.randint(0, 10))  # odd widths hit row padding
+            h = int(3 + rng.randint(0, 10))
+            pix = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            rows.append((i, "image", bytearray(encode_bmp(pix)),
+                         "image/bmp", w, h, None))
     return rows
 
 
@@ -207,7 +275,7 @@ def real_decode_record(kind: str, payload: bytes) -> dict:
     digest of the DECODED samples (not the container bytes — proof the
     codec actually ran). Pure, shared by the UDF and the oracle."""
     if kind == "image":
-        w, h, arr = decode_ppm(payload)
+        w, h, arr = decode_image(payload)
         return {"width": w, "height": h, "duration_ms": None,
                 "content_sha": hashlib.sha256(arr.tobytes()).hexdigest()}
     rate, _ch, arr = decode_wav(payload)
@@ -248,8 +316,8 @@ def image_feature_record(payload: bytes, thumb: int = 8) -> dict:
     PPM payloads; digest-seeded fake for opaque formats. Pure,
     deterministic, shared by the mapInPandas UDF and the DuckDB VALUES
     oracle."""
-    if payload[:2] in (b"P6", b"P3"):
-        w, h, arr = decode_ppm(payload)
+    if payload[:2] in (b"P6", b"P3") or payload[:2] == b"BM":
+        w, h, arr = decode_image(payload)
         tw, th_ = min(w, thumb), min(h, thumb)
         ys = np.linspace(0, h - 1, th_).round().astype(int)
         xs = np.linspace(0, w - 1, tw).round().astype(int)

@@ -143,3 +143,66 @@ def test_resolve_fast_path_equivalence(base, href):
     from nipper_spark.functions.url import resolve_and_canonicalize
     assert resolve_and_canonicalize(base, href) == \
         _slow_resolve(base, href), (base, href)
+
+
+# ----------------------------------------------------------------------
+# round-4 surface: attribute-heavy trees. The html-dom.rs goldens pin
+# 40 serializer fixed points pointwise; these properties cover the
+# CLASS — attribute escaping (&, <, ", unicode, whitespace) both for
+# parse-reachable markup and for mutation-built values parsing alone
+# can never construct (e.g. a value containing both quote kinds raw).
+# ----------------------------------------------------------------------
+
+_attr_name = st.sampled_from(
+    ["id", "class", "href", "title", "data-x", "lang", "alt"])
+_attr_value = st.text(
+    alphabet=st.sampled_from(list("abc<>&\"'; =\n\t\xa0漢#1")),
+    max_size=24)
+
+_attred = st.recursive(
+    st.sampled_from(["text", "&amp;", "x\xa0y", "<br>", "<!--c-->"]),
+    lambda inner: st.tuples(
+        st.sampled_from(["div", "p", "span", "a", "td", "table",
+                         "pre", "textarea", "ul", "li"]),
+        st.lists(st.tuples(_attr_name, _attr_value), max_size=3,
+                 unique_by=lambda t: t[0]),
+        st.lists(inner, max_size=3)).map(
+        lambda t: "<%s%s>%s</%s>" % (
+            t[0],
+            "".join(' %s="%s"' % (n, v.replace("&", "&amp;")
+                                  .replace('"', "&quot;"))
+                    for n, v in t[1]),
+            "".join(t[2]), t[0])),
+    max_leaves=8)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_attred)
+def test_attribute_trees_serialize_fixpoint(s):
+    """parse∘serialize idempotent over trees with escaped attribute
+    values (quotes, entities, unicode, whitespace)."""
+    s = "<!DOCTYPE html>" + s
+    out1 = serialize(parse_document(s), 0, include_node=True)
+    out2 = serialize(parse_document(out1), 0, include_node=True)
+    assert out1 == out2
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_attr_name, _attr_value), min_size=1,
+                max_size=4, unique_by=lambda t: t[0]))
+def test_mutated_attrs_roundtrip_exactly(attrs):
+    """set_attr can install values parsing can't reach (both quote
+    kinds raw, bare ``&``); the serializer must escape them so a
+    reparse recovers the EXACT value and the serialization is a
+    fixpoint — the property behind html-dom.rs's golden macro."""
+    doc = Document.from_html('<!DOCTYPE html><div id="t">x</div>')
+    sel = doc.select("#t")
+    for name, val in attrs:
+        sel.set_attr(name, val)
+    out1 = doc.html()
+    doc2 = Document.from_html(out1)
+    sel2 = doc2.select("#t" if dict(attrs).get("id", "t") == "t"
+                       else "div")
+    for name, val in attrs:
+        assert sel2.attr(name) == val, (name, val)
+    assert Document.from_html(out1).html() == out1

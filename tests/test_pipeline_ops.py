@@ -451,6 +451,67 @@ class TestRealCodecs:
         feats = row["features"]
         assert feats[0] == 1.0 and feats[5] == 0.0
 
+    def test_bmp_roundtrip_and_padding(self):
+        """24-bit bottom-up BMP roundtrips bit-exactly, including the
+        4-byte row padding at odd widths."""
+        import numpy as np
+
+        from nipper_spark.functions.multimodal import decode_bmp, encode_bmp
+        rng = np.random.RandomState(11)
+        for w, h in [(1, 1), (3, 5), (4, 4), (7, 2), (13, 9)]:
+            pix = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            ww, hh, arr = decode_bmp(encode_bmp(pix))
+            assert (ww, hh) == (w, h)
+            assert (arr == pix).all()
+
+    def test_bmp_32bit_topdown(self):
+        """Negative height = top-down row order; 32-bit BI_RGB drops
+        the pad byte and still comes back RGB."""
+        import struct
+
+        import numpy as np
+
+        from nipper_spark.functions.multimodal import decode_bmp
+        w, h = 3, 2
+        rng = np.random.RandomState(5)
+        pix = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        raster = b"".join(
+            bytes([px[2], px[1], px[0], 0]) for row in pix for px in row)
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+        hdr += struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0,
+                           len(raster), 0, 0, 0, 0)
+        ww, hh, arr = decode_bmp(hdr + raster)
+        assert (ww, hh) == (w, h) and (arr == pix).all()
+
+    def test_bmp_malformed_raises(self):
+        import pytest
+
+        from nipper_spark.functions.multimodal import (
+            decode_bmp, decode_image)
+        for bad in (b"", b"BM", b"BM" + b"\x00" * 60,
+                    b"notbmp" + b"\x00" * 60):
+            with pytest.raises(ValueError):
+                decode_bmp(bad)
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n rest")
+
+    def test_image_features_bmp_path(self, spark):
+        """BMP payloads take the same REAL decode branch of
+        image_features as PPM."""
+        import numpy as np
+
+        from nipper_spark.functions.multimodal import (
+            MEDIA_SCHEMA, encode_bmp, image_features)
+        pix = np.zeros((4, 6, 3), dtype=np.uint8)
+        pix[:, :3] = 255
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(encode_bmp(pix)),
+              "image/bmp", 6, 4, None)], MEDIA_SCHEMA)
+        row = image_features(media).collect()[0]
+        assert (row["thumb_w"], row["thumb_h"]) == (6, 4)
+        feats = row["features"]
+        assert feats[0] == 1.0 and feats[5] == 0.0
+
     def test_real_decode_summary_vs_kernel(self, spark):
         from nipper_spark.functions.multimodal import (
             real_decode_record, real_decode_summary, synth_real_media_df,
