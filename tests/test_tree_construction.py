@@ -648,3 +648,145 @@ def test_link_after_head_lands_in_head():
     from nipper_spark.html.document import Document
     d = Document.from_html("<!DOCTYPE html><head></head> <link><body>x")
     assert d.select("head").html() == "<head><link></head>"
+
+
+# batch 10 (round 4): adversarial probes — AAA × foster parenting,
+# attribute-charref prefix ambiguity, nested math/svg integration-point
+# flips, and insertion-mode handling of stray end tags. All expected
+# trees derived from the spec algorithm (html5lib tests1/adoption01/
+# adoption02/tests9 families); two initially-wrong expectations
+# (reconstruct-ws nesting, </p> in "before html") were corrected to
+# what the spec — and this engine — actually produce.
+CASES10 = [
+    # --- adoption agency x foster parenting ---
+    ("foster-fmt-reconstruct", "<table><b><tr><td>x</td></tr></table>y",
+     "<body><b></b><table><tbody><tr><td>x</td></tr></tbody></table>"
+     "<b>y</b></body>"),
+    ("foster-fmt-after-row", "<table><tr><td></td></tr><b></table>x",
+     "<body><b></b><table><tbody><tr><td></td></tr></tbody></table>"
+     "<b>x</b></body>"),
+    ("aaa-two-fmt", "<b>1<i>2<p>3</b>4",
+     "<body><b>1<i>2</i></b><i><p><b>3</b>4</p></i></body>"),
+    ("aaa-a-p", "<a>1<p>2</a>3</p>",
+     "<body><a>1</a><p><a>2</a>3</p></body>"),
+    # spec nests the second <p> INSIDE the reconstructed <u>
+    ("reconstruct-ws-between-p", "<p><b><i><u></p> <p>x",
+     "<body><p><b><i><u></u></i></b></p><b><i><u> <p>x</p></u></i></b>"
+     "</body>"),
+    ("cell-boundary-marker",
+     "<table><tr><td><b>x</td><td>y</td></tr></table>",
+     "<body><table><tbody><tr><td><b>x</b></td><td>y</td></tr></tbody>"
+     "</table></body>"),
+    ("nobr-aaa", "<nobr>x<nobr>y",
+     "<body><nobr>x</nobr><nobr>y</nobr></body>"),
+    ("a-b-a", "<a><b><a>z",
+     "<body><a><b></b></a><b><a>z</a></b></body>"),
+    ("foster-charref", "<table>&not;<tr><td>x</table>",
+     "<body>¬<table><tbody><tr><td>x</td></tr></tbody></table>"
+     "</body>"),
+    ("table-in-row", "<table><tr><table>",
+     "<body><table><tbody><tr></tr></tbody></table><table></table>"
+     "</body>"),
+    ("aaa-scoped-out-by-cell", "<b><table><td></b><i></table>x",
+     "<body><b><table><tbody><tr><td><i></i></td></tr></tbody></table>"
+     "x</b></body>"),
+    ("caption-afe-marker", "<b><table><caption><i>x</table>y",
+     "<body><b><table><caption><i>x</i></caption></table>y</b></body>"),
+    ("fmt-through-caption", "<b><table><caption>x</caption></table>y",
+     "<body><b><table><caption>x</caption></table>y</b></body>"),
+    # --- attribute charref prefix ambiguity (&not / &notin) ---
+    ("text-notit", "<p>&notit;</p>", "<body><p>¬it;</p></body>"),
+    ("text-notin", "<p>&notin;</p>", "<body><p>∉</p></body>"),
+    ("attr-notit", '<a href="&notit;">x</a>',
+     '<body><a href="&amp;notit;">x</a></body>'),
+    ("attr-notin-semi", '<a href="&notin;">x</a>',
+     '<body><a href="∉">x</a></body>'),
+    ("attr-not-semi", '<a href="&not;x">x</a>',
+     '<body><a href="¬x">x</a></body>'),
+    ("attr-not-space", '<a href="&not x">x</a>',
+     '<body><a href="¬ x">x</a></body>'),
+    ("text-ampx", "<p>&ampx</p>", "<body><p>&amp;x</p></body>"),
+    ("attr-ampx", '<a href="&ampx">x</a>',
+     '<body><a href="&amp;ampx">x</a></body>'),
+    ("amp-at-eof", "<p>&amp", "<body><p>&amp;</p></body>"),
+    ("unknown-named-semi", "<p>&Illig;</p>",
+     "<body><p>&amp;Illig;</p></body>"),
+    ("surrogate-charref", "<p>&#xD800;</p>",
+     "<body><p>�</p></body>"),
+    ("c1-remap", "<p>&#x80;&#x9F;</p>",
+     "<body><p>€Ÿ</p></body>"),
+    # --- nested math/svg integration-point flips ---
+    ("ip-svg-math-svg", "<svg><foreignObject><math><mi><svg><g>x",
+     "<body><svg><foreignObject><math><mi><svg><g>x</g></svg></mi>"
+     "</math></foreignObject></svg></body>"),
+    ("ip-annotation-html",
+     '<math><annotation-xml encoding="text/html"><p>x',
+     '<body><math><annotation-xml encoding="text/html"><p>x</p>'
+     '</annotation-xml></math></body>'),
+    ("ip-annotation-other-breakout",
+     '<math><annotation-xml encoding="foo"><p>x',
+     '<body><math><annotation-xml encoding="foo"></annotation-xml>'
+     '</math><p>x</p></body>'),
+    ("ip-desc-nested-svg", "<svg><desc><svg>x",
+     "<body><svg><desc><svg>x</svg></desc></svg></body>"),
+    ("ip-mi-div", "<math><mi><div>x",
+     "<body><math><mi><div>x</div></mi></math></body>"),
+    ("ip-fo-table-svg",
+     "<svg><foreignObject><table><tr><td><svg><desc>x",
+     "<body><svg><foreignObject><table><tbody><tr><td><svg><desc>x"
+     "</desc></svg></td></tr></tbody></table></foreignObject></svg>"
+     "</body>"),
+    ("ip-mglyph-stays-math", "<math><mi><mglyph>x",
+     "<body><math><mi><mglyph>x</mglyph></mi></math></body>"),
+    ("svg-title-ip", "<svg><title><b>x</b></title></svg>",
+     "<body><svg><title><b>x</b></title></svg></body>"),
+    ("mtext-i-svg-desc", "<math><mtext><i><svg><desc>x",
+     "<body><math><mtext><i><svg><desc>x</desc></svg></i></mtext>"
+     "</math></body>"),
+    ("svg-attr-adjust", '<svg viewbox="0 0 1 1"></svg>',
+     '<body><svg viewBox="0 0 1 1"></svg></body>'),
+    # --- modes, pointers, misc ---
+    ("caption-end-table", "<table><caption>x</table>y",
+     "<body><table><caption>x</caption></table>y</body>"),
+    ("optgroup-autoclose",
+     "<select><optgroup><option>a<optgroup><option>b",
+     "<body><select><optgroup><option>a</option></optgroup><optgroup>"
+     "<option>b</option></optgroup></select></body>"),
+    ("form-pointer", "<form><div><form>x",
+     "<body><form><div>x</div></form></body>"),
+    ("xmp-rawtext", "<xmp><b>x</xmp>", "<body><xmp><b>x</xmp></body>"),
+    ("image-to-img", '<p><image src="x">',
+     '<body><p><img src="x"></p></body>'),
+    ("end-br", "x</br>y", "<body>x<br>y</body>"),
+    ("heading-mismatch", "<h1>x</h3>y", "<body><h1>x</h1>y</body>"),
+    ("nested-table-cell",
+     "<table><tr><td><table><tr><td>i</table>o</table>",
+     "<body><table><tbody><tr><td><table><tbody><tr><td>i</td></tr>"
+     "</tbody></table>o</td></tr></tbody></table></body>"),
+    ("colgroup-closed-by-tr", "<table><colgroup><col><tr><td>x",
+     "<body><table><colgroup><col></colgroup><tbody><tr><td>x</td>"
+     "</tr></tbody></table></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES10,
+                         ids=[c[0] for c in CASES10])
+def test_aaa_foster_charref_integration_points(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+# stray end tags before body exists: "before html"/"after head" IGNORE
+# unknown end tags; only once body is open does the in-body "</p> acts
+# as <p> then close" rule fire
+STRAY_ENDTAG_CASES = [
+    ("p-before-html", "</p>x", "<body>x</body>"),
+    ("p-after-head", "<head></head></p>x", "<body>x</body>"),
+    ("p-in-body", "<body></p>x", "<body><p></p>x</body>"),
+    ("p-after-text", "y</p>x", "<body>y<p></p>x</body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", STRAY_ENDTAG_CASES,
+                         ids=[c[0] for c in STRAY_ENDTAG_CASES])
+def test_stray_end_tags_by_mode(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
