@@ -790,3 +790,75 @@ STRAY_ENDTAG_CASES = [
                          ids=[c[0] for c in STRAY_ENDTAG_CASES])
 def test_stray_end_tags_by_mode(name, inp, expected):
     assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+# batch 11 (round 4, second wave): tokenizer corners — CR/CRLF
+# normalization, RCDATA vs RAWTEXT charrefs, bogus-comment states,
+# comment edge endings, duplicate/end-tag attributes, NUL-in-body.
+CASES11 = [
+    ("crlf-text", "<pre>a\r\nb\rc</pre>",
+     "<body><pre>a\nb\nc</pre></body>"),
+    ("cr-attr", '<a href="x\ry">t</a>',
+     '<body><a href="x\ny">t</a></body>'),
+    ("pre-crlf-lead", "<pre>\r\nx</pre>", "<body><pre>x</pre></body>"),
+    ("textarea-cr-lead", "<textarea>\rx</textarea>",
+     "<body><textarea>x</textarea></body>"),
+    # RCDATA decodes charrefs (textarea); serializer re-escapes
+    ("rcdata-charref", "<textarea>&amp;&lt;b&gt;</textarea>",
+     "<body><textarea>&amp;&lt;b&gt;</textarea></body>"),
+    ("dup-attr", '<a href="1" href="2">x</a>',
+     '<body><a href="1">x</a></body>'),
+    ("endtag-attrs", '<b>x</b class="y">z', "<body><b>x</b>z</body>"),
+    ("self-close-div", "<div/>x", "<body><div>x</div></body>"),
+    ("nul-body", "a\x00b", "<body>ab</body>"),
+    ("unquoted-attr", "<a href=x=y>t</a>",
+     '<body><a href="x=y">t</a></body>'),
+    ("upper-tag", "<DiV CLASS=a>x</dIv>",
+     '<body><div class="a">x</div></body>'),
+    ("lt-nonletter", "a<3 b<=c", "<body>a&lt;3 b&lt;=c</body>"),
+    ("eof-in-tag", "x<a href=", "<body>x</body>"),
+    # bogus-comment states: <? , </# , <!KEYWORD
+    ("pi-bogus", "<body>a<?php echo ?>x",
+     "<body>a<!--?php echo ?-->x</body>"),
+    ("end-bogus", "<body>a</#junk>x", "<body>a<!--#junk-->x</body>"),
+    ("bang-bogus", "<body>a<!ELEMENT x>y",
+     "<body>a<!--ELEMENT x-->y</body>"),
+    # comment endings: -- inside, abrupt <!--> / <!--->, --!>
+    ("comment-dashes", "<body>a<!-- x -- y -->z",
+     "<body>a<!-- x -- y -->z</body>"),
+    ("comment-abrupt", "<body>a<!-->x", "<body>a<!---->x</body>"),
+    ("comment-abrupt2", "<body>a<!--->x", "<body>a<!---->x</body>"),
+    ("comment-bang", "<body>a<!-- b --!>x",
+     "<body>a<!-- b -->x</body>"),
+    ("comment-lt-bang", "<body>a<!--<!-->x",
+     "<body>a<!--<!-->x</body>"),
+    ("comment-nested-open", "<body>a<!--x<!--y-->z",
+     "<body>a<!--x<!--y-->z</body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES11,
+                         ids=[c[0] for c in CASES11])
+def test_tokenizer_corners(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+def test_rawtext_style_keeps_charref_literal():
+    """RAWTEXT (style/script) does NOT decode charrefs — text() shows
+    the literal source bytes."""
+    from nipper_spark.html.document import Document
+    d = Document.from_html("<!DOCTYPE html><head><style>&amp;</style></head>")
+    assert d.select("style").text() == "&amp;"
+
+
+def test_document_level_comments_placement():
+    """Comments before <html> / after </html> attach to the DOCUMENT
+    node, not body — and serialize in position."""
+    assert serialize(parse_document("<!DOCTYPE html><!--c--><p>x"),
+                     0, include_node=False) == \
+        "<!DOCTYPE html><!--c--><html><head></head><body><p>x</p>" \
+        "</body></html>"
+    assert serialize(parse_document("<!DOCTYPE html><p>x</p></html><!--t-->"),
+                     0, include_node=False) == \
+        "<!DOCTYPE html><html><head></head><body><p>x</p></body>" \
+        "</html><!--t-->"
