@@ -33,6 +33,8 @@ _LABELS = {
     "sjis": "shift_jis",
     "euc-jp": "euc_jp", "gbk": "gbk", "gb2312": "gbk",
     "gb18030": "gb18030", "big5": "big5", "euc-kr": "euc_kr",
+    # spec "get an encoding" meta step: x-user-defined → windows-1252
+    "x-user-defined": "cp1252",
 }
 
 _META_CHARSET_RE = re.compile(

@@ -130,6 +130,22 @@ class TestEncodingSniff:
     """Binary html columns: BOM / meta-charset prescan / fallback —
     extraction must not mangle non-UTF-8 crawl payloads."""
 
+    def test_x_user_defined_maps_to_cp1252(self):
+        """Spec "get an encoding": meta charset=x-user-defined →
+        windows-1252 (the font-hack label crawls really contain)."""
+        from nipper_spark.html.encoding import sniff_encoding
+        assert sniff_encoding(
+            b'<meta charset="x-user-defined"><p>caf\xe9</p>') == "cp1252"
+
+    def test_meta_utf16_label_means_utf8(self):
+        """A prescannable byte stream whose meta claims utf-16 is
+        lying — the spec says decode as UTF-8."""
+        from nipper_spark.html.encoding import sniff_encoding
+        assert sniff_encoding(
+            b'<meta charset="utf-16"><p>x</p>') == "utf-8"
+        assert sniff_encoding(
+            b'<meta charset="UTF-16LE"><p>x</p>') == "utf-8"
+
     def test_meta_charset_cp1252(self):
         from nipper_spark.functions.html_udfs import extract_text_and_links
         html = ('<html><head><meta charset="windows-1252"></head>'
