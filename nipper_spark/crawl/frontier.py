@@ -134,8 +134,8 @@ class FrontierEngine:
             self._budgets_rows = budgets.count()
         if rules is None:
             self._rules = None  # robots_filter builds from dicts (or skips)
-            self._rules_rows = sum(len(v) for v in
-                                   policy.robots_disallow.values())
+            from nipper_spark.crawl.politeness import policy_rules_rows
+            self._rules_rows = policy_rules_rows(policy)
         else:
             self._rules = rules
             self._rules_rows = rules.count()
@@ -144,24 +144,29 @@ class FrontierEngine:
     def bootstrap(self, seeds: list[tuple[str, float]]) -> None:
         """Round-0 state from a seed list (canonicalized, deduped,
         robots-filtered — seeds count as 'seen' immediately)."""
+        from nipper_spark.crawl.politeness import robots_decision
         pol = self.policy
-        seed_rules: dict[str, list[str]] = {}
+        # host -> ([disallow rules], [allow rules]) from the table
+        seed_rules: dict[str, tuple[list[str], list[str]]] = {}
         if self._rules is not None:
             # seeds are a driver-side list by contract; pull ONLY their
             # hosts' rules from the table (bounded by the seed list)
             hosts = sorted({host_of(canonicalize_url(u) or "") or ""
                             for u, _ in seeds} - {""})
+            has_allow = "allow" in self._rules.columns
             for r in self._rules.filter(
                     F.col("host").isin(hosts)).collect():
-                seed_rules.setdefault(r["host"], []).append(r["prefix"])
+                dis, alw = seed_rules.setdefault(r["host"], ([], []))
+                (alw if has_allow and r["allow"] else dis).append(
+                    r["prefix"])
 
         def _seed_allowed(host: str, url: str) -> bool:
             if not pol.allowed(host, url):
                 return False
+            dis, alw = seed_rules.get(host, ((), ()))
             i = url.find("/", url.find("://") + 3)
             path = url[i:] if i != -1 else "/"
-            return not any(path.startswith(p)
-                           for p in seed_rules.get(host, ()))
+            return robots_decision(dis, alw, path)
 
         rows = []
         taken = set()

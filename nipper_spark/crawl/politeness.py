@@ -5,14 +5,18 @@ contributes at most ``tokens(host)`` URLs to a round's fetch wave; the
 rest stay in the frontier for later rounds. Hosts are hashed into
 buckets so all accounting for one host is local to one partition.
 
-Robots: deterministic per-host disallow prefix rules (a parsed-robots
-model — the sandbox has no live fetching, so rules come from config and
-the single-threaded oracle applies the identical table).
+Robots: RFC 9309 per-host rules (Disallow/Allow with * and trailing-$
+wildcards, longest-match precedence, Allow wins ties) — a parsed-robots
+model; the sandbox has no live fetching, so rules come from config or
+harvested tables, and the single-threaded oracle applies the identical
+kernels.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,12 +40,71 @@ def wave_order_specs():
     return [("depth", "asc"), ("score", "desc"), ("url", "asc")]
 
 
+# ----------------------------------------------------------------------
+# RFC 9309 rule-matching kernels (live here, not in robots.py, because
+# robots.py imports this module; robots.py re-exports them)
+# ----------------------------------------------------------------------
+
+@lru_cache(maxsize=65536)
+def _rule_re(rule: str) -> "re.Pattern[str]":
+    end = rule.endswith("$")
+    body = rule[:-1] if end else rule
+    pat = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+    return re.compile("^" + pat + ("$" if end else ""))
+
+
+def rule_matches(rule: str, path: str) -> bool:
+    """RFC 9309 rule match: literal prefix with ``*`` matching any
+    sequence and a trailing ``$`` anchoring the end of the path.
+    Pure kernel — every robots decision in the engine routes here."""
+    return _rule_re(rule).match(path) is not None
+
+
+def rule_to_like(rule: str) -> str:
+    """The rule as a SQL LIKE pattern (ESCAPE ``\\``) — the JVM-side
+    twin of :func:`rule_matches` for the distributed rules-table
+    filter. ``*`` → ``%``; no trailing ``%`` when the rule ends in
+    ``$``; ``%``/``_``/``\\`` in the rule are escaped."""
+    end = rule.endswith("$")
+    body = rule[:-1] if end else rule
+    out = []
+    for ch in body:
+        if ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        elif ch == "*":
+            out.append("%")
+        else:
+            out.append(ch)
+    if not end:
+        out.append("%")
+    return "".join(out)
+
+
+def robots_decision(disallow, allow, path: str) -> bool:
+    """True = fetchable. RFC 9309 precedence: among all matching rules
+    the longest wins; Allow wins length ties; no match = allowed.
+    Shared by RobotsRules, CrawlPolicy, and the oracle."""
+    best = None
+    for r in disallow:
+        if r and rule_matches(r, path):
+            k = (len(r), 0)
+            if best is None or k > best:
+                best = k
+    for r in allow:
+        if r and rule_matches(r, path):
+            k = (len(r), 1)
+            if best is None or k > best:
+                best = k
+    return best is None or best[1] == 1
+
+
 @dataclass
 class CrawlPolicy:
     """Shared config for engine AND oracle — one object, two executors."""
     default_tokens: int = 4
     host_tokens: dict[str, int] = field(default_factory=dict)
     robots_disallow: dict[str, list[str]] = field(default_factory=dict)
+    robots_allow: dict[str, list[str]] = field(default_factory=dict)
     n_buckets: int = 8
     score_decay: float = 0.85
     max_depth: int = 64
@@ -72,13 +135,14 @@ class CrawlPolicy:
         return self.host_tokens.get(host, self.default_tokens)
 
     def allowed(self, host: str, url: str) -> bool:
-        rules = self.robots_disallow.get(host)
-        if not rules:
+        dis = self.robots_disallow.get(host)
+        alw = self.robots_allow.get(host)
+        if not dis and not alw:
             return True
         # path = everything after scheme://host[:port]
         i = url.find("/", url.find("://") + 3)
         path = url[i:] if i != -1 else "/"
-        return not any(path.startswith(p) for p in rules)
+        return robots_decision(dis or (), alw or (), path)
 
 
 def budgets_df(spark, policy: CrawlPolicy) -> DataFrame:
@@ -150,34 +214,82 @@ def select_wave(frontier: DataFrame, budgets: DataFrame,
 
 
 def rules_df_from_policy(spark, policy: CrawlPolicy) -> DataFrame:
-    """Config-dict disallow rules as the (host, prefix) rules table —
-    the engine consumes ONLY the table form; dicts are a small-scale
-    configuration convenience."""
-    rows = [(h, p) for h, ps in sorted(policy.robots_disallow.items())
+    """Config-dict robots rules as the (host, prefix, allow) rules
+    table — the engine consumes ONLY the table form; dicts are a
+    small-scale configuration convenience."""
+    rows = [(h, p, False)
+            for h, ps in sorted(policy.robots_disallow.items())
             for p in sorted(set(ps))]
-    return spark.createDataFrame(rows or [("__none__", "\x00")],
-                                 "host string, prefix string")
+    rows += [(h, p, True)
+             for h, ps in sorted(policy.robots_allow.items())
+             for p in sorted(set(ps))]
+    return spark.createDataFrame(rows or [("__none__", "\x00", False)],
+                                 "host string, prefix string, "
+                                 "allow boolean")
+
+
+def policy_rules_rows(policy: CrawlPolicy) -> int:
+    return (sum(len(v) for v in policy.robots_disallow.values())
+            + sum(len(v) for v in policy.robots_allow.values()))
 
 
 def robots_filter(candidates: DataFrame, policy: CrawlPolicy,
                   rules: DataFrame | None = None,
                   rules_rows: int | None = None) -> DataFrame:
-    """Drop disallowed URLs: LEFT ANTI JOIN against the per-host rules
-    table on (host equality AND path-startswith-prefix). The rules
-    live in DATA, not in the plan — a literal expression over the rule
-    set would grow the Catalyst tree linearly in rule count and kill
-    the analyzer at 10^5+ hosts long before data moves. Host is an
-    equi-key, so the join shuffles (or broadcasts, when the table is
-    known-small) exactly like every other host-bucketed exchange."""
+    """Drop robots-disallowed URLs with full RFC 9309 semantics
+    against the per-host rules table (host, rule, allow).
+
+    Shape: LEFT JOIN on (host equality AND path LIKE rule-pattern)
+    — the rule's LIKE translation (:func:`rule_to_like` semantics,
+    compiled here as native string expressions on the small rules
+    side) runs JVM-side — then one hash aggregation per candidate URL
+    taking the longest matching rule of each kind; a URL survives iff
+    it matched no disallow, or its longest allow ≥ longest disallow
+    (RFC precedence: most specific wins, Allow wins ties).
+
+    The rules live in DATA, not in the plan — a literal expression
+    over the rule set would grow the Catalyst tree linearly in rule
+    count and kill the analyzer at 10^5+ hosts long before data
+    moves. Host is an equi-key, so the join shuffles (or broadcasts,
+    when the table is known-small) exactly like every other
+    host-bucketed exchange; the aggregation groups on the url the
+    candidate set is already hash-partitioned by upstream."""
     if rules is None:
-        if not policy.robots_disallow:
+        if not policy.robots_disallow and not policy.robots_allow:
             return candidates
         rules = rules_df_from_policy(candidates.sparkSession, policy)
-        rules_rows = sum(len(v) for v in policy.robots_disallow.values())
-    r = rules.select(F.col("host").alias("_r_host"),
-                     F.col("prefix").alias("_r_prefix"))
+        rules_rows = policy_rules_rows(policy)
+    if "allow" not in rules.columns:  # legacy (host, prefix) table
+        rules = rules.withColumn("allow", F.lit(False))
+    # rule -> LIKE pattern, computed natively on the (small) rules side
+    esc = F.replace(F.replace(F.replace(F.col("prefix"),
+                                        F.lit("\\"), F.lit("\\\\")),
+                              F.lit("%"), F.lit("\\%")),
+                    F.lit("_"), F.lit("\\_"))
+    esc = F.replace(esc, F.lit("*"), F.lit("%"))
+    pattern = F.when(
+        F.col("prefix").endswith("$"),
+        F.expr("substring(_esc, 1, length(_esc) - 1)")) \
+        .otherwise(F.concat(esc, F.lit("%")))
+    r = (rules.withColumn("_esc", esc)
+         .select(F.col("host").alias("_r_host"),
+                 pattern.alias("_r_pat"),
+                 F.length("prefix").alias("_r_len"),
+                 F.coalesce(F.col("allow"), F.lit(False))
+                 .alias("_r_allow")))
     r = _maybe_broadcast(r, rules_rows, policy.broadcast_dim_threshold)
-    path = F.regexp_replace(candidates["url"], r"^https?://[^/]+", "")
-    cond = (candidates["host"] == F.col("_r_host")) & \
-        path.startswith(F.col("_r_prefix"))
-    return candidates.join(r, cond, "left_anti")
+    cand_cols = candidates.columns
+    cand = candidates.withColumn(
+        "_path", F.regexp_replace(F.col("url"), r"^https?://[^/]+", ""))
+    cond = (cand["host"] == F.col("_r_host")) & \
+        F.expr("_path LIKE _r_pat ESCAPE '\\\\'")
+    joined = cand.join(r, cond, "left")
+    dec = (joined.groupBy(*[F.col(c) for c in cand_cols])
+           .agg(F.max(F.when(F.col("_r_allow"), F.col("_r_len")))
+                .alias("_ma"),
+                F.max(F.when(~F.col("_r_allow"), F.col("_r_len")))
+                .alias("_md")))
+    return (dec.filter(F.col("_md").isNull() |
+                       (F.coalesce(F.col("_ma"), F.lit(-1)) >=
+                        F.col("_md")))
+            .drop("_ma", "_md"))

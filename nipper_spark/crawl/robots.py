@@ -8,11 +8,13 @@ a per-round token budget (round_seconds / delay). Both merge into the
 same :class:`CrawlPolicy` the engine AND the single-threaded oracle
 execute, so robots handling can never diverge between them.
 
-Parser follows the original REP (User-agent groups, Disallow/Allow
-prefixes, Crawl-delay); longest-prefix Allow precedence is
-approximated by treating an exact-prefix Allow as an exemption only
-when it is longer than the matching Disallow — the common case in
-practice and the one the fixtures pin.
+Parser and matcher follow RFC 9309 (User-agent groups, Disallow/Allow
+rules with ``*`` any-sequence and trailing ``$`` end-anchor wildcards,
+Crawl-delay): the most specific (longest) matching rule wins, Allow
+winning length ties. The pure :func:`rule_matches` kernel is shared by
+the dict policy, the single-threaded oracle, and — via the SQL LIKE
+translation :func:`rule_to_like` — the distributed per-host rules-table
+filter, so robots semantics cannot diverge between them.
 """
 
 from __future__ import annotations
@@ -20,7 +22,8 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
-from nipper_spark.crawl.politeness import CrawlPolicy
+from nipper_spark.crawl.politeness import (  # noqa: F401 — re-exports
+    CrawlPolicy, robots_decision, rule_matches, rule_to_like)
 from nipper_spark.functions.url import host_of
 
 
@@ -31,13 +34,7 @@ class RobotsRules:
     crawl_delay: float | None = None
 
     def allowed(self, path: str) -> bool:
-        best_dis = max((len(p) for p in self.disallow
-                        if p and path.startswith(p)), default=-1)
-        if best_dis < 0:
-            return True
-        best_allow = max((len(p) for p in self.allow
-                          if p and path.startswith(p)), default=-1)
-        return best_allow > best_dis
+        return robots_decision(self.disallow, self.allow, path)
 
 
 def parse_robots_txt(text: str | bytes, agent: str = "*") -> RobotsRules:
@@ -94,10 +91,15 @@ def harvest_robots(pages_rows: list[tuple[str, str | bytes]],
         if rules.disallow:
             merged = policy.robots_disallow.get(host, [])
             for p in rules.disallow:
-                if not any(p.startswith(a) for a in rules.allow):
-                    if p not in merged:
-                        merged.append(p)
+                if p not in merged:
+                    merged.append(p)
             policy.robots_disallow[host] = merged
+        if rules.allow:
+            merged_a = policy.robots_allow.get(host, [])
+            for p in rules.allow:
+                if p not in merged_a:
+                    merged_a.append(p)
+            policy.robots_allow[host] = merged_a
         if rules.crawl_delay and rules.crawl_delay > 0:
             budget = max(1, math.floor(round_seconds / rules.crawl_delay))
             cur = policy.host_tokens.get(host, policy.default_tokens)
@@ -105,7 +107,8 @@ def harvest_robots(pages_rows: list[tuple[str, str | bytes]],
     return policy
 
 
-_HARVEST_SCHEMA = "host string, prefix string, tokens int"
+_HARVEST_SCHEMA = ("host string, prefix string, allow boolean, "
+                   "tokens int")
 
 
 def harvest_robots_tables(pages_df, agent: str = "*",
@@ -116,8 +119,8 @@ def harvest_robots_tables(pages_df, agent: str = "*",
     uses) and come back as two per-host DATAFRAMES — never as driver
     dicts, never as robots.txt bodies collected to the driver:
 
-        rules:   (host, prefix)   disallow prefixes post allow-merge
-        budgets: (host, tokens)   min(default, ⌊round_seconds/delay⌋)
+        rules:   (host, prefix, allow)  RFC 9309 rules, both kinds
+        budgets: (host, tokens)         min(default, ⌊round_seconds/delay⌋)
 
     Both are host-keyed tables the engine joins like any other
     dimension, so 10^8 polite hosts cost a bucketed join, not an
@@ -134,29 +137,33 @@ def harvest_robots_tables(pages_df, agent: str = "*",
     def _parse(batches):
         import pandas as pd
         for pdf in batches:
-            hosts, prefixes, tokens = [], [], []
+            hosts, prefixes, allows, tokens = [], [], [], []
             for url, body in zip(pdf["url"], pdf["html"]):
                 host = host_of(url)
                 if not host:
                     continue
                 rules = parse_robots_txt(
                     body if body is not None else b"", agent)
-                merged: list[str] = []
-                for p in rules.disallow:
-                    if not any(p.startswith(a) for a in rules.allow) \
-                            and p not in merged:
-                        merged.append(p)
-                for p in merged:
+                for p in dict.fromkeys(rules.disallow):
                     hosts.append(host)
                     prefixes.append(p)
+                    allows.append(False)
+                    tokens.append(None)
+                for p in dict.fromkeys(rules.allow):
+                    hosts.append(host)
+                    prefixes.append(p)
+                    allows.append(True)
                     tokens.append(None)
                 if rules.crawl_delay and rules.crawl_delay > 0:
                     budget = max(1, math.floor(
                         round_seconds / rules.crawl_delay))
                     hosts.append(host)
                     prefixes.append(None)
+                    allows.append(None)
                     tokens.append(min(default_tokens, budget))
             yield pd.DataFrame({"host": hosts, "prefix": prefixes,
+                                "allow": pd.array(allows,
+                                                  dtype="boolean"),
                                 "tokens": pd.array(tokens,
                                                    dtype="Int32")})
 
@@ -166,7 +173,7 @@ def harvest_robots_tables(pages_df, agent: str = "*",
     harvested = robots.mapInPandas(_parse, schema=_HARVEST_SCHEMA) \
         .localCheckpoint(eager=False)
     rules_df = (harvested.filter(F.col("prefix").isNotNull())
-                .select("host", "prefix").distinct())
+                .select("host", "prefix", "allow").distinct())
     budgets_df = (harvested.filter(F.col("tokens").isNotNull())
                   .groupBy("host").agg(F.min("tokens").alias("tokens")))
     return rules_df, budgets_df
@@ -196,10 +203,18 @@ def policy_from_tables(policy: CrawlPolicy, rules_df, budgets_df,
                 "(FrontierEngine(rules=..., budgets=...))")
         return rows
 
+    has_allow_col = "allow" in rules_df.columns
     for r in _bounded(rules_df, "rules_df"):
-        policy.robots_disallow.setdefault(r["host"], []).append(r["prefix"])
+        if has_allow_col and r["allow"]:
+            policy.robots_allow.setdefault(r["host"], []).append(
+                r["prefix"])
+        else:
+            policy.robots_disallow.setdefault(r["host"], []).append(
+                r["prefix"])
     for h in policy.robots_disallow:
         policy.robots_disallow[h] = sorted(policy.robots_disallow[h])
+    for h in policy.robots_allow:
+        policy.robots_allow[h] = sorted(policy.robots_allow[h])
     for r in _bounded(budgets_df, "budgets_df"):
         cur = policy.host_tokens.get(r["host"], policy.default_tokens)
         policy.host_tokens[r["host"]] = min(cur, int(r["tokens"]))

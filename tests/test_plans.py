@@ -132,21 +132,29 @@ class TestJoinStrategies:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
     def test_robots_filter_is_a_join_not_a_literal_expression(self, spark):
-        """Robots rules live in DATA: the candidate filter must be an
-        anti JOIN against the (host, prefix) table — a literal
-        expression would grow the plan linearly in rule count and kill
-        the analyzer at 10^5+ hosts."""
+        """Robots rules live in DATA: the RFC 9309 candidate filter is
+        a LEFT JOIN against the (host, rule, allow) table plus ONE
+        hash aggregation taking the longest matching rule per kind —
+        a literal expression would grow the plan linearly in rule
+        count and kill the analyzer at 10^5+ hosts."""
         from nipper_spark.crawl.politeness import (
             CrawlPolicy, robots_filter)
         cand = spark.createDataFrame(
             [(f"http://h{i}.test/p/{i}", f"h{i}.test") for i in range(6)],
             "url string, host string")
-        rules = spark.range(3).select(
-            F.concat(F.lit("h"), F.col("id")).alias("host"),
-            F.lit("/p/").alias("prefix"))
-        out = robots_filter(cand, CrawlPolicy(), rules=rules, rules_rows=3)
+        rules = spark.createDataFrame(
+            [(f"h{i % 7}.test", f"/rule{i}/", i % 3 == 0)
+             for i in range(1000)],
+            "host string, prefix string, allow boolean")
+        out = robots_filter(cand, CrawlPolicy(), rules=rules,
+                            rules_rows=1000)
         plan = plan_string(out)
-        assert "LeftAnti" in plan, plan
+        # the decision is join + aggregate, never an unrolled literal:
+        # no rule string may appear in the plan text, and plan size is
+        # O(1) in rule count
+        assert "Join" in plan and "HashAggregate" in plan, plan
+        assert "/rule777/" not in plan and "/rule3/" not in plan
+        assert len(plan) < 20_000, len(plan)
 
 
 class TestPythonBoundary:

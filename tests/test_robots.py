@@ -250,3 +250,146 @@ class TestPolicyCollectGuard:
         pol = policy_from_tables(CrawlPolicy(), rules.limit(5), budgets,
                                  max_rows=10)
         assert len(pol.robots_disallow) == 5
+
+
+class TestRfc9309:
+    """RFC 9309 matching: * / trailing-$ wildcards, longest-match
+    precedence with Allow winning ties — pure kernel, dict policy,
+    and the distributed rules-table filter must all agree."""
+
+    def test_rule_matches_wildcards(self):
+        from nipper_spark.crawl.robots import rule_matches
+        assert rule_matches("/fish*", "/fishheads/yummy.html")
+        assert rule_matches("/*.php", "/folder/filename.php?x=1")
+        assert rule_matches("/*.php$", "/filename.php")
+        assert not rule_matches("/*.php$", "/filename.php5")
+        assert not rule_matches("/fish", "/catfish")  # anchored at start
+        assert rule_matches("/fish", "/fish.html")
+        # % and _ are literals in rules (LIKE translation must escape)
+        assert rule_matches("/p_1", "/p_1/x")
+        assert not rule_matches("/p_1", "/pX1/x")
+
+    def test_decision_precedence(self):
+        from nipper_spark.crawl.robots import robots_decision
+        # Disallow: /  +  Allow: /public — the common pattern the old
+        # prefix-collapse model lost
+        assert robots_decision(["/"], ["/public"], "/public/a")
+        assert not robots_decision(["/"], ["/public"], "/private/a")
+        # longer disallow beats shorter allow
+        assert not robots_decision(["/private/x"], ["/priv"],
+                                   "/private/x/y")
+        # equal length: allow wins
+        assert robots_decision(["/page"], ["/page"], "/page/1")
+        # wildcard lengths count as written
+        assert not robots_decision(["/*.pdf$"], [], "/a/b.pdf")
+
+    def test_policy_allowed_uses_rfc_semantics(self):
+        pol = CrawlPolicy(
+            robots_disallow={"h.test": ["/"]},
+            robots_allow={"h.test": ["/public"]})
+        assert pol.allowed("h.test", "http://h.test/public/x")
+        assert not pol.allowed("h.test", "http://h.test/secret")
+        assert pol.allowed("other.test", "http://other.test/secret")
+
+    def test_distributed_filter_matches_kernel(self):
+        """robots_filter over a candidates×rules cross-section equals
+        the pure robots_decision for every URL — wildcards, anchors,
+        LIKE-escaping (_ %), allow precedence, rule-free hosts."""
+        from pyspark.sql import functions as F
+
+        from nipper_spark.crawl.politeness import robots_filter
+        from nipper_spark.crawl.robots import robots_decision
+        from nipper_spark.session import build_session
+        spark = build_session("rfc-robots", master="local[4]",
+                              shuffle_partitions=4)
+        rules = [
+            ("a.test", "/", False), ("a.test", "/public", True),
+            ("a.test", "/*.pdf$", False),
+            ("b.test", "/fish*", False), ("b.test", "/fish*/bowl", True),
+            ("c.test", "/p_1", False), ("c.test", "/x%y", False),
+        ]
+        paths = ["/", "/public", "/public/a.pdf", "/doc.pdf",
+                 "/doc.pdfx", "/fishheads", "/fishheads/bowl/x",
+                 "/fry", "/p_1/z", "/pQ1/z", "/x%y/q", "/xAy/q"]
+        cand_rows = [(f"http://{h}/{p.lstrip('/')}" if p != "/" else
+                      f"http://{h}/", h)
+                     for h in ("a.test", "b.test", "c.test", "d.test")
+                     for p in paths]
+        cand = spark.createDataFrame(cand_rows, "url string, host string")
+        rules_df = spark.createDataFrame(
+            rules, "host string, prefix string, allow boolean")
+        got = {r["url"] for r in robots_filter(
+            cand, CrawlPolicy(), rules=rules_df,
+            rules_rows=len(rules)).collect()}
+        by_host: dict[str, tuple[list, list]] = {}
+        for h, r, allow in rules:
+            dis, alw = by_host.setdefault(h, ([], []))
+            (alw if allow else dis).append(r)
+        for url, h in cand_rows:
+            i = url.find("/", url.find("://") + 3)
+            path = url[i:] if i != -1 else "/"
+            dis, alw = by_host.get(h, ((), ()))
+            expect = robots_decision(dis, alw, path)
+            assert (url in got) == expect, (url, expect)
+
+    def test_engine_oracle_agree_with_wildcard_allow_rules(
+            self, tmp_path):
+        """A crawl whose robots.txt uses wildcards + Allow stays
+        engine==oracle exact (harvested tables drive the engine; the
+        folded dict policy drives the oracle — same kernels)."""
+        from nipper_spark.crawl.frontier import FrontierEngine
+        from nipper_spark.crawl.oracle import crawl_oracle
+        from nipper_spark.crawl.robots import (
+            harvest_robots_tables, policy_from_tables)
+        from nipper_spark.crawl.state import (
+            SCHEDULE_SCHEMA, SEEN_SCHEMA, CrawlState)
+        from nipper_spark.session import build_session
+        from nipper_spark.sources.synthetic import (
+            PAGES_SCHEMA, synth_pages_rows)
+        spark = build_session("rfc-crawl", master="local[4]",
+                              shuffle_partitions=4)
+        rows = synth_pages_rows(n_pages=40, links_per_page=4, n_hosts=6,
+                                seed=13)
+        host = rows[0][0].split("/page/")[0]
+        robots_row = (f"{host}/robots.txt",
+                      datetime.datetime(2024, 1, 1),
+                      b"User-agent: *\n"
+                      b"Disallow: /\n"
+                      b"Allow: /page/1*\n"
+                      b"Allow: /page/2\n",
+                      None, "en")
+        all_rows = rows + [robots_row]
+        pages = spark.createDataFrame(all_rows, PAGES_SCHEMA)
+        rules_df, budgets_df = harvest_robots_tables(pages)
+        policy = CrawlPolicy(default_tokens=5, n_buckets=4)
+        oracle_policy = policy_from_tables(
+            CrawlPolicy(default_tokens=5, n_buckets=4),
+            rules_df, budgets_df)
+        hostname = host.split("//")[1]
+        assert oracle_policy.robots_allow[hostname] == [
+            "/page/1*", "/page/2"]
+        seeds = [(rows[1][0], 1.0), (rows[2][0], 0.9)]
+        oracle = crawl_oracle({u: h for (u, _, h, _, _) in all_rows},
+                              seeds, oracle_policy, max_rounds=8)
+        # the rules really bite both ways on this host
+        assert any(u.startswith(f"{host}/page/1") or
+                   u.startswith(f"{host}/page/2")
+                   for u in oracle.seen), "allow rules never fired"
+        d = str(tmp_path / "state")
+        eng = FrontierEngine(spark, pages, d, policy,
+                             rules=rules_df, budgets=budgets_df)
+        eng.bootstrap(seeds)
+        for r in range(8):
+            eng.run_round(r)
+        st = CrawlState(spark, d)
+        sched = st.read_all_rounds("schedule", 7, SCHEDULE_SCHEMA) \
+            .orderBy("round", "seq").collect()
+        got = {}
+        for x in sched:
+            got.setdefault(x["round"], []).append(
+                (x["url"], x["host"], x["depth"], x["score"]))
+        for r, wave in enumerate(oracle.schedules[:8]):
+            assert got.get(r, []) == wave, f"round {r}"
+        seen = {r["url"] for r in st.read_all_rounds(
+            "seen", 8, SEEN_SCHEMA).collect()}
+        assert seen == oracle.seen
