@@ -51,6 +51,12 @@ CANON_VECTORS = [
     "javascript:void(0)",
     "http://h.test/a?z=&y=2",
     "  http://pad.test/x  ",
+    # round 4: WHATWG backslash separators, dot segments, IDN host,
+    # percent-encoded host
+    "http:\\\\slash.test\\dir\\p",
+    "http://dot.test/a/./b/../c/.",
+    "http://bücher.test/x",
+    "http://pct%2Ehost.test/y",
 ]
 
 

@@ -27,6 +27,9 @@ _CANONICAL_RE = re.compile(
 # used to fast-path root-relative hrefs without urljoin
 _ORIGIN_RE = re.compile(r"^https?://[a-z0-9]([a-z0-9.-]*[a-z0-9])?(?=/|$)")
 _DOT_SEGMENT_RE = re.compile(r"/\.")
+# an exact "." or ".." path segment (the only things dot-segment
+# removal touches) — "/.well-known" must NOT match
+_DOT_SEG_EXACT_RE = re.compile(r"/\.\.?(?:/|$)")
 
 # canonical-up-to-case-fragment-and-query-order: the dominant real
 # outlink shape (absolute http(s), maybe UPPERCASE scheme/host, maybe
@@ -63,22 +66,57 @@ _PATH_SAFE = "/:@!$&'()*+,;=~-._"
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 over a rootful path: drop exact "." segments,
+    ".." pops (never above the root); a trailing "." or ".." leaves a
+    directory slash."""
+    segs = path.split("/")
+    out = [segs[0]]
+    for seg in segs[1:]:
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+        else:
+            out.append(seg)
+    if segs[-1] in (".", ".."):
+        out.append("")
+    return "/".join(out) or "/"
+
+
 def canonicalize_url(url: str) -> str | None:
     """Deterministic canonical form; None for non-http(s)/unparseable.
 
     Rules (documented for the oracle): lowercase scheme+host, strip
     fragment and userinfo, drop default port, percent-decode then
-    re-encode the path with a fixed safe set, sort query params by
-    (key, value), empty path → "/".
+    re-encode the path with a fixed safe set, remove "."/".." dot
+    segments (RFC 3986 — the WHATWG path normalization dedup needs:
+    /a/b/../c and /a/c are the same resource), backslashes before the
+    query are path separators (WHATWG special-URL parsing), host is
+    percent-decoded and IDNA-encoded (unicode hosts → punycode; the
+    stdlib idna codec is the public IDNA-2003 approximation of the
+    WHATWG domain-to-ASCII step), sort query params by (key, value),
+    empty path → "/".
     """
     if not url:
         return None
     m = _CANONICAL_RE.match(url)
-    if m is not None:
+    if m is not None and _DOT_SEG_EXACT_RE.search(m.group(4)) is None:
         return url  # provably a fixed point of the slow path
     m = _FAST_FULL_RE.match(url)
-    if m is not None:
+    if m is not None and \
+            _DOT_SEG_EXACT_RE.search(m.group(3) or "/") is None:
         return _fast_canonical(m)
+    if "\\" in url:
+        # WHATWG: \ == / in scheme/authority/path of special URLs;
+        # backslashes in the query/fragment stay literal
+        cut = len(url)
+        for ch in "?#":
+            i = url.find(ch)
+            if i != -1:
+                cut = min(cut, i)
+        url = url[:cut].replace("\\", "/") + url[cut:]
     try:
         parts = urlsplit(url.strip())
     except ValueError:
@@ -90,6 +128,13 @@ def canonicalize_url(url: str) -> str | None:
     if not host:
         return None
     host = host.lower().rstrip(".")
+    if "%" in host:
+        host = unquote(host).lower()
+    if not host.isascii():
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError:
+            return None
     try:
         port = parts.port  # raises on non-numeric port garbage
     except ValueError:
@@ -98,6 +143,7 @@ def canonicalize_url(url: str) -> str | None:
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = "%s:%d" % (host, port)
     path = quote(unquote(parts.path), safe=_PATH_SAFE) or "/"
+    path = _remove_dot_segments(path)
     query = ""
     if parts.query:
         pairs = sorted(parse_qsl(parts.query, keep_blank_values=True))
@@ -118,7 +164,8 @@ def resolve_and_canonicalize(base_url: str, href: str) -> str | None:
     # splits RFC-1808 params off the last segment and DROPS a trailing
     # empty-params ";" (measured: "http://b/;" → "http://b/").
     m = _FAST_FULL_RE.match(href)
-    if m is not None and ";" not in (m.group(3) or ""):
+    if m is not None and ";" not in (m.group(3) or "") and \
+            _DOT_SEG_EXACT_RE.search(m.group(3) or "/") is None:
         return _fast_canonical(m)
     # root-relative fast path: origin + href, valid only when the
     # result is provably already canonical (same fixed-point argument

@@ -31,6 +31,35 @@ def pages(spark):
 
 
 class TestCanonicalize:
+    def test_whatwg_normalizations(self):
+        """Round-4 rules: dot-segment removal (RFC 3986 §5.2.4),
+        backslash = path separator before the query (WHATWG special
+        URLs), percent-decoded + IDNA hosts."""
+        assert canonicalize_url("http://h.test/a/./b/../c") == \
+            "http://h.test/a/c"
+        assert canonicalize_url("http://h.test/a/b/..") == \
+            "http://h.test/a/"
+        assert canonicalize_url("http://h.test/..") == "http://h.test/"
+        # exact segments only: .well-known is untouched (and fast-path)
+        assert canonicalize_url("http://h.test/.well-known/x") == \
+            "http://h.test/.well-known/x"
+        assert canonicalize_url("http:\\\\h.test\\a\\b") == \
+            "http://h.test/a/b"
+        # backslash after '?' stays literal (percent-encoded in query)
+        assert canonicalize_url("http://h.test/a?x=a\\b") == \
+            "http://h.test/a?x=a%5Cb"
+        assert canonicalize_url("http://h%2Etest/x") == \
+            "http://h.test/x"
+        assert canonicalize_url("http://bücher.test/x") == \
+            "http://xn--bcher-kva.test/x"
+        # absolute href and relative href to the same resource now
+        # canonicalize identically (the URL-seen dedup property)
+        from nipper_spark.functions.url import resolve_and_canonicalize
+        a = resolve_and_canonicalize("http://h.test/d/", "../c")
+        b = resolve_and_canonicalize("http://h.test/d/",
+                                     "http://h.test/d/../c")
+        assert a == b == "http://h.test/c"
+
     def test_vectors(self):
         # FIXTURES.md §5 canonicalization vectors
         assert canonicalize_url("HTTP://Host.Test/a?b=2&a=1#f") == \
