@@ -276,6 +276,55 @@ def _crawl_seeds():
     return [(rows[0][0], 1.0), (rows[1][0], 0.9), (rows[2][0], 0.8)]
 
 
+def _q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / phone runs -> typed placeholders,
+    functions/pii.py): pure-Catalyst regexp chain, patterns restricted
+    to the Java-regex ∩ RE2 subset so DuckDB asserts the scrubbed text
+    hash exactly. Deterministic PII is injected per doc_id so every
+    row exercises all three categories."""
+    from nipper_spark.functions.pii import pii_count_cols, scrub_pii_col
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com at 10.2."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +1 (555) 010-12"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"))
+    d = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    injected.alias("_t"))
+    return d.select(
+        "doc_id",
+        F.md5(scrub_pii_col("_t")).alias("clean_md5"),
+        *[c.cast("int").alias(n) for c, n in
+          zip(pii_count_cols("_t"), ("n_emails", "n_ips", "n_phones"))])
+
+
+def _o_doc_pii_scrub() -> str:
+    from nipper_spark.functions.pii import PII_EMAIL, PII_IPV4, PII_PHONE
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.2.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 or +1 (555) 010-12'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS _t
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(_t,
+           '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g')) AS clean_md5,
+       CAST(len(regexp_extract_all(_t, '{PII_EMAIL}')) AS INTEGER)
+           AS n_emails,
+       CAST(len(regexp_extract_all(_t, '{PII_IPV4}')) AS INTEGER)
+           AS n_ips,
+       CAST(len(regexp_extract_all(_t, '{PII_PHONE}')) AS INTEGER)
+           AS n_phones
+FROM t
+"""
+
+
 def _q_round_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-round skew metrics over the crawl's round_log (SURVEY §1.3:
     per-partition lineage + skew stats): the public round_metrics
@@ -1072,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_stats": _q_doc_vocab_stats,
         "source_stats": _q_source_stats,
         "doc_sample_split": _q_sample_split,
+        "doc_pii_scrub": _q_doc_pii_scrub,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1475,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_vocab_stats": _O_VOCAB_STATS,
         "source_stats": _O_SOURCE_STATS,
         "doc_sample_split": _o_sample_split(),
+        "doc_pii_scrub": _o_doc_pii_scrub(),
         "ann_brute_topk": _o_ann_brute(),
         "ann_lsh_topk": _o_ann_lsh(),
         "ann_ivf_topk": _o_ann_ivf(),

@@ -604,3 +604,35 @@ class TestIvfPq:
         p = {(r["query_id"], r["vec_id"]) for r in pq.collect()}
         recall = len(p & b) / len(b)
         assert recall >= 0.9, f"clustered IVF-PQ recall: {recall}"
+
+
+class TestPiiScrub:
+    def test_kernel_cases(self):
+        from nipper_spark.functions.pii import scrub_pii_py
+        out, e, i, p = scrub_pii_py(
+            "mail a.b+c@ex-ample.org or 10.0.255.7, call +1 (555) 010-9999.")
+        assert "<EMAIL>" in out and "<IP>" in out and "<PHONE>" in out
+        assert "a.b+c@" not in out and "10.0.255.7" not in out
+        assert (e, i) == (1, 1) and p >= 1
+        # clean text untouched
+        assert scrub_pii_py("nothing here") == ("nothing here", 0, 0, 0)
+        # placeholders are digit-free: no re-matching across categories
+        out2, *_ = scrub_pii_py("x@y.com 1.2.3.4")
+        assert out2 == "<EMAIL> <IP>"
+
+    def test_spark_matches_twin_and_stays_jvm_side(self, spark):
+        from pyspark.sql import functions as F
+
+        from nipper_spark.functions.pii import scrub_pii, scrub_pii_py
+        from nipper_spark.plans.inspect import python_eval_count
+        rows = [(1, "reach me: bob@corp.example or (555) 123-4567 ok"),
+                (2, "server 192.168.0.1 and 8.8.8.8"),
+                (3, "plain text, no pii at all"),
+                (4, "a@b.cc c@d.ee 1.2.3.4 +44 20 7946 0958")]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        out = scrub_pii(docs)
+        assert python_eval_count(out) == 0  # pure Catalyst, no Python
+        got = {r["doc_id"]: (r["text_clean"], r["n_emails"], r["n_ips"],
+                             r["n_phones"]) for r in out.collect()}
+        for doc_id, text in rows:
+            assert got[doc_id] == scrub_pii_py(text), doc_id
