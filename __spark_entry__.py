@@ -1055,6 +1055,43 @@ def _q_sitemap_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("priority").cast("double").alias("priority"))
 
 
+def _q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap REFRESH (the lifecycle step after discovery/bootstrap/
+    recursive fetch): kind='url' entries whose advertised lastmod is
+    strictly newer than the URL's last fetch become re-seed frontier
+    rows for the next crawl generation. Fetch log is derived
+    deterministically from the url (month = 1 + len(url) % 9) so the
+    staleness predicate exercises both outcomes."""
+    from nipper_spark.crawl.sitemaps import (
+        harvest_sitemap_tables, sitemap_refresh_frontier,
+        synth_sitemap_rows)
+    from nipper_spark.sources.synthetic import PAGES_SCHEMA
+    pages = spark.createDataFrame(synth_sitemap_rows(), PAGES_SCHEMA)
+    entries = harvest_sitemap_tables(pages)
+    fetch_log = entries.filter(F.col("kind") == "url").select(
+        "url",
+        F.concat(F.lit("2026-0"),
+                 ((F.length("url") % 9) + 1).cast("string"),
+                 F.lit("-01")).alias("fetched_at"))
+    seeds = sitemap_refresh_frontier(entries, fetch_log, _crawl_policy())
+    return (seeds.select("url", "host", "score")
+            .orderBy("url"))
+
+
+def _o_sitemap_refresh() -> str:
+    from nipper_spark.crawl.sitemaps import (
+        harvest_sitemap_entries_py, sitemap_refresh_py,
+        synth_sitemap_rows)
+    entries = harvest_sitemap_entries_py(
+        [(u, bytes(b)) for (u, _ts, b, _t, _l) in synth_sitemap_rows()])
+    fetch_log = {u: f"2026-0{(len(u) % 9) + 1}-01"
+                 for (_h, u, k, _lm, _p) in entries if k == "url"}
+    rows = [(u, u.split("/")[2], sc)
+            for u, sc in sitemap_refresh_py(entries, fetch_log)]
+    return _values_sql(rows, [("url", "VARCHAR"), ("host", "VARCHAR"),
+                              ("score", "DOUBLE")])
+
+
 def _o_sitemap_harvest() -> str:
     from nipper_spark.crawl.sitemaps import (
         harvest_sitemap_entries_py, synth_sitemap_rows)
@@ -1145,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_decode": _q_media_real_decode,
         # sitemap discovery (urlset/sitemapindex/gzip/txt, same-host)
         "sitemap_harvest": _q_sitemap_harvest,
+        "sitemap_refresh": _q_sitemap_refresh,
     }
 
 
@@ -1543,4 +1581,5 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_samples": _o_media_frames(),
         "media_real_decode": _o_media_real_decode(),
         "sitemap_harvest": _o_sitemap_harvest(),
+        "sitemap_refresh": _o_sitemap_refresh(),
     }

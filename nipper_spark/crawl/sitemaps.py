@@ -297,3 +297,66 @@ def sitemap_seed_frontier(entries_df, policy, default_score: float = 0.5):
         F.lit(0).cast("int").alias("depth"),
         F.col("score").cast("double").alias("score"),
         F.lit(0).cast("int").alias("discovered_round"))
+
+
+def sitemap_refresh_frontier(entries_df, fetch_log_df, policy,
+                             default_score: float = 0.5,
+                             round_no: int = 0):
+    """Stale-URL detection — the REFRESH step of the sitemap
+    lifecycle (discovery → bootstrap → recursive fetch → refresh):
+    ``kind='url'`` entries whose advertised ``lastmod`` is strictly
+    newer than the URL's last fetch become a FRONTIER_SCHEMA-shaped
+    re-seed table for the next crawl generation.
+
+    ``fetch_log_df`` is (url, fetched_at); both sides are W3C-datetime
+    strings (sitemaps.org mandates the format), which compare
+    correctly as strings — no date parsing, so the comparison is a
+    pure Catalyst filter. The inner join keeps only previously-fetched
+    URLs (never-fetched advertisements are the bootstrap/top-up path's
+    job, not refresh's).
+
+    Scale shape: url-equi join (broadcast when the entries table is
+    known-small, shuffle otherwise — the caller controls via the same
+    size-guard conventions as every dimension join) + narrow
+    projection. The output seeds a NEW crawl state (the engine's seen
+    set is per-generation by design: refresh = re-fetch despite seen,
+    which is exactly a new generation bootstrapped from stale URLs,
+    same as production batch crawlers).
+    """
+    from pyspark.sql import functions as F
+
+    from nipper_spark.crawl.frontier import _host_cols
+
+    stale = (entries_df
+             .filter((F.col("kind") == "url") &
+                     F.col("lastmod").isNotNull())
+             .join(fetch_log_df.select("url", "fetched_at"), "url")
+             .filter(F.col("lastmod") > F.col("fetched_at")))
+    seeds = stale.select(
+        "url",
+        F.coalesce(F.col("priority"), F.lit(float(default_score)))
+        .alias("score"))
+    seeds = _host_cols(seeds, policy)
+    return seeds.select(
+        "url", "host", "host_bucket",
+        F.lit(0).cast("int").alias("depth"),
+        F.col("score").cast("double").alias("score"),
+        F.lit(int(round_no)).cast("int").alias("discovered_round"))
+
+
+def sitemap_refresh_py(entries, fetch_log,
+                       default_score: float = 0.5):
+    """Single-threaded twin of :func:`sitemap_refresh_frontier` for
+    the oracle: entries as (host, url, kind, lastmod, priority)
+    tuples, fetch_log as {url: fetched_at}. Returns sorted
+    (url, score) pairs."""
+    out = []
+    for _host, url, kind, lastmod, priority in entries:
+        if kind != "url" or lastmod is None:
+            continue
+        fetched = fetch_log.get(url)
+        if fetched is None or not lastmod > fetched:
+            continue
+        out.append((url, priority if priority is not None
+                    else float(default_score)))
+    return sorted(out)

@@ -305,3 +305,43 @@ class TestRecursiveSitemapScheduling:
         html = b"<a href='http://h.test/x'>x</a>"
         assert crawl_extract_outlinks("http://h.test/page", html) == [
             ("http://h.test/x", None)]
+
+
+class TestSitemapRefresh:
+    def test_stale_detection_matches_twin(self, spark, corpus):
+        """Spark refresh seeds == the single-threaded twin, and the
+        staleness predicate fires both ways on the fixture corpus."""
+        from nipper_spark.crawl.sitemaps import (
+            harvest_sitemap_entries_py, sitemap_refresh_frontier,
+            sitemap_refresh_py)
+        pages, _ = corpus
+        entries = harvest_sitemap_tables(pages).cache()
+        policy = CrawlPolicy(default_tokens=4, n_buckets=4)
+        ent_rows = [(r["host"], r["url"], r["kind"], r["lastmod"],
+                     r["priority"]) for r in entries.collect()]
+        urls = [u for (_h, u, k, _lm, _p) in ent_rows if k == "url"]
+        # dated entries split: first dated URL fetched before its
+        # lastmod (stale), the rest after (fresh); undated are fresh
+        dated_all = sorted(u for (_h, u, k, lm, _p) in ent_rows
+                           if k == "url" and lm is not None)
+        assert dated_all, "fixture must carry lastmod entries"
+        fetch_log = {u: "2030-01-01" for u in urls}
+        fetch_log[dated_all[0]] = "2020-01-01"
+        log_df = spark.createDataFrame(
+            sorted(fetch_log.items()), "url string, fetched_at string")
+        got = {(r["url"], r["score"]) for r in
+               sitemap_refresh_frontier(entries, log_df,
+                                        policy).collect()}
+        expect = set(sitemap_refresh_py(ent_rows, fetch_log))
+        assert got == expect
+        # the fixture has dated entries: some stale rows must exist,
+        # and fresh ones must be excluded
+        dated = [u for (_h, u, k, lm, _p) in ent_rows
+                 if k == "url" and lm is not None]
+        stale_dated = [u for u in dated if fetch_log[u] == "2020-01-01"]
+        assert stale_dated and {u for u, _ in got} == set(stale_dated)
+        # output is frontier-shaped (bootstrap_from_df-compatible)
+        cols = sitemap_refresh_frontier(entries, log_df, policy).columns
+        assert cols == ["url", "host", "host_bucket", "depth", "score",
+                        "discovered_round"]
+        entries.unpersist()
