@@ -1060,8 +1060,9 @@ def _q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive fetch): kind='url' entries whose advertised lastmod is
     strictly newer than the URL's last fetch become re-seed frontier
     rows for the next crawl generation. Fetch log is derived
-    deterministically from the url (month = 1 + len(url) % 9) so the
-    staleness predicate exercises both outcomes."""
+    deterministically from the url's last digit (month = 1 + d % 3,
+    fixture lastmod months span 1-5) so the staleness predicate
+    exercises both outcomes."""
     from nipper_spark.crawl.sitemaps import (
         harvest_sitemap_tables, sitemap_refresh_frontier,
         synth_sitemap_rows)
@@ -1071,7 +1072,8 @@ def _q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetch_log = entries.filter(F.col("kind") == "url").select(
         "url",
         F.concat(F.lit("2026-0"),
-                 ((F.length("url") % 9) + 1).cast("string"),
+                 ((F.substring("url", -1, 1).cast("int") % 3) + 1)
+                 .cast("string"),
                  F.lit("-01")).alias("fetched_at"))
     seeds = sitemap_refresh_frontier(entries, fetch_log, _crawl_policy())
     return (seeds.select("url", "host", "score")
@@ -1084,8 +1086,11 @@ def _o_sitemap_refresh() -> str:
         synth_sitemap_rows)
     entries = harvest_sitemap_entries_py(
         [(u, bytes(b)) for (u, _ts, b, _t, _l) in synth_sitemap_rows()])
-    fetch_log = {u: f"2026-0{(len(u) % 9) + 1}-01"
-                 for (_h, u, k, _lm, _p) in entries if k == "url"}
+    # non-digit-ending urls get NULL fetched_at on the Spark side
+    # (cast('int') -> NULL -> predicate NULL -> excluded): mirror it
+    fetch_log = {u: f"2026-0{(int(u[-1]) % 3) + 1}-01"
+                 for (_h, u, k, _lm, _p) in entries
+                 if k == "url" and u[-1].isdigit()}
     rows = [(u, u.split("/")[2], sc)
             for u, sc in sitemap_refresh_py(entries, fetch_log)]
     return _values_sql(rows, [("url", "VARCHAR"), ("host", "VARCHAR"),
