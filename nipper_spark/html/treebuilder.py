@@ -1138,6 +1138,7 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
             tb._maybe_close_p()
             tb._insert_element(name, attrs)
             tb.skip_next_lf = True
+            tb.frameset_ok = False
             return
         if name == "form":
             if tb.form_id is not None:
@@ -1180,6 +1181,7 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
                 tb._pop_until("button")
             tb._afe_reconstruct()
             tb._insert_element("button", attrs)
+            tb.frameset_ok = False
             return
         if name == "a":
             entry = tb._afe_find("a")
@@ -1210,15 +1212,20 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
             if not tb.quirks:  # quirks mode: table nests inside the p
                 tb._maybe_close_p()
             tb._insert_element("table", attrs)
+            tb.frameset_ok = False
             tb.mode = "in_table"
             return
         if name in ("area", "br", "embed", "img", "keygen", "wbr"):
             tb._afe_reconstruct()
             tb._insert_element(name, attrs, push=False)
+            tb.frameset_ok = False
             return
         if name == "input":
             tb._afe_reconstruct()
             tb._insert_element("input", attrs, push=False)
+            # spec: a non-hidden input makes the body non-replaceable
+            if dict(attrs).get("type", "").lower() != "hidden":
+                tb.frameset_ok = False
             return
         if name in ("param", "source", "track"):
             tb._insert_element(name, attrs, push=False)
@@ -1226,21 +1233,27 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
         if name == "hr":
             tb._maybe_close_p()
             tb._insert_element("hr", attrs, push=False)
+            tb.frameset_ok = False
             return
         if name == "image":
             tb._afe_reconstruct()
             tb._insert_element("img", attrs, push=False)
+            tb.frameset_ok = False
             return
         if name == "textarea":
             tb._insert_element("textarea", attrs)
             tb.skip_next_lf = True
+            tb.frameset_ok = False
             return
         if name == "xmp":
             tb._maybe_close_p()
             tb._afe_reconstruct()
             tb._insert_element("xmp", attrs)
+            tb.frameset_ok = False
             return
         if name in ("iframe", "noembed"):
+            if name == "iframe":
+                tb.frameset_ok = False
             tb._insert_element(name, attrs)
             return
         if name == "select":

@@ -862,3 +862,87 @@ def test_document_level_comments_placement():
                      0, include_node=False) == \
         "<!DOCTYPE html><html><head></head><body><p>x</p></body>" \
         "</html><!--t-->"
+
+
+# batch 12 (round 4, third wave): frameset-ok unset sites + table-mode
+# special insertions. The frameset-ok probes found a REAL bug: none of
+# the void/media start tags unset the flag, so <input type=text> (or
+# <br>, <hr>, <table>, <pre>, <textarea>, <xmp>, <iframe>, <button>,
+# image) left the body replaceable and a following <frameset> wrongly
+# replaced it. Fixed at 10 in-body sites; hidden inputs correctly keep
+# the flag per the spec's explicit exception.
+FRAMESET_OK_CASES = [
+    ("hidden-input-keeps-ok",
+     '<input type="hidden"><frameset><frame></frameset>',
+     '<html><head></head><frameset><frame></frameset></html>'),
+    ("text-input-unsets",
+     '<input type="text"><frameset><frame></frameset>',
+     '<html><head></head><body><input type="text"></body></html>'),
+    ("typeless-input-unsets", '<input><frameset><frame></frameset>',
+     '<html><head></head><body><input></body></html>'),
+    ("br-unsets", '<br><frameset><frame></frameset>',
+     '<html><head></head><body><br></body></html>'),
+    ("hr-unsets", '<hr><frameset><frame></frameset>',
+     '<html><head></head><body><hr></body></html>'),
+    ("img-unsets", '<img src="x"><frameset><frame></frameset>',
+     '<html><head></head><body><img src="x"></body></html>'),
+    ("table-unsets", '<table></table><frameset><frame></frameset>',
+     '<html><head></head><body><table></table></body></html>'),
+    ("pre-unsets", '<pre></pre><frameset><frame></frameset>',
+     '<html><head></head><body><pre></pre></body></html>'),
+    ("textarea-unsets",
+     '<textarea></textarea><frameset><frame></frameset>',
+     '<html><head></head><body><textarea></textarea></body></html>'),
+    ("button-unsets", '<button></button><frameset><frame></frameset>',
+     '<html><head></head><body><button></button></body></html>'),
+    ("ws-only-keeps-ok", ' <frameset><frame></frameset>',
+     '<html><head></head><frameset><frame></frameset></html>'),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", FRAMESET_OK_CASES,
+                         ids=[c[0] for c in FRAMESET_OK_CASES])
+def test_frameset_ok_unset_sites(name, inp, expected):
+    arena = parse_document("<!DOCTYPE html>" + inp)
+    html_el = [c for c in arena.children_of(0) if arena.kind[c] == 4][0]
+    assert serialize(arena, html_el, include_node=True) == expected
+
+
+TABLE_SPECIAL_CASES = [
+    # spec special cases inside table modes (NOT foster-parented)
+    ("hidden-input-in-table",
+     '<table><input type="hidden"><tr><td>x</table>',
+     '<body><table><input type="hidden"><tbody><tr><td>x</td></tr>'
+     '</tbody></table></body>'),
+    ("text-input-in-table",
+     '<table><input type="text"><tr><td>x</table>',
+     '<body><input type="text"><table><tbody><tr><td>x</td></tr>'
+     '</tbody></table></body>'),
+    ("form-in-table", "<table><form><tr><td>x</table>",
+     "<body><table><form></form><tbody><tr><td>x</td></tr></tbody>"
+     "</table></body>"),
+    ("style-in-table", "<table><style>a{}</style><tr><td>x</table>",
+     "<body><table><style>a{}</style><tbody><tr><td>x</td></tr>"
+     "</tbody></table></body>"),
+    ("script-in-table", "<table><script>s()</script><tr><td>x</table>",
+     "<body><table><script>s()</script><tbody><tr><td>x</td></tr>"
+     "</tbody></table></body>"),
+    # <td> in caption closes the caption and reprocesses
+    ("caption-td", "<table><caption><td>x</caption></table>",
+     "<body><table><caption></caption><tbody><tr><td>x</td></tr>"
+     "</tbody></table></body>"),
+    ("title-endtag-attrs", "<head><title>a</title x=1></head>zz",
+     "<body>zz</body>"),
+    ("title-partial-end", "<head><title>a</titleX></title></head>z",
+     "<body>z</body>"),
+    ("listing-lf", "<listing>\nx</listing>",
+     "<body><listing>x</listing></body>"),
+    ("noscript-body", "<body><noscript><p>x</p></noscript>",
+     "<body><noscript><p>x</p></noscript></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", TABLE_SPECIAL_CASES,
+                         ids=[c[0] for c in TABLE_SPECIAL_CASES])
+def test_table_special_insertions(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
