@@ -1671,6 +1671,16 @@ def _mode_in_select(tb: TreeBuilder, tok) -> None:
             tb._pop_until("select")
             tb.mode = tb._reset_mode()
             return
+        if name == "hr":
+            # current WHATWG (browsers ship it): <hr> is a separator
+            # inside select — pop any open option/optgroup, insert,
+            # pop immediately (void)
+            if tb._name(tb._current()) == "option":
+                tb.stack.pop()
+            if tb._name(tb._current()) == "optgroup":
+                tb.stack.pop()
+            tb._insert_element("hr", tok[2], push=False)
+            return
         if name in ("input", "keygen", "textarea"):
             tb._pop_until("select")
             tb.mode = tb._reset_mode()

@@ -946,3 +946,34 @@ TABLE_SPECIAL_CASES = [
                          ids=[c[0] for c in TABLE_SPECIAL_CASES])
 def test_table_special_insertions(name, inp, expected):
     assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+# batch 13: select-mode edges (in-select dispatch + modern hr rule)
+SELECT_EDGE_CASES = [
+    ("select-in-select", "<select><option>a<select>x",
+     "<body><select><option>a</option></select>x</body>"),
+    ("select-og-opt", "<select><option>a<optgroup><option>b</select>",
+     "<body><select><option>a</option><optgroup><option>b</option>"
+     "</optgroup></select></body>"),
+    ("option-in-body", "<option>a<option>b",
+     "<body><option>a</option><option>b</option></body>"),
+    ("input-in-select", "<select><option>a<input>x",
+     "<body><select><option>a</option></select><input>x</body>"),
+    ("textarea-in-select", "<select><option>a<textarea>t</textarea>",
+     "<body><select><option>a</option></select><textarea>t</textarea>"
+     "</body>"),
+    # current WHATWG: <hr> is a legal separator inside select
+    ("hr-in-select", "<select><option>a<hr><option>b</select>",
+     "<body><select><option>a</option><hr><option>b</option></select>"
+     "</body>"),
+    ("hr-closes-optgroup",
+     "<select><optgroup><option>a<hr><option>b</select>",
+     "<body><select><optgroup><option>a</option></optgroup><hr>"
+     "<option>b</option></select></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", SELECT_EDGE_CASES,
+                         ids=[c[0] for c in SELECT_EDGE_CASES])
+def test_select_edges(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
