@@ -856,6 +856,44 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':strata'), 1, 8) <
 """
 
 
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (streaming/windows.py semantics run in batch):
+    per-user event sessions split at 30-minute inactivity gaps via
+    native F.session_window — the gaps-and-islands SQL twin pins the
+    exact merge rule (events merge while the next start is strictly
+    inside the previous window's end = ts + gap)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events", "sum_value")
+            .orderBy("user_id", "session_start"))
+
+
+_O_EVENT_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
 def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed aggregation (the streaming telemetry
     operator run in batch mode — streaming/windows.py semantics:
@@ -1178,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_dedup": _q_anti_join,
         "round_counters": _q_round_counters,
         "event_time_windows": _q_event_windows,
+        "event_sessions": _q_event_sessions,
         "pricing_summary": _q_pricing_summary,
         "shipping_priority": _q_shipping_priority,
         "star_join_broadcast": _q_star_join,
@@ -1579,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_dedup": _O_ANTI,
         "round_counters": _O_COUNTERS,
         "event_time_windows": _O_EVENT_WINDOWS,
+        "event_sessions": _O_EVENT_SESSIONS,
         "pricing_summary": _O_PRICING,
         "shipping_priority": _O_SHIPPING,
         "star_join_broadcast": _O_STAR,

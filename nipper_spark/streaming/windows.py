@@ -58,3 +58,26 @@ def run_host_fetch_windows(spark, pages_dir: str, out_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def user_sessions(events: DataFrame, gap: str = "30 minutes",
+                  delay: str = "10 minutes") -> DataFrame:
+    """→ (user_id, session_start, session_end, n_events, sum_value) —
+    per-user SESSION windows split at ``gap`` inactivity
+    (``F.session_window``: events merge while the next start lies
+    strictly inside the previous window's ``ts + gap``). Streaming
+    inputs get a watermark so session state closes and emits in append
+    mode; on batch DataFrames every session finalizes immediately
+    (the shape q:event_sessions oracle-checks against the DuckDB
+    gaps-and-islands twin)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", delay)
+    return (src.groupBy("user_id",
+                        F.session_window("ts", gap).alias("s"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select("user_id",
+                    F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"),
+                    "n_events", "sum_value"))

@@ -133,3 +133,53 @@ def test_watermarked_host_windows(spark, tmp_path):
     assert (0, 2) in out2            # A emitted once, late row dropped
     assert sum(1 for s, _ in out2 if s == 0) == 1
     assert (10, 1) in out2           # B closed by the 00:35 event
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Session windows over a file stream (append mode, availableNow):
+    closed sessions match the batch run of the same operator on the
+    same rows — streaming and batch session semantics are one code
+    path."""
+    import datetime
+
+    from nipper_spark.streaming.windows import user_sessions
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(i, user, minutes, value):
+        return (i, base + datetime.timedelta(minutes=minutes), user,
+                "click", float(value), "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    rows = [ev(0, 1, 0, 1.0), ev(1, 1, 10, 2.0),    # session A (u1)
+            ev(2, 1, 50, 4.0),                      # gap 40m -> session B
+            ev(3, 2, 5, 8.0),                       # u2 session
+            # late-arriving far-future row advances the watermark so
+            # all earlier sessions close and emit in append mode
+            ev(4, 9, 600, 0.5)]
+    src = tmp_path / "events_in"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(src / "batch0.parquet"))
+
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .load(str(src / "*")))
+    q = (user_sessions(stream).writeStream
+         .format("parquet").option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["user_id"], r["session_start"], r["session_end"],
+            r["n_events"], r["sum_value"])
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    batch = {(r["user_id"], r["session_start"], r["session_end"],
+              r["n_events"], r["sum_value"])
+             for r in user_sessions(
+                 spark.createDataFrame(rows, schema)).collect()
+             if r["user_id"] != 9}  # the open watermark-driver session
+    assert batch  # non-trivial: 3 closed sessions
+    assert batch <= got  # every closed session emitted exactly once
+    # the u1 split really happened at the 30-minute gap
+    u1 = sorted(t for t in batch if t[0] == 1)
+    assert len(u1) == 2 and u1[0][3] == 2 and u1[1][3] == 1
