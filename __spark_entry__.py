@@ -856,6 +856,28 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':strata'), 1, 8) <
 """
 
 
+def _q_source_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical corpus totals via ROLLUP(source, lang): per
+    (source, lang), per source, and grand total in ONE pass — the
+    partial-aggregate shape a 100-TB corpus report wants (no second
+    scan for subtotals)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (d.rollup("source", "lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum(F.length("text")).cast("bigint")
+                 .alias("total_chars"))
+            .orderBy(F.col("source").asc_nulls_first(),
+                     F.col("lang").asc_nulls_first()))
+
+
+_O_ROLLUP = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
+"""
+
+
 def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (streaming/windows.py semantics run in batch):
     per-user event sessions split at 30-minute inactivity gaps via
@@ -1217,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "round_counters": _q_round_counters,
         "event_time_windows": _q_event_windows,
         "event_sessions": _q_event_sessions,
+        "source_lang_rollup": _q_source_lang_rollup,
         "pricing_summary": _q_pricing_summary,
         "shipping_priority": _q_shipping_priority,
         "star_join_broadcast": _q_star_join,
@@ -1619,6 +1642,7 @@ def oracle_sql() -> dict[str, str]:
         "round_counters": _O_COUNTERS,
         "event_time_windows": _O_EVENT_WINDOWS,
         "event_sessions": _O_EVENT_SESSIONS,
+        "source_lang_rollup": _O_ROLLUP,
         "pricing_summary": _O_PRICING,
         "shipping_priority": _O_SHIPPING,
         "star_join_broadcast": _O_STAR,
