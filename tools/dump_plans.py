@@ -76,21 +76,25 @@ def main() -> int:
         "`Exchange hashpartitioning(url…)` on the pages side).",
         formatted_plan(fetched)))
 
-    # 2b. robots anti-join (rules as data)
+    # 2b. robots decision join (RFC 9309 rules as data)
     from nipper_spark.crawl.politeness import CrawlPolicy, robots_filter
     cand = spark.createDataFrame(
         [(f"http://h{i}.test/p/{i}", f"h{i}.test") for i in range(8)],
         "url string, host string")
-    rules = spark.range(4).select(
-        F.concat(F.lit("h"), F.col("id")).alias("host"),
-        F.lit("/p/").alias("prefix"))
+    rules = spark.createDataFrame(
+        [(f"h{i}.test", "/p/", False) for i in range(4)]
+        + [("h0.test", "/p/0*", True)],
+        "host string, prefix string, allow boolean")
     sections.append((
-        "Robots filter (candidates ANTI JOIN rules table)",
-        "Robots rules live in DATA: a LEFT ANTI join on host equality "
-        "+ path-startswith(prefix), shuffled (or broadcast when the "
-        "measured rule count is small). A literal expression over the "
-        "rule set would grow the Catalyst tree linearly in rule count "
-        "— fatal to the analyzer at 10^5+ hosts.",
+        "Robots filter (RFC 9309 decision join over the rules table)",
+        "Robots rules live in DATA: LEFT JOIN on host equality + "
+        "path LIKE rule-pattern (the */$ wildcard rule compiles to a "
+        "LIKE pattern natively on the small rules side), then ONE "
+        "hash aggregation per candidate URL taking the longest "
+        "matching rule of each kind — allowed iff no disallow matched "
+        "or the longest allow >= longest disallow. Plan size is O(1) "
+        "in rule count; a literal expression over the rule set would "
+        "grow the Catalyst tree linearly — fatal at 10^5+ hosts.",
         formatted_plan(robots_filter(cand, CrawlPolicy(), rules=rules,
                                      rules_rows=None))))
 
