@@ -450,7 +450,19 @@ def _markup_declaration(s: str, pos: int):
     return gt + 1, ("comment", s[pos:gt])
 
 
+_QUOTED_RE = re.compile(r'[\t\n\f ]*("([^"]*)"|\'([^\']*)\')')
+_UNTERM_RE = re.compile(r'[\t\n\f ]*("([^"]*)|\'([^\']*))\Z')
+
+
 def _doctype(s: str, pos: int):
+    """DOCTYPE parse with the tokenizer spec's FORCE-QUIRKS flag:
+    anything after the name that is not a well-formed PUBLIC/SYSTEM
+    identifier clause sets force-quirks (bogus-DOCTYPE /
+    missing-identifier / abrupt-identifier states) — except junk
+    AFTER a terminated system id, which the spec explicitly ignores
+    without setting the flag. Token: (kind, name, public, system,
+    force_quirks); identifiers are None when ABSENT (distinct from
+    present-but-empty, which the HTML 4.01 quirks rules need)."""
     n = len(s)
     gt = s.find(">", pos)
     if gt == -1:
@@ -459,22 +471,50 @@ def _doctype(s: str, pos: int):
     m = re.match(r"[\t\n\f ]*([^\t\n\f >]*)", body)
     name = m.group(1).lower()
     rest = body[m.end():]
-    # None = identifier ABSENT (distinct from present-but-empty: the
-    # quirks-mode public-id rules for HTML 4.01 Frameset/Transitional
-    # apply only when the system id is missing, not when it is "")
     public_id = None
     system_id = None
-    pm = re.match(r'[\t\n\f ]*PUBLIC[\t\n\f ]*("([^"]*)"?|\'([^\']*)\'?)',
-                  rest, re.IGNORECASE)
-    if pm:
-        public_id = pm.group(2) if pm.group(2) is not None else (pm.group(3) or "")
-        rest = rest[pm.end():]
-        sm = re.match(r'[\t\n\f ]*("([^"]*)"?|\'([^\']*)\'?)', rest)
-        if sm:
-            system_id = sm.group(2) if sm.group(2) is not None else (sm.group(3) or "")
-    else:
-        sm = re.match(r'[\t\n\f ]*SYSTEM[\t\n\f ]*("([^"]*)"?|\'([^\']*)\'?)',
-                      rest, re.IGNORECASE)
-        if sm:
-            system_id = sm.group(2) if sm.group(2) is not None else (sm.group(3) or "")
-    return (gt + 1 if gt < n else n), ("doctype", name, public_id, system_id)
+    force = False
+
+    def _quoted(txt):
+        """(id, remainder) for a terminated quoted string; (id, None)
+        for an unterminated one (abrupt → caller sets force-quirks);
+        (None, None) when no quote starts."""
+        qm = _QUOTED_RE.match(txt)
+        if qm:
+            val = qm.group(2) if qm.group(2) is not None else qm.group(3)
+            return val, txt[qm.end():]
+        um = _UNTERM_RE.match(txt)
+        if um:
+            val = um.group(2) if um.group(2) is not None else um.group(3)
+            return (val or ""), None
+        return None, None
+
+    kw = re.match(r"[\t\n\f ]*(PUBLIC|SYSTEM)", rest, re.IGNORECASE)
+    if kw:
+        which = kw.group(1).upper()
+        after = rest[kw.end():]
+        first, after2 = _quoted(after)
+        if first is None:
+            force = True  # missing identifier (or junk in its place)
+        elif after2 is None:
+            force = True  # abrupt (unterminated) identifier
+            if which == "PUBLIC":
+                public_id = first
+            else:
+                system_id = first
+        elif which == "SYSTEM":
+            system_id = first
+            # junk after a terminated system id: ignored, NO flag
+        else:
+            public_id = first
+            second, after3 = _quoted(after2)
+            if second is not None:
+                system_id = second
+                if after3 is None:
+                    force = True  # abrupt system identifier
+            elif after2.strip("\t\n\f "):
+                force = True  # junk between/instead of system id
+    elif rest.strip("\t\n\f "):
+        force = True  # bogus DOCTYPE: junk after the name
+    return (gt + 1 if gt < n else n), ("doctype", name, public_id,
+                                       system_id, force)

@@ -923,7 +923,8 @@ def _mode_initial(tb: TreeBuilder, tok) -> None:
             DOCTYPE, name=tok[1],
             text=(tok[2] or "") + "\x00" + (tok[3] or ""))
         tb.arena.append_child(0, nid)
-        if _doctype_is_quirky(tok[1], tok[2], tok[3]):
+        force = len(tok) > 4 and tok[4]  # tokenizer force-quirks flag
+        if force or _doctype_is_quirky(tok[1], tok[2], tok[3]):
             tb.quirks = True
             tb.arena.quirks_mode = "quirks"
             tb.arena.errors.append("quirky-doctype")

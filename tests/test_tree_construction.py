@@ -977,3 +977,40 @@ SELECT_EDGE_CASES = [
                          ids=[c[0] for c in SELECT_EDGE_CASES])
 def test_select_edges(name, inp, expected):
     assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+# batch 14: tokenizer force-quirks flag (missing/abrupt identifiers,
+# bogus DOCTYPE). A probe found the simplified DOCTYPE parser dropped
+# the flag entirely, so <!DOCTYPE html PUBLIC> parsed as no-quirks.
+FORCE_QUIRKS_CASES = [
+    ("<!DOCTYPE html>", "no-quirks"),
+    ("<!DOCTYPE html PUBLIC>", "quirks"),
+    ("<!DOCTYPE html SYSTEM>", "quirks"),
+    ("<!DOCTYPE html junkhere>", "quirks"),
+    ("<!DOCTYPE html PUBLIC '-//W3C//DTD HTML 4.01//EN'>", "no-quirks"),
+    ("<!DOCTYPE html PUBLIC '-//W3C//DTD HTML 4.01 Transitional//EN'>",
+     "quirks"),
+    ("<!DOCTYPE html PUBLIC '-//W3C//DTD HTML 4.01 Transitional//EN' "
+     "'http://www.w3.org/TR/html4/loose.dtd'>", "limited-quirks"),
+    ("<!DOCTYPE html SYSTEM 'about:legacy-compat'>", "no-quirks"),
+    ('<!DOCTYPE html PUBLIC "x" junk>', "quirks"),
+    ('<!DOCTYPE html PUBLIC "unterminated>', "quirks"),
+    # spec: junk after a TERMINATED system id is ignored, no flag
+    ('<!DOCTYPE html SYSTEM "s" trailing junk>', "no-quirks"),
+    ("<!DOCTYPE>", "quirks"),
+    ("<!DOCTYPE foo>", "quirks"),
+]
+
+
+@pytest.mark.parametrize("dt,expected", FORCE_QUIRKS_CASES,
+                         ids=[c[0][:40] for c in FORCE_QUIRKS_CASES])
+def test_doctype_force_quirks(dt, expected):
+    from nipper_spark.html.document import Document
+    assert Document.from_html(dt + "<p>x").quirks_mode == expected
+    # force-quirks is observable in tree construction, not just the
+    # recorded mode: quirks keeps <table> inside an open <p>
+    tree = body_html(dt + "<p><table></table>")
+    if expected == "quirks":
+        assert tree == "<body><p><table></table></p></body>"
+    else:
+        assert tree == "<body><p></p><table></table></body>"
