@@ -1014,3 +1014,37 @@ def test_doctype_force_quirks(dt, expected):
         assert tree == "<body><p><table></table></p></body>"
     else:
         assert tree == "<body><p></p><table></table></body>"
+
+
+# head-mode edges confirmed by probe wave 7
+HEAD_EDGE_CASES = [
+    ("head-in-head", "<head><head><link></head>z", "<body>z</body>"),
+    ("body-attr-merge", '<body a="1"><body a="2" b="3">x',
+     '<body a="1" b="3">x</body>'),
+    ("title-in-body", "<body>a<title>t</title>b",
+     "<body>a<title>t</title>b</body>"),
+    # svg/math are not head content: break to body
+    ("svg-in-head", "<head><svg><g>x</g></svg></head>",
+     "<body><svg><g>x</g></svg></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", HEAD_EDGE_CASES,
+                         ids=[c[0] for c in HEAD_EDGE_CASES])
+def test_head_mode_edges(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+def test_html_attr_merge_second_tag():
+    from nipper_spark.html.document import Document
+    d = Document.from_html(
+        '<!DOCTYPE html><html lang="a"><html lang="b" dir="c"><body>x')
+    assert d.select("html").attrs() == [("lang", "a"), ("dir", "c")]
+
+
+def test_head_metadata_stays_in_head():
+    from nipper_spark.html.document import Document
+    d = Document.from_html(
+        "<!DOCTYPE html><head><base href='/x'><bgsound><basefont></head>")
+    assert d.select("head").html() == \
+        '<head><base href="/x"><bgsound><basefont></head>'
