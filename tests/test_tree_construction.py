@@ -1048,3 +1048,19 @@ def test_head_metadata_stays_in_head():
         "<!DOCTYPE html><head><base href='/x'><bgsound><basefont></head>")
     assert d.select("head").html() == \
         '<head><base href="/x"><bgsound><basefont></head>'
+
+
+# two more AAA depth pins (adoption01.dat shapes)
+AAA_DEPTH_CASES = [
+    ("aaa-classic-misnest", "<p>1<b>2<i>3</b>4</i>5",
+     "<body><p>1<b>2<i>3</i></b><i>4</i>5</p></body>"),
+    ("aaa-across-divs", '<a href="a">x<div>y<div>z</a>w',
+     '<body><a href="a">x</a><div><a href="a">y</a>'
+     '<div><a href="a">z</a>w</div></div></body>'),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", AAA_DEPTH_CASES,
+                         ids=[c[0] for c in AAA_DEPTH_CASES])
+def test_aaa_depth(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
