@@ -250,6 +250,17 @@ def _q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", _canon("url").alias("canonical"))
 
 
+def _tmp_state_dir(prefix: str) -> str:
+    """Crawl-state scratch dir for driver queries — registered for
+    removal at interpreter exit (the returned DataFrames read the dir
+    lazily, so it must outlive the query call itself)."""
+    import atexit
+    import shutil
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three frontier rounds on the synthetic graph: the engine's crawl
     ordering record (round, seq, url, host, depth, score)."""
@@ -257,7 +268,7 @@ def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nipper_spark.crawl.state import SCHEDULE_SCHEMA, CrawlState
     pages = _synth_pages(spark)
     seeds = _crawl_seeds()
-    state_dir = tempfile.mkdtemp(prefix="nipper_crawl_q_")
+    state_dir = _tmp_state_dir("nipper_crawl_q_")
     eng = FrontierEngine(spark, pages, state_dir, _crawl_policy())
     eng.bootstrap(seeds)
     for r in range(CRAWL_ROUNDS):
@@ -333,7 +344,7 @@ def _q_round_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nipper_spark.crawl.frontier import FrontierEngine, round_metrics
     from nipper_spark.crawl.state import ROUND_LOG_SCHEMA, CrawlState
     pages = _synth_pages(spark)
-    state_dir = tempfile.mkdtemp(prefix="nipper_skew_q_")
+    state_dir = _tmp_state_dir("nipper_skew_q_")
     eng = FrontierEngine(spark, pages, state_dir, _crawl_policy())
     eng.bootstrap(_crawl_seeds())
     for r in range(CRAWL_ROUNDS):

@@ -219,10 +219,10 @@ def rules_df_from_policy(spark, policy: CrawlPolicy) -> DataFrame:
     small-scale configuration convenience."""
     rows = [(h, p, False)
             for h, ps in sorted(policy.robots_disallow.items())
-            for p in sorted(set(ps))]
+            for p in sorted(set(ps)) if p]
     rows += [(h, p, True)
              for h, ps in sorted(policy.robots_allow.items())
-             for p in sorted(set(ps))]
+             for p in sorted(set(ps)) if p]
     return spark.createDataFrame(rows or [("__none__", "\x00", False)],
                                  "host string, prefix string, "
                                  "allow boolean")
@@ -252,8 +252,15 @@ def robots_filter(candidates: DataFrame, policy: CrawlPolicy,
     count and kill the analyzer at 10^5+ hosts long before data
     moves. Host is an equi-key, so the join shuffles (or broadcasts,
     when the table is known-small) exactly like every other
-    host-bucketed exchange; the aggregation groups on the url the
-    candidate set is already hash-partitioned by upstream."""
+    host-bucketed exchange. In the broadcast regime the aggregation
+    reuses the url partitioning candidates already have upstream; in
+    the shuffle regime the host-keyed join adds one exchange before
+    the url-grouped aggregation — the price of wildcard+Allow
+    precedence over the old prefix-only anti-join.
+
+    Contract: candidate rows are expected UNIQUE (the engine calls
+    this after its per-url aggregation); duplicate candidate rows
+    would collapse through the decision groupBy."""
     if rules is None:
         if not policy.robots_disallow and not policy.robots_allow:
             return candidates
@@ -261,6 +268,9 @@ def robots_filter(candidates: DataFrame, policy: CrawlPolicy,
         rules_rows = policy_rules_rows(policy)
     if "allow" not in rules.columns:  # legacy (host, prefix) table
         rules = rules.withColumn("allow", F.lit(False))
+    # empty rules match nothing (robots_decision skips them; LIKE '%'
+    # would match everything — keep the two decision paths identical)
+    rules = rules.filter(F.length("prefix") > 0)
     # rule -> LIKE pattern, computed natively on the (small) rules side
     esc = F.replace(F.replace(F.replace(F.col("prefix"),
                                         F.lit("\\"), F.lit("\\\\")),

@@ -309,11 +309,16 @@ def sitemap_refresh_frontier(entries_df, fetch_log_df, policy,
     re-seed table for the next crawl generation.
 
     ``fetch_log_df`` is (url, fetched_at); both sides are W3C-datetime
-    strings (sitemaps.org mandates the format), which compare
-    correctly as strings — no date parsing, so the comparison is a
-    pure Catalyst filter. The inner join keeps only previously-fetched
-    URLs (never-fetched advertisements are the bootstrap/top-up path's
-    job, not refresh's).
+    strings (sitemaps.org mandates the format), compared as PARSED
+    TIMESTAMPS (``try_to_timestamp`` — native, still a pure Catalyst
+    filter): mixed granularity (date-only vs full datetime) and
+    numeric timezone offsets compare by instant, not lexicographically.
+    Zone-less values are interpreted in the Spark session timezone
+    (UTC in this deployment; the single-threaded twin assumes UTC for
+    them). Unparseable values on either side → NULL → excluded. The
+    inner join keeps only previously-fetched URLs (never-fetched
+    advertisements are the bootstrap/top-up path's job, not
+    refresh's).
 
     Scale shape: url-equi join (broadcast when the entries table is
     known-small, shuffle otherwise — the caller controls via the same
@@ -331,7 +336,8 @@ def sitemap_refresh_frontier(entries_df, fetch_log_df, policy,
              .filter((F.col("kind") == "url") &
                      F.col("lastmod").isNotNull())
              .join(fetch_log_df.select("url", "fetched_at"), "url")
-             .filter(F.col("lastmod") > F.col("fetched_at")))
+             .filter(F.try_to_timestamp("lastmod") >
+                     F.try_to_timestamp("fetched_at")))
     seeds = stale.select(
         "url",
         F.coalesce(F.col("priority"), F.lit(float(default_score)))
@@ -350,12 +356,25 @@ def sitemap_refresh_py(entries, fetch_log,
     the oracle: entries as (host, url, kind, lastmod, priority)
     tuples, fetch_log as {url: fetched_at}. Returns sorted
     (url, score) pairs."""
+    import datetime
+
+    def _parse(v):
+        try:
+            dt = datetime.datetime.fromisoformat(
+                v.replace("Z", "+00:00"))
+        except (ValueError, AttributeError):
+            return None
+        if dt.tzinfo is None:  # zone-less → UTC (session tz contract)
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        return dt
+
     out = []
     for _host, url, kind, lastmod, priority in entries:
         if kind != "url" or lastmod is None:
             continue
-        fetched = fetch_log.get(url)
-        if fetched is None or not lastmod > fetched:
+        lm = _parse(lastmod)
+        fa = _parse(fetch_log.get(url))
+        if lm is None or fa is None or not lm > fa:
             continue
         out.append((url, priority if priority is not None
                     else float(default_score)))

@@ -65,6 +65,10 @@ _PATH_SAFE = "/:@!$&'()*+,;=~-._"
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
+# WHATWG forbidden host code points (superset incl. %): any of these
+# in a percent-DECODED host makes the URL invalid
+_FORBIDDEN_HOST = frozenset("\x00\t\n\r #/:<>?@[\\]^|% ")
+
 
 def _remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4 over a rootful path: drop exact "." segments,
@@ -130,6 +134,12 @@ def canonicalize_url(url: str) -> str | None:
     host = host.lower().rstrip(".")
     if "%" in host:
         host = unquote(host).lower()
+        # WHATWG forbidden host code points: a decoded host containing
+        # URL structure characters is a parse FAILURE, not a host —
+        # without this check http://victim.test%2F.evil.test/ would
+        # re-attribute evil's URL to victim for robots/politeness/seen
+        if any(c in _FORBIDDEN_HOST for c in host):
+            return None
     if not host.isascii():
         try:
             host = host.encode("idna").decode("ascii")

@@ -15,7 +15,7 @@ Token shapes (plain tuples for speed):
     ("start", name, attrs, self_closing)   attrs = list[[name, value]]
     ("end", name)
     ("comment", data)
-    ("doctype", name, public_id, system_id)
+    ("doctype", name, public_id, system_id, force_quirks)
 
 Script data escaped/double-escaped states are modeled as a small
 event-scan state machine over the raw text (`<!--` enters escaped,
@@ -465,7 +465,8 @@ def _doctype(s: str, pos: int):
     present-but-empty, which the HTML 4.01 quirks rules need)."""
     n = len(s)
     gt = s.find(">", pos)
-    if gt == -1:
+    truncated = gt == -1
+    if truncated:
         gt = n
     body = s[pos:gt]
     m = re.match(r"[\t\n\f ]*([^\t\n\f >]*)", body)
@@ -473,7 +474,9 @@ def _doctype(s: str, pos: int):
     rest = body[m.end():]
     public_id = None
     system_id = None
-    force = False
+    # eof-in-doctype: the spec sets force-quirks in EVERY DOCTYPE
+    # state on EOF — a '>'-less DOCTYPE is always quirks
+    force = truncated
 
     def _quoted(txt):
         """(id, remainder) for a terminated quoted string; (id, None)

@@ -1149,6 +1149,7 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
             tb.form_id = tb._insert_element("form", attrs)
             return
         if name == "li":
+            tb.frameset_ok = False
             for nid in reversed(tb.stack):
                 nm = tb._name(nid)
                 if nm == "li":
@@ -1161,6 +1162,7 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
             tb._insert_element("li", attrs)
             return
         if name in ("dd", "dt"):
+            tb.frameset_ok = False
             for nid in reversed(tb.stack):
                 nm = tb._name(nid)
                 if nm in ("dd", "dt"):
@@ -1360,6 +1362,7 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
             tb.arena.errors.append("unexpected-end-tag-br")
             tb._afe_reconstruct()
             tb._insert_element("br", [], push=False)
+            tb.frameset_ok = False  # acts as a br start tag
             return
         if name == "template":
             tb._end_template()

@@ -393,3 +393,24 @@ class TestRfc9309:
         seen = {r["url"] for r in st.read_all_rounds(
             "seen", 8, SEEN_SCHEMA).collect()}
         assert seen == oracle.seen
+
+
+class TestEmptyRuleParity:
+    def test_empty_rule_matches_nothing_in_both_paths(self):
+        """An empty-string rule is skipped by robots_decision; the SQL
+        LIKE translation must not turn it into match-everything."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from nipper_spark.crawl.politeness import robots_filter
+        from nipper_spark.crawl.robots import robots_decision
+        from nipper_spark.session import build_session
+        assert robots_decision([""], [], "/anything")
+        spark = build_session("empty-rule", master="local[4]",
+                              shuffle_partitions=4)
+        cand = spark.createDataFrame(
+            [("http://h.test/a", "h.test")], "url string, host string")
+        rules = spark.createDataFrame(
+            [("h.test", "", False)],
+            "host string, prefix string, allow boolean")
+        out = robots_filter(cand, CrawlPolicy(), rules=rules, rules_rows=1)
+        assert out.count() == 1  # candidate survives, matching the kernel

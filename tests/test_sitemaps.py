@@ -345,3 +345,23 @@ class TestSitemapRefresh:
         assert cols == ["url", "host", "host_bucket", "depth", "score",
                         "discovered_round"]
         entries.unpersist()
+
+
+def test_refresh_staleness_compares_instants_not_strings():
+    """Mixed granularity and timezone offsets: lastmod
+    2026-05-04T23:00:00+09:00 == 14:00Z is NOT newer than a 20:00Z
+    fetch; date-only fetched_at compares as midnight UTC."""
+    from nipper_spark.crawl.sitemaps import sitemap_refresh_py
+    entries = [
+        ("h.test", "http://h.test/a", "url", "2026-05-04T23:00:00+09:00",
+         None),                                     # = 14:00Z
+        ("h.test", "http://h.test/b", "url", "2026-05-04T00:00:00Z",
+         None),                                     # == date-only fetch
+        ("h.test", "http://h.test/c", "url", "2026-05-04T12:00:00Z",
+         None),                                     # stale vs midnight
+    ]
+    log = {"http://h.test/a": "2026-05-04T20:00:00Z",
+           "http://h.test/b": "2026-05-04",
+           "http://h.test/c": "2026-05-04"}
+    got = {u for u, _ in sitemap_refresh_py(entries, log)}
+    assert got == {"http://h.test/c"}

@@ -229,3 +229,17 @@ class TestEncodingSniff:
         # real meta BEFORE a comment still wins
         assert sniff_encoding(
             b'<meta charset="koi8-r"><!--<meta charset=big5>-->') == "koi8-r"
+
+
+def test_forbidden_host_codepoints_after_percent_decode():
+    """A percent-decoded host containing URL structure characters is a
+    parse FAILURE (WHATWG forbidden host code points) — otherwise
+    http://victim.test%2F.evil.test/ would re-attribute evil's URL to
+    victim for robots/politeness/seen-dedup."""
+    from nipper_spark.functions.url import canonicalize_url
+    assert canonicalize_url("http://victim.test%2F.evil.test/steal") is None
+    assert canonicalize_url("http://evil.test%23.victim.test/x") is None
+    assert canonicalize_url("http://h%3A80.test/x") is None
+    assert canonicalize_url("http://h%40u.test/x") is None
+    # benign percent-decoding still works
+    assert canonicalize_url("http://h%2etest/x") == "http://h.test/x"

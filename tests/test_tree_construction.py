@@ -1064,3 +1064,27 @@ AAA_DEPTH_CASES = [
                          ids=[c[0] for c in AAA_DEPTH_CASES])
 def test_aaa_depth(name, inp, expected):
     assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+# review-pass regressions: frameset-ok stragglers + EOF-in-DOCTYPE
+REVIEW_CASES = [
+    ("li-unsets-frameset-ok", "<li><frameset><frame></frameset>",
+     "<body><li></li></body>"),
+    ("dd-unsets-frameset-ok", "<dd><frameset><frame></frameset>",
+     "<body><dd></dd></body>"),
+    ("end-br-unsets-frameset-ok", "</br><frameset><frame></frameset>",
+     "<body><br></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", REVIEW_CASES,
+                         ids=[c[0] for c in REVIEW_CASES])
+def test_frameset_ok_review_stragglers(name, inp, expected):
+    assert body_html("<!DOCTYPE html><body>" + inp) == expected
+
+
+def test_eof_in_doctype_forces_quirks():
+    from nipper_spark.html.document import Document
+    assert Document.from_html("<!doctype html").quirks_mode == "quirks"
+    assert Document.from_html(
+        '<!doctype html public "x"').quirks_mode == "quirks"
