@@ -414,3 +414,32 @@ class TestEmptyRuleParity:
             "host string, prefix string, allow boolean")
         out = robots_filter(cand, CrawlPolicy(), rules=rules, rules_rows=1)
         assert out.count() == 1  # candidate survives, matching the kernel
+
+
+def test_rule_to_like_equals_rule_matches_property():
+    """The SQL LIKE translation and the regex kernel are the same
+    function: for random rules (wildcards, anchors, LIKE
+    metacharacters, escapes) and random paths, DuckDB's
+    `path LIKE rule_to_like(rule) ESCAPE '\\'` must equal
+    rule_matches(rule, path). This is the invariant that keeps the
+    distributed decision join and the oracle identical."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nipper_spark.crawl.robots import rule_matches, rule_to_like
+
+    con = duckdb.connect()
+    chars = list("/ab1.*$%_\\-~")
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(alphabet=st.sampled_from(chars), min_size=1,
+                   max_size=10),
+           st.text(alphabet=st.sampled_from(chars), max_size=14))
+    def prop(rule, path):
+        like = con.execute(
+            "SELECT ? LIKE ? ESCAPE '\\'",
+            [path, rule_to_like(rule)]).fetchone()[0]
+        assert bool(like) == rule_matches(rule, path), (rule, path)
+
+    prop()
