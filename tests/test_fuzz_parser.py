@@ -206,3 +206,34 @@ def test_mutated_attrs_roundtrip_exactly(attrs):
     for name, val in attrs:
         assert sel2.attr(name) == val, (name, val)
     assert Document.from_html(out1).html() == out1
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "c1", ".", ".."]),
+                max_size=8))
+def test_remove_dot_segments_matches_urljoin(segs):
+    """_remove_dot_segments == the RFC 3986 normalization urllib's
+    urljoin applies — an independent implementation to pin ours
+    against, over every mix of '.', '..' and normal segments.
+
+    Empty segments are excluded from the domain: for '/..//a' the RFC
+    algorithm (and WHATWG, traced by hand) yields '//a' while
+    urljoin's shortcut yields '/a' — urljoin is the deviant there, so
+    it can't serve as the reference; the empty-segment behavior is
+    pinned pointwise below instead."""
+    from urllib.parse import urljoin, urlsplit
+
+    from nipper_spark.functions.url import _remove_dot_segments
+    path = "/" + "/".join(segs)
+    expect = urlsplit(urljoin("http://h.test", path)).path or "/"
+    assert _remove_dot_segments(path) == expect, path
+
+
+def test_remove_dot_segments_preserves_empty_segments():
+    """RFC 3986 trace: empty segments are ordinary segments — '..'
+    pops them like any other, and they are never silently dropped."""
+    from nipper_spark.functions.url import _remove_dot_segments
+    assert _remove_dot_segments("/..//a") == "//a"
+    assert _remove_dot_segments("//a") == "//a"
+    assert _remove_dot_segments("/a//../b") == "/a/b"
+    assert _remove_dot_segments("/a//b") == "/a//b"
