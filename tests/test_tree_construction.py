@@ -1088,3 +1088,35 @@ def test_eof_in_doctype_forces_quirks():
     assert Document.from_html("<!doctype html").quirks_mode == "quirks"
     assert Document.from_html(
         '<!doctype html public "x"').quirks_mode == "quirks"
+
+
+def test_bare_template_is_head_metadata():
+    """A top-level <template> is in-head content: the element lands in
+    <head> (with its contents detached), and following text opens the
+    body."""
+    arena = parse_document("<!DOCTYPE html><template><col></template>z")
+    assert serialize(arena, 0, include_node=False) == \
+        "<!DOCTYPE html><html><head><template></template></head>" \
+        "<body>z</body></html>"
+
+
+TEMPLATE_TABLE_CASES = [
+    # templates inside table modes are NOT foster-parented
+    ("template-in-table",
+     "<table><template><tr><td>x</td></tr></template></table>",
+     "<body><table><template></template></table></body>"),
+    ("template-in-row",
+     "<table><tr><template><td>a</td></template><td>b</td></table>",
+     "<body><table><tbody><tr><template></template><td>b</td></tr>"
+     "</tbody></table></body>"),
+    ("template-in-cell",
+     "<table><tr><td><template><b>x</b></template>y</table>",
+     "<body><table><tbody><tr><td><template></template>y</td></tr>"
+     "</tbody></table></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", TEMPLATE_TABLE_CASES,
+                         ids=[c[0] for c in TEMPLATE_TABLE_CASES])
+def test_template_in_table_not_fostered(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
