@@ -4,6 +4,12 @@ rounds → extracted state tables, with robots harvested from the corpus.
 Run: python examples/crawl_rounds.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere
+
 import tempfile
 
 from nipper_spark.crawl.frontier import FrontierEngine

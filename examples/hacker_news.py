@@ -4,6 +4,12 @@ engine — both the in-UDF kernel form and the distributed form.
 Run: python examples/hacker_news.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere
+
 from nipper_spark import Document
 
 html = open("/root/reference/test-pages/hacker_news.html",

@@ -1,6 +1,12 @@
 """The reference's readability example (examples/readability.rs), via
 the ported pipeline. Run: python examples/readability_demo.py <file>"""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere
+
 import sys
 
 from nipper_spark.functions.readability import extract_article

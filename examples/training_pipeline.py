@@ -8,11 +8,13 @@ Run:  python examples/training_pipeline.py [docs.parquet]
 (defaults to the sandbox sf0.001 table).
 """
 
+import os
 import sys
 
-from pyspark.sql import functions as F
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere
 
-sys.path.insert(0, ".")
+from pyspark.sql import functions as F
 
 from nipper_spark.functions.curate import curate_training_set  # noqa: E402
 from nipper_spark.functions.dedup import (  # noqa: E402
