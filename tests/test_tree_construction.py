@@ -1120,3 +1120,22 @@ TEMPLATE_TABLE_CASES = [
                          ids=[c[0] for c in TEMPLATE_TABLE_CASES])
 def test_template_in_table_not_fostered(name, inp, expected):
     assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+# marquee/object/applet: scope boundaries + AFE markers
+SCOPE_MARKER_CASES = [
+    ("marquee-scope", "<b><marquee>x</b>y</marquee>z",
+     "<body><b><marquee>xy</marquee>z</b></body>"),
+    ("marquee-inner-fmt", "<marquee><b>x</marquee>y",
+     "<body><marquee><b>x</b></marquee>y</body>"),
+    ("object-scope", "<i><object>x</i>y</object>z",
+     "<body><i><object>xy</object>z</i></body>"),
+    ("applet-scope", "<tt><applet>a</tt>b</applet>c",
+     "<body><tt><applet>ab</applet>c</tt></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", SCOPE_MARKER_CASES,
+                         ids=[c[0] for c in SCOPE_MARKER_CASES])
+def test_scope_marker_elements(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
