@@ -1139,3 +1139,29 @@ SCOPE_MARKER_CASES = [
                          ids=[c[0] for c in SCOPE_MARKER_CASES])
 def test_scope_marker_elements(name, inp, expected):
     assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+# rawtext/rcdata suppression inside foreign content
+FOREIGN_RAWTEXT_CASES = [
+    ("svg-textarea-breakout", "<svg><textarea><b>x",
+     "<body><svg><textarea></textarea></svg><b>x</b></body>"),
+    ("svg-style-is-foreign", "<svg><style>a{}</style><circle></svg>",
+     "<body><svg><style>a{}</style><circle></circle></svg></body>"),
+    # svg script children tokenize as normal foreign text; the
+    # serializer (like html5ever's) treats script literally by LOCAL
+    # name, and the output is reparse-stable
+    ("svg-script-not-rawtext", "<svg><script>1<2</script></svg>z",
+     "<body><svg><script>1<2</script></svg>z</body>"),
+    ("svg-title-not-rcdata", "<svg><title><b>x</b></title></svg>",
+     "<body><svg><title><b>x</b></title></svg></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", FOREIGN_RAWTEXT_CASES,
+                         ids=[c[0] for c in FOREIGN_RAWTEXT_CASES])
+def test_foreign_rawtext_suppression(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+    # serialize -> reparse fixpoint holds for these shapes
+    out = body_html("<!DOCTYPE html>" + expected.replace(
+        "<body>", "").replace("</body>", ""))
+    assert out == expected
