@@ -1165,3 +1165,21 @@ def test_foreign_rawtext_suppression(name, inp, expected):
     out = body_html("<!DOCTYPE html>" + expected.replace(
         "<body>", "").replace("</body>", ""))
     assert out == expected
+
+
+# degenerate character-reference forms stay literal
+CHARREF_DEGENERATE_CASES = [
+    ("amp-bare", "<p>a & b</p>", "<body><p>a &amp; b</p></body>"),
+    ("amp-semi", "<p>&;x</p>", "<body><p>&amp;;x</p></body>"),
+    ("num-empty", "<p>&#;x</p>", "<body><p>&amp;#;x</p></body>"),
+    ("hex-empty", "<p>&#x;x</p>", "<body><p>&amp;#x;x</p></body>"),
+    ("amp-eof", "<p>&", "<body><p>&amp;</p></body>"),
+    ("numref-eof", "<p>&#", "<body><p>&amp;#</p></body>"),
+    ("double-amp", "<p>&&amp;</p>", "<body><p>&amp;&amp;</p></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CHARREF_DEGENERATE_CASES,
+                         ids=[c[0] for c in CHARREF_DEGENERATE_CASES])
+def test_charref_degenerate_forms(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
