@@ -386,8 +386,16 @@ def _o_round_skew() -> str:
 
 
 def _q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The test corpus carries no exact duplicates, so the operator is
+    exercised on docs ∪ a re-keyed copy of every 25th doc — the oracle
+    mirrors the augmentation, making the group output NON-empty (an
+    empty-vs-empty hash match proves nothing)."""
     from nipper_spark.functions.dedup import exact_dup_groups
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
     g = exact_dup_groups(docs)
     return g.select(
         "text_hash",
@@ -740,8 +748,15 @@ def _o_ann_ivfpq() -> str:
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vectors are mutually distant at the 0.98 threshold, so
+    the operator is exercised on emb ∪ re-keyed exact copies of every
+    40th vector (cosine 1.0 → guaranteed pairs); the oracle twin
+    applies the same augmentation."""
     from nipper_spark.functions.similarity import embedding_near_dup_pairs
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = base.unionByName(
+        base.filter(F.col("vec_id") % 40 == 0)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
     return embedding_near_dup_pairs(
         emb, threshold=NEARDUP["threshold"], n_bits=NEARDUP["n_bits"],
         bands=NEARDUP["bands"], seed=NEARDUP["seed"]).select(
@@ -814,9 +829,12 @@ def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The URL-seen dedup pattern: anti-join (customers with no orders)."""
+    """The URL-seen dedup pattern: anti-join — customers with no
+    URGENT orders (every customer has SOME order in this corpus, so
+    the unfiltered anti-join would be vacuously empty)."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderpriority") == "1-URGENT")
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .select(F.col("c_custkey").cast("bigint").alias("custkey")))
 
@@ -1338,11 +1356,16 @@ def _o_crawl_schedule() -> str:
 _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
 _O_EXACT_DUPS = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 25 = 0)
 SELECT md5({_NORM}) AS text_hash,
        CAST(count(*) AS BIGINT) AS n_dups,
        CAST(min(doc_id) AS BIGINT) AS keep_id,
        array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM aug GROUP BY 1 HAVING count(*) > 1
 """
 
 _O_EXACT_SURVIVORS = f"""
@@ -1550,6 +1573,9 @@ def _o_embedding_neardup() -> str:
     import numpy as np
     from nipper_spark.functions.similarity import _hyperplanes
     ids, m = _read_emb_sf001()
+    dup = ids % 40 == 0  # same augmentation as the Spark query
+    ids = np.concatenate([ids, ids[dup] + 1_000_000])
+    m = np.concatenate([m, m[dup]])
     dim = m.shape[1]
     planes = _hyperplanes(dim, NEARDUP["n_bits"], NEARDUP["seed"])
     bits_per_band = NEARDUP["n_bits"] // NEARDUP["bands"]
@@ -1595,7 +1621,9 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
 
 _O_ANTI = """
 SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """
 
 _O_COUNTERS = """
