@@ -123,8 +123,15 @@ def extract_text_and_links(url: str, html) -> tuple[str, list[str], int, int]:
     UDF below and the single-threaded crawl oracle both call this, so
     'Spark matches the oracle' can never diverge on extraction.
 
+    Relative hrefs resolve against the DOCUMENT base (the first
+    ``<base href>``, itself resolved against the page URL, per WHATWG;
+    falls back to the page URL) — real pages use <base> and resolving
+    against the page URL alone mis-attributes their outlinks.
+
     Returns (root-element text, canonical outlinks deduped in document
     order, node count, anchor count)."""
+    from urllib.parse import urlsplit
+
     from nipper_spark.html.arena import ELEMENT
     doc = Document.from_html(_to_text(html))
     a = doc.arena
@@ -132,11 +139,21 @@ def extract_text_and_links(url: str, html) -> tuple[str, list[str], int, int]:
     root = next((c for c in a.children_of(0) if a.kind[c] == ELEMENT), None)
     if root is None:
         return "", [], len(a.kind), 0
+    base = url
+    bhref = doc.select("base[href]").attr("href")
+    if bhref:
+        try:
+            from urllib.parse import urljoin
+            resolved = urljoin(url, bhref.strip())
+            if urlsplit(resolved).scheme in ("http", "https"):
+                base = resolved
+        except ValueError:
+            pass
     text, hrefs = a.text_and_anchor_hrefs(root)
     seen: set[str] = set()
     links: list[str] = []
     for href in hrefs:
-        canon = resolve_and_canonicalize(url, href)
+        canon = resolve_and_canonicalize(base, href)
         if canon is not None and canon not in seen:
             seen.add(canon)
             links.append(canon)

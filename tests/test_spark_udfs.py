@@ -243,3 +243,22 @@ def test_forbidden_host_codepoints_after_percent_decode():
     assert canonicalize_url("http://h%40u.test/x") is None
     # benign percent-decoding still works
     assert canonicalize_url("http://h%2etest/x") == "http://h.test/x"
+
+
+def test_base_href_resolution():
+    """Relative outlinks resolve against the document base (first
+    <base href>, itself resolved against the page URL, WHATWG) —
+    falling back to the page URL when absent or non-http(s)."""
+    from nipper_spark.functions.html_udfs import extract_text_and_links
+    html = ('<html><head><base href="http://cdn.test/assets/"></head>'
+            '<body><a href="x.html">x</a><a href="/root.html">r</a>'
+            '<a href="http://abs.test/a">a</a></body></html>')
+    _, links, _, _ = extract_text_and_links("http://page.test/dir/p", html)
+    assert links == ["http://cdn.test/assets/x.html",
+                     "http://cdn.test/root.html", "http://abs.test/a"]
+    _, l2, _, _ = extract_text_and_links(
+        "http://h.test/d/p", '<base href="sub/"><a href="y">y</a>')
+    assert l2 == ["http://h.test/d/sub/y"]
+    _, l3, _, _ = extract_text_and_links(
+        "http://h.test/p", '<base href="javascript:x"><a href="y">y</a>')
+    assert l3 == ["http://h.test/y"]
