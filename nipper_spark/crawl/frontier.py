@@ -353,7 +353,8 @@ class FrontierEngine:
         # (advertised pages AND child sitemaps, with priorities) — the
         # recursion that follows a sitemapindex chain across rounds.
         # Shared kernel crawl_extract_outlinks == the oracle's.
-        ext = _crawl_extract(fetched).observe(
+        ext = _crawl_extract(
+            fetched, respect_nofollow=pol.respect_nofollow).observe(
             obs_fetch, F.count(F.lit(1)).alias("n"))
 
         links = (ext.select("url", F.explode("outlinks").alias("l"))
@@ -546,7 +547,8 @@ _CRAWL_EXT_SCHEMA = ("url string, "
                      "outlinks array<struct<dst:string,priority:double>>")
 
 
-def _crawl_extract(fetched: DataFrame) -> DataFrame:
+def _crawl_extract(fetched: DataFrame,
+                   respect_nofollow: bool = False) -> DataFrame:
     """(url, html) → (url, outlinks[(dst, priority)]) in ONE
     ``mapInPandas`` crossing, dispatching per row on the sitemap URL
     pattern via the shared pure kernel
@@ -557,7 +559,9 @@ def _crawl_extract(fetched: DataFrame) -> DataFrame:
             for url, h in zip(pdf["url"], pdf["html"]):
                 urls.append(url)
                 outs.append([{"dst": d, "priority": p}
-                             for d, p in crawl_extract_outlinks(url, h)])
+                             for d, p in crawl_extract_outlinks(
+                                 url, h,
+                                 respect_nofollow=respect_nofollow)])
             yield pd.DataFrame({"url": urls, "outlinks": outs})
 
     return fetched.mapInPandas(_ext, schema=_CRAWL_EXT_SCHEMA)

@@ -76,7 +76,9 @@ def crawl_oracle(pages: dict[str, bytes | str],
             html = pages.get(url)
             if html is None:
                 continue
-            for dst, prio in crawl_extract_outlinks(url, html):
+            for dst, prio in crawl_extract_outlinks(
+                    url, html,
+                    respect_nofollow=policy.respect_nofollow):
                 nd = d + 1
                 ns = prio if prio is not None else s * policy.score_decay
                 if dst in cand:

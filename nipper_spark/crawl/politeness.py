@@ -105,6 +105,9 @@ class CrawlPolicy:
     host_tokens: dict[str, int] = field(default_factory=dict)
     robots_disallow: dict[str, list[str]] = field(default_factory=dict)
     robots_allow: dict[str, list[str]] = field(default_factory=dict)
+    # honor rel=nofollow / <meta name=robots nofollow> during fetch
+    # extraction (the microformat half of REP; off by default)
+    respect_nofollow: bool = False
     n_buckets: int = 8
     score_decay: float = 0.85
     max_depth: int = 64

@@ -131,17 +131,21 @@ def sitemap_outlinks(url: str, body) -> list[tuple[str, float | None]]:
     return sorted(acc.items())
 
 
-def crawl_extract_outlinks(url: str, body) -> list[tuple[str,
-                                                         float | None]]:
+def crawl_extract_outlinks(url: str, body,
+                           respect_nofollow: bool = False
+                           ) -> list[tuple[str, float | None]]:
     """THE fetch-extraction kernel of a crawl round: sitemap-pattern
     URLs parse as sitemaps (priorities surface so the scheduler can
     honor them); everything else takes the WHATWG parse + ``a[href]``
-    path (priority ``None`` → the caller applies score decay). Shared
-    verbatim by the Spark round UDF and the single-threaded oracle."""
+    path (priority ``None`` → the caller applies score decay), with
+    optional rel=nofollow / meta-robots honoring (CrawlPolicy.
+    respect_nofollow). Shared verbatim by the Spark round UDF and the
+    single-threaded oracle."""
     if is_sitemap_url(url):
         return sitemap_outlinks(url, body)
     from nipper_spark.functions.html_udfs import extract_text_and_links
-    _, links, _, _ = extract_text_and_links(url, body)
+    _, links, _, _ = extract_text_and_links(
+        url, body, respect_nofollow=respect_nofollow)
     return [(dst, None) for dst in links]
 
 

@@ -118,7 +118,14 @@ EXTRACTED_SCHEMA = ("url string, text string, outlinks array<string>, "
                     "n_nodes int, n_anchors int")
 
 
-def extract_text_and_links(url: str, html) -> tuple[str, list[str], int, int]:
+def _rel_nofollow(rel: str) -> bool:
+    """rel is an ASCII-case-insensitive space-separated token list."""
+    return "nofollow" in rel.lower().split()
+
+
+def extract_text_and_links(url: str, html,
+                           respect_nofollow: bool = False
+                           ) -> tuple[str, list[str], int, int]:
     """Pure single-document extraction — THE shared kernel: the Spark
     UDF below and the single-threaded crawl oracle both call this, so
     'Spark matches the oracle' can never diverge on extraction.
@@ -128,9 +135,15 @@ def extract_text_and_links(url: str, html) -> tuple[str, list[str], int, int]:
     falls back to the page URL) — real pages use <base> and resolving
     against the page URL alone mis-attributes their outlinks.
 
+    ``respect_nofollow=True`` (a crawl-policy option, default off so
+    plain extraction reports every link) drops anchors whose ``rel``
+    token list contains ``nofollow``, and ALL anchors when a
+    ``<meta name=robots>`` content token list contains ``nofollow``
+    or ``none`` — the microformat half of REP, next to robots.txt.
+
     Returns (root-element text, canonical outlinks deduped in document
     order, node count, anchor count)."""
-    from urllib.parse import urlsplit
+    from urllib.parse import urljoin, urlsplit
 
     from nipper_spark.html.arena import ELEMENT
     doc = Document.from_html(_to_text(html))
@@ -143,13 +156,22 @@ def extract_text_and_links(url: str, html) -> tuple[str, list[str], int, int]:
     bhref = doc.select("base[href]").attr("href")
     if bhref:
         try:
-            from urllib.parse import urljoin
             resolved = urljoin(url, bhref.strip())
             if urlsplit(resolved).scheme in ("http", "https"):
                 base = resolved
         except ValueError:
             pass
-    text, hrefs = a.text_and_anchor_hrefs(root)
+    text, hrefs, rels = a.text_and_anchor_hrefs(root, with_rel=True)
+    n_anchors = len(hrefs)
+    if respect_nofollow:
+        meta = doc.select('meta[name="robots" i]').attr("content") or ""
+        tokens = {t.strip().lower()
+                  for t in meta.replace(",", " ").split()}
+        if "nofollow" in tokens or "none" in tokens:
+            hrefs = []
+        else:
+            hrefs = [h for h, r in zip(hrefs, rels)
+                     if not _rel_nofollow(r)]
     seen: set[str] = set()
     links: list[str] = []
     for href in hrefs:
@@ -157,7 +179,7 @@ def extract_text_and_links(url: str, html) -> tuple[str, list[str], int, int]:
         if canon is not None and canon not in seen:
             seen.add(canon)
             links.append(canon)
-    return text, links, len(a.kind), len(hrefs)
+    return text, links, len(a.kind), n_anchors
 
 
 def extract_pages(pages: DataFrame, url_col: str = "url",

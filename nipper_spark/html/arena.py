@@ -261,30 +261,43 @@ class Arena:
                 parts.append(text[i])  # type: ignore[arg-type]
         return "".join(parts)
 
-    def text_and_anchor_hrefs(self, nid: int) -> tuple[str, list[str]]:
+    def text_and_anchor_hrefs(self, nid: int, with_rel: bool = False):
         """One pre-order walk collecting BOTH the text (identical bytes
         to :meth:`text_of`) and the href of every descendant <a[href]>
         in document order — the fused fast path of the page extractor
-        (avoids a second full DFS through the selector engine)."""
+        (avoids a second full DFS through the selector engine).
+
+        ``with_rel=True`` additionally returns each anchor's ``rel``
+        attribute value ("" when absent) as a third list, for
+        nofollow-aware crawling."""
         kind, text, name, attrs = self.kind, self.text, self.name, self.attrs
         parts: list[str] = []
         hrefs: list[str] = []
+        rels: list[str] = []
         stack = [nid]
         while stack:
             i = stack.pop()
             k = kind[i]
             if k == ELEMENT:
                 if name[i] == "a":
+                    href = rel = None
                     for a in attrs[i]:  # type: ignore[union-attr]
-                        if a[0] == "href":
-                            hrefs.append(a[1])
-                            break
+                        if a[0] == "href" and href is None:
+                            href = a[1]
+                        elif a[0] == "rel" and rel is None:
+                            rel = a[1]
+                    if href is not None:
+                        hrefs.append(href)
+                        if with_rel:
+                            rels.append(rel or "")
                 c = self.last[i]
                 while c != NIL:
                     stack.append(c)
                     c = self.prev[c]
             elif k == TEXT:
                 parts.append(text[i])  # type: ignore[arg-type]
+        if with_rel:
+            return "".join(parts), hrefs, rels
         return "".join(parts), hrefs
 
     # ------------------------------------------------------------------

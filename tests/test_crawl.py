@@ -255,3 +255,70 @@ class TestResume:
         seen_res = {x["url"] for x in st
                     .read_all_rounds("seen", 64, SEEN_SCHEMA).collect()}
         assert seen_full == seen_res == oracle.seen
+
+
+class TestNofollow:
+    def test_kernel_rel_and_meta(self):
+        """rel token-list matching + meta-robots nofollow/none, only
+        under respect_nofollow=True."""
+        from nipper_spark.functions.html_udfs import extract_text_and_links
+        html = ('<a href="/a" rel="nofollow">a</a>'
+                '<a href="/b" rel="External NoFollow">b</a>'
+                '<a href="/c" rel="nofollowx">c</a>'
+                '<a href="/d">d</a>')
+        _, links, _, na = extract_text_and_links(
+            "http://h.test/", html, respect_nofollow=True)
+        assert links == ["http://h.test/c", "http://h.test/d"]
+        assert na == 4  # anchor count reflects the page, not the policy
+        # default: every link reported
+        _, all_links, _, _ = extract_text_and_links("http://h.test/", html)
+        assert len(all_links) == 4
+        # page-level meta robots nofollow drops everything
+        meta = '<meta name="ROBOTS" content="noindex, nofollow">' + html
+        _, ml, _, _ = extract_text_and_links(
+            "http://h.test/", meta, respect_nofollow=True)
+        assert ml == []
+        # 'none' == noindex,nofollow
+        none = '<meta name="robots" content="none">' + html
+        _, nl, _, _ = extract_text_and_links(
+            "http://h.test/", none, respect_nofollow=True)
+        assert nl == []
+
+    def test_engine_matches_oracle_with_nofollow(self, spark,
+                                                 tmp_path_factory):
+        """A crawl with respect_nofollow=True stays engine==oracle
+        exact, and nofollow edges really stay out of the frontier."""
+        import datetime
+
+        from nipper_spark.sources.synthetic import PAGES_SCHEMA
+        ts = datetime.datetime(2026, 1, 1)
+        host = "nf.test"
+        pages_rows = [
+            (f"http://{host}/", ts,
+             (f'<a href="/keep">k</a>'
+              f'<a href="/skip" rel="nofollow">s</a>').encode(),
+             "", "en"),
+            (f"http://{host}/keep", ts,
+             b'<meta name="robots" content="nofollow">'
+             b'<a href="/never">n</a>', "", "en"),
+            (f"http://{host}/skip", ts, b"<p>s</p>", "", "en"),
+            (f"http://{host}/never", ts, b"<p>n</p>", "", "en"),
+        ]
+        pages = spark.createDataFrame(pages_rows, PAGES_SCHEMA)
+        pol = CrawlPolicy(default_tokens=4, n_buckets=4,
+                          respect_nofollow=True)
+        seeds = [(f"http://{host}/", 1.0)]
+        d = str(tmp_path_factory.mktemp("nofollow"))
+        eng = FrontierEngine(spark, pages, d, pol)
+        eng.bootstrap(seeds)
+        stats = eng.run(max_rounds=8)
+        oracle = crawl_oracle(
+            {u: bytes(h) for (u, _, h, _, _) in pages_rows},
+            seeds, pol, max_rounds=8)
+        st = CrawlState(spark, d)
+        seen = {r["url"] for r in st.read_all_rounds(
+            "seen", len(stats) + 1, SEEN_SCHEMA).collect()}
+        assert seen == oracle.seen
+        assert f"http://{host}/skip" not in seen
+        assert f"http://{host}/never" not in seen
+        assert f"http://{host}/keep" in seen
