@@ -34,11 +34,12 @@ ORACLE_SF = "/root/testdata/sf0.01"  # driver compares at sf=0.01
 # ----------------------------------------------------------------------
 CRAWL_PAGES = dict(n_pages=40, links_per_page=4, n_hosts=8, seed=42)
 CRAWL_ROUNDS = 3
-MINHASH = dict(num_perm=64, bands=16, ngram=3, threshold=0.9, seed=42)
-SIMHASH = dict(max_hamming=3, prefix_bits=16, ngram=2)
+MINHASH = dict(num_perm=64, bands=16, ngram=3, threshold=0.9, seed=42,
+               max_bucket=64)
+SIMHASH = dict(max_hamming=3, prefix_bits=16, ngram=2, max_bucket=64)
 ANN = dict(k=5, n_queries=3)
 LSH_ANN = dict(k=5, n_bits=16, bands=8, seed=42)
-NEARDUP = dict(threshold=0.98, n_bits=16, bands=8, seed=42)
+NEARDUP = dict(threshold=0.98, n_bits=16, bands=8, seed=42, max_bucket=64)
 
 CANON_VECTORS = [
     "HTTP://Host.Test/a?b=2&a=1#f",
@@ -524,7 +525,7 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         docs, num_perm=MINHASH["num_perm"], bands=MINHASH["bands"],
         ngram=MINHASH["ngram"], threshold=MINHASH["threshold"],
-        seed=MINHASH["seed"]).select(
+        seed=MINHASH["seed"], max_bucket=MINHASH["max_bucket"]).select(
             F.col("id_a").cast("bigint").alias("id_a"),
             F.col("id_b").cast("bigint").alias("id_b"), "jaccard")
 
@@ -538,7 +539,7 @@ def _q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, num_perm=MINHASH["num_perm"], bands=MINHASH["bands"],
         ngram=MINHASH["ngram"], threshold=MINHASH["threshold"],
-        seed=MINHASH["seed"])
+        seed=MINHASH["seed"], max_bucket=MINHASH["max_bucket"])
     return near_dup_survivors(docs, pairs).select(
         F.col("doc_id").cast("bigint").alias("doc_id"))
 
@@ -547,7 +548,8 @@ def _o_cluster_survivors() -> str:
     """Single-threaded twin: same LSH pair generation as _o_minhash,
     then union-find, min-id survivor per component."""
     from nipper_spark.functions.dedup import (
-        _minhash_params, minhash_signature, ngram_jaccard)
+        _minhash_params, bucket_candidate_pairs, minhash_signature,
+        ngram_jaccard)
     ids, texts = _read_docs_sf001()
     params = _minhash_params(MINHASH["num_perm"], MINHASH["seed"])
     rpb = MINHASH["num_perm"] // MINHASH["bands"]
@@ -574,22 +576,19 @@ def _o_cluster_survivors() -> str:
 
     seen_pairs = set()
     for members in buckets.values():
-        members.sort()
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                p = (members[x], members[y])
-                if p in seen_pairs:
-                    continue
-                seen_pairs.add(p)
-                if ngram_jaccard(str(textmap[p[0]] or ""),
-                                 str(textmap[p[1]] or ""),
-                                 MINHASH["ngram"]) >= MINHASH["threshold"]:
-                    union(*p)
+        for p in bucket_candidate_pairs(members, MINHASH["max_bucket"]):
+            if p in seen_pairs:
+                continue
+            seen_pairs.add(p)
+            if ngram_jaccard(str(textmap[p[0]] or ""),
+                             str(textmap[p[1]] or ""),
+                             MINHASH["ngram"]) >= MINHASH["threshold"]:
+                union(*p)
     survivors = sorted(i for i in ids if find(i) == i)
     return _values_sql([(s,) for s in survivors], [("doc_id", "BIGINT")])
 
 
-NGRAM_J = dict(ngram=3, threshold=0.8, block_words=5)
+NGRAM_J = dict(ngram=3, threshold=0.8, block_words=5, max_bucket=64)
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,13 +596,15 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return ngram_jaccard_pairs(
         docs, ngram=NGRAM_J["ngram"], threshold=NGRAM_J["threshold"],
-        block_words=NGRAM_J["block_words"]).select(
+        block_words=NGRAM_J["block_words"],
+        max_bucket=NGRAM_J["max_bucket"]).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"), "jaccard")
 
 
 def _o_ngram_jaccard() -> str:
-    from nipper_spark.functions.dedup import ngram_jaccard
+    from nipper_spark.functions.dedup import (
+        bucket_candidate_pairs, ngram_jaccard)
     ids, texts = _read_docs_sf001()
     blocks: dict = {}
     for i, t in zip(ids, texts):
@@ -612,13 +613,12 @@ def _o_ngram_jaccard() -> str:
         blocks.setdefault(key, []).append((i, str(t or "")))
     rows = []
     for members in blocks.values():
-        members.sort()
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                j = ngram_jaccard(members[x][1], members[y][1],
-                                  NGRAM_J["ngram"])
-                if j >= NGRAM_J["threshold"]:
-                    rows.append((members[x][0], members[y][0], j))
+        textmap = dict(members)
+        for a, b in bucket_candidate_pairs([i for i, _ in members],
+                                           NGRAM_J["max_bucket"]):
+            j = ngram_jaccard(textmap[a], textmap[b], NGRAM_J["ngram"])
+            if j >= NGRAM_J["threshold"]:
+                rows.append((a, b, j))
     rows.sort()
     return _values_sql(rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"),
                               ("jaccard", "DOUBLE")])
@@ -629,7 +629,8 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_near_dups(
         docs, max_hamming=SIMHASH["max_hamming"],
-        prefix_bits=SIMHASH["prefix_bits"], ngram=SIMHASH["ngram"]).select(
+        prefix_bits=SIMHASH["prefix_bits"], ngram=SIMHASH["ngram"],
+        max_bucket=SIMHASH["max_bucket"]).select(
             F.col("id_a").cast("bigint").alias("id_a"),
             F.col("id_b").cast("bigint").alias("id_b"),
             F.col("hamming").cast("int").alias("hamming"))
@@ -759,7 +760,8 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
     return embedding_near_dup_pairs(
         emb, threshold=NEARDUP["threshold"], n_bits=NEARDUP["n_bits"],
-        bands=NEARDUP["bands"], seed=NEARDUP["seed"]).select(
+        bands=NEARDUP["bands"], seed=NEARDUP["seed"],
+        max_bucket=NEARDUP["max_bucket"]).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"))
 
@@ -1455,7 +1457,8 @@ def _o_doc_fingerprints() -> str:
 
 def _o_minhash() -> str:
     from nipper_spark.functions.dedup import (
-        _minhash_params, minhash_signature, ngram_jaccard)
+        _minhash_params, bucket_candidate_pairs, minhash_signature,
+        ngram_jaccard)
     ids, texts = _read_docs_sf001()
     params = _minhash_params(MINHASH["num_perm"], MINHASH["seed"])
     rpb = MINHASH["num_perm"] // MINHASH["bands"]
@@ -1471,10 +1474,7 @@ def _o_minhash() -> str:
     textmap = dict(zip(ids, texts))
     pairs = set()
     for key, members in buckets.items():
-        members.sort()
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                pairs.add((members[x], members[y]))
+        pairs.update(bucket_candidate_pairs(members, MINHASH["max_bucket"]))
     rows = []
     for a, b in sorted(pairs):
         j = ngram_jaccard(str(textmap[a] or ""), str(textmap[b] or ""),
@@ -1486,7 +1486,7 @@ def _o_minhash() -> str:
 
 
 def _o_simhash() -> str:
-    from nipper_spark.functions.dedup import simhash
+    from nipper_spark.functions.dedup import bucket_candidate_pairs, simhash
     ids, texts = _read_docs_sf001()
     sims = {i: simhash(str(t or ""), SIMHASH["ngram"])
             for i, t in zip(ids, texts)}
@@ -1499,10 +1499,7 @@ def _o_simhash() -> str:
             buckets.setdefault(key, []).append(i)
     pairs = set()
     for key, members in buckets.items():
-        members.sort()
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                pairs.add((members[x], members[y]))
+        pairs.update(bucket_candidate_pairs(members, SIMHASH["max_bucket"]))
     rows = []
     for a, b in sorted(pairs):
         ham = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
@@ -1589,21 +1586,19 @@ def _o_embedding_neardup() -> str:
             buckets.setdefault(code, []).append(i)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norm = m / np.where(norms == 0, 1.0, norms)
+    # cap semantics are defined on vec_ids (the Spark star hub is
+    # min(id)), so run the kernel over ids, not row indices
+    from nipper_spark.functions.dedup import bucket_candidate_pairs
+    idx_of = {int(ids[i]): i for i in range(len(ids))}
     pairs = set()
     for members in buckets.values():
-        members.sort()
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                a, b = members[x], members[y]
-                if int(ids[a]) < int(ids[b]):
-                    pairs.add((a, b))
-                else:
-                    pairs.add((b, a))
+        pairs.update(bucket_candidate_pairs(
+            [int(ids[i]) for i in members], NEARDUP["max_bucket"]))
     rows = []
-    for a, b in sorted(pairs, key=lambda p: (int(ids[p[0]]), int(ids[p[1]]))):
-        cos = float((norm[a] * norm[b]).sum())
+    for ia, ib in sorted(pairs):
+        cos = float((norm[idx_of[ia]] * norm[idx_of[ib]]).sum())
         if cos >= NEARDUP["threshold"]:
-            rows.append((int(ids[a]), int(ids[b])))
+            rows.append((ia, ib))
     return _values_sql(rows, [("id_a", "BIGINT"), ("id_b", "BIGINT")])
 
 

@@ -161,18 +161,71 @@ def ngram_jaccard(a: str, b: str, ngram: int = 3,
     return inter / (len(sa) + len(sb) - inter)
 
 
-def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", num_perm: int = 64,
-                      bands: int = 16, ngram: int = 3,
-                      threshold: float = 0.5,
-                      seed: int = 42) -> DataFrame:
-    """Near-dup pairs via MinHash → LSH banding → exact verification.
+def bucket_candidate_pairs(members: list, max_bucket: int = 0):
+    """THE definition of capped within-bucket candidate generation —
+    the distributed path (`_capped_candidates`) and every single-
+    threaded oracle twin route through this one kernel.
 
-    shuffle profile: explode to B rows/doc keyed by (band, hash of the
-    band's rows) → groupBy that small key → within-bucket pairs →
-    verified with exact Jaccard recomputed from the two texts.
-    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
-    """
+    For a bucket of sorted member ids: all C(B,2) pairs when B is
+    within ``max_bucket``; above the cap, STAR edges
+    ``(min_id, other)`` only — B−1 rows instead of B²/2. Downstream
+    near-dup clustering (``connected_components``) needs connectivity,
+    not the full clique, and a bucket that large is a mass-duplicate
+    flood (parked-domain boilerplate, empty templates) where every
+    member matches the hub anyway. ``max_bucket <= 0`` disables the
+    cap. Yields (a, b) with a < b."""
+    members = sorted(members)
+    if max_bucket > 0 and len(members) > max_bucket:
+        hub = members[0]
+        for m in members[1:]:
+            yield (hub, m)
+        return
+    for x in range(len(members)):
+        for y in range(x + 1, len(members)):
+            yield (members[x], members[y])
+
+
+def _capped_candidates(items: DataFrame, key_cols: list,
+                       max_bucket: int) -> DataFrame:
+    """Distributed twin of `bucket_candidate_pairs`: ``items`` carries
+    (``id`` + bucket key columns); returns (id_a, id_b), id_a < id_b.
+
+    One cheap agg counts each bucket (shuffles the small key only);
+    buckets within the cap self-join all-pairs as before, oversized
+    buckets emit star edges to the bucket min — candidate volume is
+    O(B) per hot bucket, not O(B²). Without this, one band signature
+    shared by 10⁶ near-identical web pages emits 5·10¹¹ candidate rows
+    before any verify runs."""
+    sizes = (items.groupBy(*key_cols)
+             .agg(F.count("*").alias("_bsz"), F.min("id").alias("_bmin")))
+    tagged = items.join(sizes, key_cols)
+    if max_bucket > 0:
+        small = tagged.filter(F.col("_bsz") <= max_bucket)
+        star = (tagged.filter((F.col("_bsz") > max_bucket) &
+                              (F.col("id") != F.col("_bmin")))
+                .select(F.col("_bmin").alias("id_a"),
+                        F.col("id").alias("id_b")))
+    else:
+        small, star = tagged, None
+    join_cond = (F.col("l.id") < F.col("r.id"))
+    for k in key_cols:
+        join_cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & join_cond
+    pairs = (small.alias("l").join(small.alias("r"), join_cond)
+             .select(F.col("l.id").alias("id_a"),
+                     F.col("r.id").alias("id_b")))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_perm: int = 64,
+                           bands: int = 16, ngram: int = 3,
+                           seed: int = 42,
+                           max_bucket: int = 64) -> DataFrame:
+    """Unverified LSH candidate pairs (id_a, id_b) — exposed so tests
+    and the bench can pin candidate VOLUME (the hot-bucket O(B) bound)
+    separately from Jaccard verification."""
     rows_per_band = num_perm // bands
     sig = docs.select(F.col(id_col).alias("id"),
                       minhash_udf(num_perm, ngram, seed)(
@@ -189,14 +242,25 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     # join directly on the band signature array: Catalyst hashes array
     # keys for the shuffle, and candidates stay exactly reproducible by
     # a single-threaded oracle (no engine-private hash in the semantics)
-    cand = (banded.alias("l")
-            .join(banded.alias("r"),
-                  (F.col("l.band") == F.col("r.band")) &
-                  (F.col("l.band_sig") == F.col("r.band_sig")) &
-                  (F.col("l.id") < F.col("r.id")))
-            .select(F.col("l.id").alias("id_a"),
-                    F.col("r.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    return _capped_candidates(banded, ["band", "band_sig"], max_bucket)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 64,
+                      bands: int = 16, ngram: int = 3,
+                      threshold: float = 0.5,
+                      seed: int = 42,
+                      max_bucket: int = 64) -> DataFrame:
+    """Near-dup pairs via MinHash → LSH banding → exact verification.
+
+    shuffle profile: explode to B rows/doc keyed by (band, hash of the
+    band's rows) → groupBy that small key → within-bucket pairs
+    (star edges above ``max_bucket`` — see `bucket_candidate_pairs`) →
+    verified with exact Jaccard recomputed from the two texts.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    cand = minhash_lsh_candidates(docs, id_col, text_col, num_perm,
+                                  bands, ngram, seed, max_bucket)
     # fetch the two texts back by id for the exact-Jaccard verify:
     # candidates ≪ corpus, so this joins a small pair table against the
     # docs scan twice instead of exploding the corpus text bands× times
@@ -223,7 +287,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", ngram: int = 3,
                         threshold: float = 0.8,
-                        block_words: int = 5) -> DataFrame:
+                        block_words: int = 5,
+                        max_bucket: int = 64) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs with prefix blocking.
 
     Blocking: only documents sharing their first ``block_words``
@@ -231,7 +296,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     the corpus is never cross-joined. Recall is bounded by the blocker
     (documents differing in their opening words are not compared);
     MinHash+LSH is the recall-oriented path, this is the cheap
-    high-precision one.
+    high-precision one. Common openings ("lorem ipsum…", cookie
+    banners) make quadratic blocks — ``max_bucket`` caps them with
+    star edges (see `bucket_candidate_pairs`).
 
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
     """
@@ -239,11 +306,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         " ", F.slice(F.split(F.trim(F.col(text_col)), r"\s+"), 1,
                      block_words))).alias("block_key")
     t = docs.select(F.col(id_col).alias("id"), key)
-    cand = (t.alias("l").join(t.alias("r"),
-                              (F.col("l.block_key") == F.col("r.block_key"))
-                              & (F.col("l.id") < F.col("r.id")))
-            .select(F.col("l.id").alias("id_a"),
-                    F.col("r.id").alias("id_b")))
+    cand = _capped_candidates(t, ["block_key"], max_bucket)
     # same join-back shape as minhash_lsh_pairs: the block self-join
     # shuffles (id, block_key) only, never the text
     texts = docs.select(F.col(id_col).alias("id"),
@@ -408,32 +471,33 @@ def near_dup_survivors(docs: DataFrame, pairs: DataFrame,
 
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
-                      prefix_bits: int = 16, ngram: int = 2) -> DataFrame:
+                      prefix_bits: int = 16, ngram: int = 2,
+                      max_bucket: int = 64) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Candidates come from equality on each of the 4 16-bit chunks
     (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks equal), so
-    the join key is small and the corpus is never cross-joined.
+    the join key is small and the corpus is never cross-joined; a
+    chunk value shared by a mass-duplicate flood is capped to star
+    edges by ``max_bucket`` (see `bucket_candidate_pairs`).
     Output: (id_a, id_b, hamming).
     """
     sh = docs.select(F.col(id_col).alias("id"),
                      simhash_udf(ngram)(F.col(text_col)).alias("sim"))
     chunks = sh.select(
-        "id", "sim",
+        "id",
         F.posexplode(F.array(*[
             F.shiftrightunsigned("sim", k * prefix_bits)
             .bitwiseAND(F.lit((1 << prefix_bits) - 1))
             for k in range(64 // prefix_bits)])).alias("chunk_no", "chunk"))
-    cand = (chunks.alias("l")
-            .join(chunks.alias("r"),
-                  (F.col("l.chunk_no") == F.col("r.chunk_no")) &
-                  (F.col("l.chunk") == F.col("r.chunk")) &
-                  (F.col("l.id") < F.col("r.id")))
-            .select(F.col("l.id").alias("id_a"),
-                    F.col("r.id").alias("id_b"),
-                    F.col("l.sim").alias("sim_a"),
-                    F.col("r.sim").alias("sim_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand = _capped_candidates(chunks, ["chunk_no", "chunk"], max_bucket)
+    # join the (small) sketch table back by id — pairs ≪ corpus, and
+    # the star edges dropped sim_a/sim_b so the verify rejoins anyway
+    sims = sh.withColumnRenamed("sim", "sim_a") \
+             .withColumnRenamed("id", "id_a")
+    cand = (cand.join(sims, "id_a")
+            .join(sh.withColumnRenamed("sim", "sim_b")
+                    .withColumnRenamed("id", "id_b"), "id_b"))
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (cand.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)

@@ -404,9 +404,13 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
                              n_bits: int = 16, bands: int = 8,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             seed: int = 42) -> DataFrame:
-    """Pairs with cosine ≥ threshold via shared-LSH-bucket candidates.
-    Output: (id_a, id_b, cosine), id_a < id_b."""
+                             seed: int = 42,
+                             max_bucket: int = 64) -> DataFrame:
+    """Pairs with cosine ≥ threshold via shared-LSH-bucket candidates;
+    oversized buckets are capped to star edges (`max_bucket`, see
+    `dedup.bucket_candidate_pairs`). Output: (id_a, id_b, cosine),
+    id_a < id_b."""
+    from .dedup import _capped_candidates
     sample = vectors.select(vec_col).first()
     dim = len(sample[0])
     buckets = lsh_bucket_udf(dim, n_bits, bands, seed)
@@ -414,12 +418,7 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
     # ride the bands× bucket explode through the self-join shuffle
     v = vectors.select(F.col(id_col).alias("id"),
                        F.explode(buckets(F.col(vec_col))).alias("bucket"))
-    cand = (v.alias("l").join(v.alias("r"),
-                              (F.col("l.bucket") == F.col("r.bucket")) &
-                              (F.col("l.id") < F.col("r.id")))
-            .select(F.col("l.id").alias("id_a"),
-                    F.col("r.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand = _capped_candidates(v, ["bucket"], max_bucket)
     # join vectors back by id for exact-cosine verification — the pair
     # table is ≪ corpus, so this costs two id-keyed joins, not bands×
     # copies of every vector

@@ -241,6 +241,91 @@ class TestDedup:
             assert pairs.get((ids[0], ids[1])) == 0  # identical text
 
 
+class TestHotBucketGuard:
+    """One band signature shared by a mass-duplicate flood (parked
+    domains, empty templates) must cost O(B) candidates, not O(B²) —
+    the 100-TB scale hazard flagged in round 4. Semantics live in ONE
+    kernel (`bucket_candidate_pairs`); the distributed path and every
+    oracle twin route through it."""
+
+    def test_kernel_all_pairs_below_cap_star_above(self):
+        from nipper_spark.functions.dedup import bucket_candidate_pairs
+        small = list(bucket_candidate_pairs([3, 1, 2], max_bucket=5))
+        assert set(small) == {(1, 2), (1, 3), (2, 3)}
+        big = list(bucket_candidate_pairs([5, 9, 2, 7], max_bucket=3))
+        assert big == [(2, 5), (2, 7), (2, 9)]  # star from the min id
+        # cap disabled -> all pairs regardless of size
+        off = list(bucket_candidate_pairs([5, 9, 2, 7], max_bucket=0))
+        assert len(off) == 6
+
+    def _flood(self, spark, n=1000):
+        """n docs sharing one normalized text (one band bucket per band,
+        all 16 identical) + a handful of distinct docs."""
+        rows = [(i, "the same parked domain boilerplate text repeated "
+                    "for every page on the host") for i in range(n)]
+        rows += [(n + i, f"genuinely distinct document number {i} with "
+                         f"its own words {i * 7} and {i * 13}")
+                 for i in range(5)]
+        return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    def test_minhash_flood_candidates_linear(self, spark):
+        from nipper_spark.functions.dedup import minhash_lsh_candidates
+        docs = self._flood(spark, n=1000)
+        cand = minhash_lsh_candidates(docs, max_bucket=64)
+        # every band's bucket collapses to the SAME 999 star edges
+        # (hub = min id); without the cap this would be 499,500 pairs.
+        # (the 5 distinct tail docs may legitimately pair among
+        # themselves in some band — restrict the pin to the flood)
+        flood = [r for r in cand.collect() if r["id_b"] < 1000]
+        assert len(flood) == 999
+        assert {r["id_a"] for r in flood} == {0}
+
+    def test_minhash_flood_still_clusters_to_one_survivor(self, spark):
+        """Star edges keep connectivity: the flood dedups to exactly
+        one survivor (min id), same answer the full clique would give."""
+        from nipper_spark.functions.dedup import (
+            minhash_lsh_pairs, near_dup_survivors)
+        docs = self._flood(spark, n=300)
+        pairs = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=32)
+        kept = sorted(r["doc_id"] for r in
+                      near_dup_survivors(docs, pairs).collect())
+        assert kept == [0, 300, 301, 302, 303, 304]
+
+    def test_capped_candidates_match_kernel(self, spark):
+        """Distributed path == pure kernel on a mixed fixture with a
+        tiny cap so BOTH branches (all-pairs and star) are exercised."""
+        from nipper_spark.functions.dedup import (
+            _capped_candidates, bucket_candidate_pairs)
+        import random
+        rng = random.Random(7)
+        rows = [(i, rng.randrange(6)) for i in range(60)]
+        items = spark.createDataFrame(rows, "id: long, bucket: int")
+        got = {(r["id_a"], r["id_b"]) for r in
+               _capped_candidates(items, ["bucket"], 8).collect()}
+        buckets: dict = {}
+        for i, b in rows:
+            buckets.setdefault(b, []).append(i)
+        exp = set()
+        for members in buckets.values():
+            exp.update(bucket_candidate_pairs(members, 8))
+        assert got == exp
+
+    def test_ngram_block_flood_linear(self, spark):
+        from nipper_spark.functions.dedup import ngram_jaccard_pairs
+        docs = self._flood(spark, n=500)
+        pairs = ngram_jaccard_pairs(docs, threshold=0.8, max_bucket=50)
+        assert pairs.count() == 499  # star only, all verified (identical)
+
+    def test_simhash_flood_linear(self, spark):
+        from nipper_spark.functions.dedup import simhash_near_dups
+        docs = self._flood(spark, n=500)
+        pairs = simhash_near_dups(docs, max_bucket=50)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert {(0, i) for i in range(1, 500)} <= got
+        # distinct docs may chunk-collide but the flood itself is linear
+        assert len(got) < 520
+
+
 class TestSampling:
     def test_hash_sample_stable_under_repartition(self, spark, docs):
         """Membership is a pure function of the key — the property
