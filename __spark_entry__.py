@@ -702,6 +702,50 @@ def _o_ann_ivf() -> str:
                               ("vec_id", "BIGINT")])
 
 
+def _q_ann_ivf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-TABLE IVF: probe assignment happens in a pandas UDF over
+    the broadcast centroids — the query side is a DataFrame end to end
+    (no driver collect), the contract a 10⁷-row query table needs."""
+    from nipper_spark.functions.similarity import ann_ivf_topk_df
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = (emb.orderBy("vec_id").limit(ANN["n_queries"])
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("q_embedding")))
+    return ann_ivf_topk_df(
+        emb, qdf, k=IVF["k"], n_lists=IVF["n_lists"],
+        n_probe=IVF["n_probe"], seed=IVF["seed"]).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"))
+
+
+def _o_ann_ivf_df() -> str:
+    """Same twin as _o_ann_ivf, but queries are the n_queries SMALLEST
+    vec_ids (the DF variant picks them via orderBy/limit, not file
+    order)."""
+    import numpy as np
+    from nipper_spark.functions.similarity import (
+        _kmeans_centroids, _normalize)
+    ids, m = _read_emb_sf001()
+    order = np.argsort(ids)
+    sample = m[order][:2048]
+    cent = _kmeans_centroids(sample, IVF["n_lists"], seed=IVF["seed"])
+    norm = _normalize(m.astype(np.float32))
+    assign = np.argmax(norm @ cent.T, axis=1)
+    rows = []
+    for qi in order[:ANN["n_queries"]]:
+        qsims = norm[qi] @ cent.T
+        probe = set(np.argsort(-qsims, kind="stable")[:IVF["n_probe"]]
+                    .tolist())
+        cand = [i for i in range(len(ids)) if assign[i] in probe]
+        scored = sorted(((-float((norm[i] * norm[qi]).sum()), int(ids[i]))
+                         for i in cand))
+        for rank, (_, vid) in enumerate(scored[:IVF["k"]], start=1):
+            rows.append((int(ids[qi]), rank, vid))
+    return _values_sql(rows, [("query_id", "BIGINT"), ("rank", "INTEGER"),
+                              ("vec_id", "BIGINT")])
+
+
 IVFPQ = dict(k=5, n_lists=8, m=8, k_pq=32, n_probe=4, rerank=8, seed=42)
 
 
@@ -1259,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_df_topk": _q_ann_ivf_df,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         # capstone complex query (select→mutate→re-select in one UDF)
         "readability": _q_readability,
@@ -1668,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": _o_ann_brute(),
         "ann_lsh_topk": _o_ann_lsh(),
         "ann_ivf_topk": _o_ann_ivf(),
+        "ann_ivf_df_topk": _o_ann_ivf_df(),
         "ann_ivfpq_topk": _o_ann_ivfpq(),
         "readability": _o_readability(),
         "curate_training_set": _o_curate(),

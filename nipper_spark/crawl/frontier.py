@@ -161,8 +161,14 @@ class FrontierEngine:
                     r["prefix"])
 
         def _seed_allowed(host: str, url: str) -> bool:
-            if not pol.allowed(host, url):
-                return False
+            # same authority rule as run_round's robots_filter: when a
+            # rules TABLE is provided it is the sole robots authority
+            # (dict rules are only a convenience that converts to a
+            # table when none is given) — previously this ANDed both,
+            # so a table Allow could not override a dict Disallow for
+            # seeds while it could for round candidates
+            if self._rules is None:
+                return pol.allowed(host, url)
             dis, alw = seed_rules.get(host, ((), ()))
             i = url.find("/", url.find("://") + 3)
             path = url[i:] if i != -1 else "/"

@@ -50,7 +50,12 @@ def _rule_re(rule: str) -> "re.Pattern[str]":
     end = rule.endswith("$")
     body = rule[:-1] if end else rule
     pat = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
-    return re.compile("^" + pat + ("$" if end else ""))
+    # DOTALL + \Z, not default + $: the SQL LIKE twin's '%' matches ANY
+    # character including \n, and LIKE has no before-trailing-newline
+    # anchor — without these a path containing a raw newline (legal in
+    # a Python str even if canonical URLs percent-encode it) diverges
+    # between this kernel and the distributed LIKE filter
+    return re.compile("^" + pat + (r"\Z" if end else ""), re.DOTALL)
 
 
 def rule_matches(rule: str, path: str) -> bool:

@@ -91,7 +91,12 @@ def parse_sitemap(body: bytes | str) -> list[tuple[str, str,
     return out
 
 
-_SITEMAP_URL_RE = r"/sitemap[^/]*\.(xml|xml\.gz|txt)$"
+# anchored to the PATH component, with an optional query suffix:
+# paginated sitemaps (sitemap.xml?page=2) are common on large sites and
+# canonicalize_url preserves the query — end-anchoring on the full URL
+# would silently dispatch them to the HTML extractor. One pattern
+# string, legal in both Python re and Java rlike.
+_SITEMAP_URL_RE = r"/sitemap[^/?#]*\.(xml|xml\.gz|txt)(\?.*)?$"
 SITEMAP_SCHEMA = ("host string, url string, kind string, "
                   "lastmod string, priority double")
 

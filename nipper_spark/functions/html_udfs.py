@@ -164,9 +164,15 @@ def extract_text_and_links(url: str, html,
     text, hrefs, rels = a.text_and_anchor_hrefs(root, with_rel=True)
     n_anchors = len(hrefs)
     if respect_nofollow:
-        meta = doc.select('meta[name="robots" i]').attr("content") or ""
-        tokens = {t.strip().lower()
-                  for t in meta.replace(",", " ").split()}
+        # REP meta directives combine across ALL robots metas on the
+        # page (a later <meta name=robots content=nofollow> counts even
+        # when an earlier tag carries other directives) — union every
+        # matched tag's token set, not just the first tag's
+        tokens: set[str] = set()
+        for m in doc.select('meta[name="robots" i]').iter():
+            meta = m.attr("content") or ""
+            tokens |= {t.strip().lower()
+                       for t in meta.replace(",", " ").split()}
         if "nofollow" in tokens or "none" in tokens:
             hrefs = []
         else:

@@ -223,6 +223,73 @@ def ann_ivf_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]],
             .filter(F.col("rank") <= k))
 
 
+def ann_ivf_topk_df(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    n_lists: int = 16, n_probe: int = 4,
+                    sample_size: int = 2048, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    q_id_col: str = "query_id",
+                    q_vec_col: str = "q_embedding",
+                    seed: int = 42) -> DataFrame:
+    """IVF ANN with a query TABLE: same semantics as `ann_ivf_topk`,
+    but probe assignment runs in a pandas UDF over the broadcast
+    centroids instead of a driver loop — the query side is never
+    collected, so a 10⁷-row query table works. The list-id join is an
+    equi-join both sides shuffle on (or the probed-query side
+    broadcasts, when AQE sees it small); ``n_lists`` bounds that key's
+    cardinality, so size it ≳ cluster parallelism at scale.
+
+    Output: (query_id, vec_id, cosine, rank), exact cosine inside the
+    probed lists — bit-identical to `ann_ivf_topk` on the same
+    queries (shared centroid training + the same float32 op order in
+    assignment and probing)."""
+    spark = corpus.sparkSession
+    src = corpus.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("embedding"))
+    # bounded, deterministic training sample (same contract as
+    # ann_ivf_topk: order by id, first sample_size rows)
+    sample_rows = src.orderBy("vec_id").limit(sample_size).collect()
+    sample = np.asarray([r["embedding"] for r in sample_rows],
+                        dtype=np.float32)
+    cent = _kmeans_centroids(sample, n_lists, seed=seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("int")
+    def _assign(vec: pd.Series) -> pd.Series:
+        c = bc.value
+        m = _normalize(_as_matrix(vec))
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype("int32"))
+
+    sharded = src.withColumn("list_id", _assign(F.col("embedding")))
+
+    @F.pandas_udf("array<int>")
+    def _probe(vec: pd.Series) -> pd.Series:
+        c = bc.value
+        m = _normalize(_as_matrix(vec))
+        sims = m @ c.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = queries.select(F.col(q_id_col).alias("query_id"),
+                       F.col(q_vec_col).alias("q_embedding"))
+    probes = q.select("query_id", "q_embedding",
+                      F.explode(_probe(F.col("q_embedding")))
+                      .alias("list_id"))
+    cand = sharded.join(probes, "list_id")
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = _normalize(_as_matrix(a))
+        mb = _normalize(_as_matrix(b))
+        return pd.Series((ma * mb).sum(axis=1).astype(float))
+
+    scored = cand.withColumn("cosine", _cos("embedding", "q_embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (scored.select("query_id", "vec_id", "cosine")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 # ----------------------------------------------------------------------
 # IVF-PQ: product-quantized inverted lists (Jégou et al., "Product
 # Quantization for Nearest Neighbor Search", TPAMI 2011) — the

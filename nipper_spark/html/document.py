@@ -171,9 +171,8 @@ class Selection:
     def get(self, i: int) -> int | None:
         return self.ids[i] if 0 <= i < len(self.ids) else None
 
-    def iter(self):
-        for nid in self.ids:
-            yield Selection(self.doc, [nid])
+    def iter(self) -> "Selections":
+        return Selections(self.doc, self.ids)
 
     # -- traversal (all dedupe, first-occurrence order;
     #    src/traversal.rs:140-215) ---------------------------------------
@@ -405,3 +404,27 @@ class Selection:
                 a.remove_from_parent(child)
                 a.append_child(i, child)
         return self
+
+
+class Selections:
+    """Iterator view over a Selection's nodes, one single-node
+    Selection at a time — reversible and sized, matching the
+    reference's DoubleEndedIterator + ExactSizeIterator impls for
+    ``Selections`` (src/traversal.rs:246-268)."""
+
+    __slots__ = ("doc", "ids")
+
+    def __init__(self, doc: Document, ids) -> None:
+        self.doc = doc
+        self.ids = list(ids)
+
+    def __iter__(self):
+        for nid in self.ids:
+            yield Selection(self.doc, [nid])
+
+    def __reversed__(self):
+        for nid in reversed(self.ids):
+            yield Selection(self.doc, [nid])
+
+    def __len__(self) -> int:
+        return len(self.ids)

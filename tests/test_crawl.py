@@ -283,6 +283,13 @@ class TestNofollow:
         _, nl, _, _ = extract_text_and_links(
             "http://h.test/", none, respect_nofollow=True)
         assert nl == []
+        # REP directives combine across MULTIPLE robots metas: nofollow
+        # in a later tag counts even when the first tag has none
+        multi = ('<meta name="robots" content="noindex">'
+                 '<meta name="robots" content="nofollow">' + html)
+        _, mml, _, _ = extract_text_and_links(
+            "http://h.test/", multi, respect_nofollow=True)
+        assert mml == []
 
     def test_engine_matches_oracle_with_nofollow(self, spark,
                                                  tmp_path_factory):

@@ -627,6 +627,26 @@ class TestIvf:
         for qid, _ in queries:  # self vector always in its own list
             assert (qid, qid) in v
 
+    def test_ivf_df_variant_matches_list_variant(self, spark, emb):
+        """ann_ivf_topk_df (query TABLE, probe assignment in a pandas
+        UDF — no driver collect of queries) must return exactly what
+        the list variant returns for the same queries: shared centroid
+        training and identical float32 op order make it bit-equal."""
+        from nipper_spark.functions.similarity import (
+            ann_ivf_topk, ann_ivf_topk_df)
+        rows = emb.orderBy("vec_id").limit(5).collect()
+        queries = [(r["vec_id"], r["embedding"]) for r in rows]
+        qdf = (emb.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+        via_list = sorted(map(tuple, ann_ivf_topk(
+            emb, queries, k=5, n_lists=8, n_probe=3)
+            .select("query_id", "rank", "vec_id", "cosine").collect()))
+        via_df = sorted(map(tuple, ann_ivf_topk_df(
+            emb, qdf, k=5, n_lists=8, n_probe=3)
+            .select("query_id", "rank", "vec_id", "cosine").collect()))
+        assert via_list == via_df
+
     def test_ivf_deterministic(self, spark, emb):
         from nipper_spark.functions.similarity import ann_ivf_topk
         rows = emb.orderBy("vec_id").limit(3).collect()

@@ -416,6 +416,39 @@ class TestEmptyRuleParity:
         assert out.count() == 1  # candidate survives, matching the kernel
 
 
+def test_seed_filter_table_is_sole_authority(tmp_path):
+    """When a rules TABLE is passed, it is the only robots authority —
+    for seeds exactly as for round candidates. Previously bootstrap
+    ANDed the config-dict decision with the table decision, so a table
+    Allow could never override a dict Disallow for seeds while it
+    could mid-crawl (round filtering ignores dicts when a table is
+    given)."""
+    import datetime
+
+    from nipper_spark.crawl.frontier import FrontierEngine
+    from nipper_spark.crawl.politeness import CrawlPolicy
+    from nipper_spark.crawl.state import FRONTIER_SCHEMA, CrawlState
+    from nipper_spark.session import build_session
+    from nipper_spark.sources.synthetic import PAGES_SCHEMA
+
+    spark = build_session("robots-tests", master="local[4]",
+                          shuffle_partitions=4)
+    ts = datetime.datetime(2026, 1, 1)
+    pages = spark.createDataFrame(
+        [("http://h.test/x/a", ts, b"<p>x</p>", None, "en")], PAGES_SCHEMA)
+    # dict says Disallow /x; table says Disallow /x BUT Allow /x/a
+    policy = CrawlPolicy(robots_disallow={"h.test": ["/x"]}, n_buckets=2)
+    rules = spark.createDataFrame(
+        [("h.test", "/x", False), ("h.test", "/x/a", True)],
+        "host string, prefix string, allow boolean")
+    d = str(tmp_path / "seedauth")
+    eng = FrontierEngine(spark, pages, d, policy, rules=rules)
+    eng.bootstrap([("http://h.test/x/a", 1.0), ("http://h.test/x/b", 0.5)])
+    got = sorted(r["url"] for r in CrawlState(spark, d)
+                 .read("frontier", 0, FRONTIER_SCHEMA).collect())
+    assert got == ["http://h.test/x/a"]  # Allow overrode the dict rule
+
+
 def test_rule_to_like_equals_rule_matches_property():
     """The SQL LIKE translation and the regex kernel are the same
     function: for random rules (wildcards, anchors, LIKE
@@ -430,7 +463,9 @@ def test_rule_to_like_equals_rule_matches_property():
     from nipper_spark.crawl.robots import rule_matches, rule_to_like
 
     con = duckdb.connect()
-    chars = list("/ab1.*$%_\\-~")
+    # \n included deliberately: LIKE '%' matches newlines, so the
+    # kernel must too (re.DOTALL + \Z, not default-mode .* and $)
+    chars = list("/ab1.*$%_\\-~\n")
 
     @settings(max_examples=400, deadline=None)
     @given(st.text(alphabet=st.sampled_from(chars), min_size=1,

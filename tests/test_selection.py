@@ -54,6 +54,17 @@ class TestTraversal:
         with pytest.raises(SelectorError):
             doc.select("div.hero-unit").select("")
 
+    def test_iter_is_double_ended(self, doc):
+        """`Selections` is reversible + sized, like the reference's
+        DoubleEndedIterator/ExactSizeIterator (src/traversal.rs:246-268):
+        reversed() yields the same single-node Selections back-to-front."""
+        it = doc.select("div.row-fluid").iter()
+        fwd = [s.ids[0] for s in it]
+        bwd = [s.ids[0] for s in reversed(it)]
+        assert len(it) == 9 == len(fwd)
+        assert bwd == fwd[::-1]
+        assert all(s.length == 1 for s in it)
+
     def test_children(self, doc):
         assert doc.select(".pvk-content").children().length == 5
 

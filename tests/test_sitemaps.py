@@ -44,6 +44,33 @@ class TestParseKernel:
             ("url", "http://h.test/p1", None, None),
             ("url", "https://h.test/p2", None, None)]
 
+    def test_is_sitemap_url_query_strings_and_rlike_parity(self):
+        """Paginated sitemaps (sitemap.xml?page=2) must dispatch to the
+        sitemap parser — canonicalize_url preserves queries, so an
+        end-anchored pattern on the full URL silently lost them. The
+        one pattern string must also behave identically under Python
+        re and DuckDB's Java-style regexp (the rlike twin)."""
+        import duckdb
+        from nipper_spark.crawl.sitemaps import (
+            _SITEMAP_URL_RE, is_sitemap_url)
+        cases = {
+            "http://h.test/sitemap.xml": True,
+            "http://h.test/sitemap.xml?page=2": True,
+            "http://h.test/sitemap-news.xml.gz?d=1&p=2": True,
+            "http://h.test/sitemap.txt": True,
+            "http://h.test/a/sitemap_1.xml": True,
+            "http://h.test/sitemap.xml/evil.html": False,
+            "http://h.test/page?ref=sitemap.xml": False,
+            "http://h.test/sitemap.html": False,
+            "http://h.test/notasitemap/x.xml": False,
+        }
+        con = duckdb.connect()
+        for url, want in cases.items():
+            assert is_sitemap_url(url) is want, url
+            got = con.execute("SELECT regexp_matches(?, ?)",
+                              [url, _SITEMAP_URL_RE]).fetchone()[0]
+            assert bool(got) is want, ("duckdb", url)
+
     def test_garbage_never_raises(self):
         for body in (b"", b"\x1f\x8b broken gzip", b"<urlset><url><loc>",
                      b"\x00\xff binary", "plain text no urls",

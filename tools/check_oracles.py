@@ -35,6 +35,12 @@ def compare(name, spark_df, sql, con):
     ocols = [d[0] for d in res.description]
     orows = [tuple(norm_val(v) for v in r) for r in res.fetchall()]
     problems = []
+    # vacuity gate (round-4 lesson: three oracles silently compared
+    # empty vs empty — a hash match on zero rows proves nothing)
+    if not srows:
+        problems.append("VACUOUS: spark returned 0 rows — an "
+                        "empty-vs-empty match is no evidence; make the "
+                        "fixture produce rows")
     if sorted(scols) != sorted(ocols):
         problems.append(f"cols spark={scols} oracle={ocols}")
     if len(srows) != len(orows):
@@ -74,8 +80,13 @@ def main():
             df = fn(spark, SF)
             if name not in oracles:
                 n = df.count()
-                print(f"  {name:26s} rows-only n={n}  "
-                      f"({time.time()-t0:.1f}s)")
+                if n == 0:
+                    failed.append(name)
+                    print(f"✗ {name:26s} VACUOUS rows-only n=0  "
+                          f"({time.time()-t0:.1f}s)")
+                else:
+                    print(f"  {name:26s} rows-only n={n}  "
+                          f"({time.time()-t0:.1f}s)")
                 continue
             problems = compare(name, df, oracles[name], con)
         except Exception as e:  # noqa: BLE001
