@@ -1711,10 +1711,18 @@ def _mode_in_select(tb: TreeBuilder, tok) -> None:
                 tb.stack.pop()
             return
         if name == "optgroup":
-            if tb._name(tb._current()) == "option":
+            # spec: pop the open option ONLY when the node immediately
+            # before it on the stack is an optgroup; `</optgroup>` with
+            # <select><option> open is a parse error and ignored (the
+            # option stays open, following text lands inside it)
+            if (tb._name(tb._current()) == "option"
+                    and len(tb.stack) >= 2
+                    and tb._name(tb.stack[-2]) == "optgroup"):
                 tb.stack.pop()
             if tb._name(tb._current()) == "optgroup":
                 tb.stack.pop()
+            else:
+                tb.arena.errors.append("unexpected-end-tag")
             return
         if name == "select":
             if tb._in_scope("select", frozenset(["optgroup", "option"])):

@@ -1183,3 +1183,61 @@ CHARREF_DEGENERATE_CASES = [
                          ids=[c[0] for c in CHARREF_DEGENERATE_CASES])
 def test_charref_degenerate_forms(name, inp, expected):
     assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+# batch 15 (round 5): optgroup end-tag condition, select text edges,
+# isindex-era tokens (plain unknown element today), rcdata end-tag
+# whitespace/slash/attr forms, and in-template EOF edges. The optgroup
+# case found a real bug: `</optgroup>` with <select><option> open was
+# popping the option, but the spec pops it ONLY when the node
+# immediately before it on the stack is an optgroup — otherwise the
+# token is ignored and following text lands inside the option.
+CASES15 = [
+    ("end-optgroup-option-top", "<select><option></optgroup>x</select>",
+     "<body><select><option>x</option></select></body>"),
+    ("end-optgroup-proper",
+     "<select><optgroup><option>a</optgroup>b</select>",
+     "<body><select><optgroup><option>a</option></optgroup>b"
+     "</select></body>"),
+    ("end-optgroup-bare", "<select></optgroup>x</select>",
+     "<body><select>x</select></body>"),
+    ("optgroup-restart",
+     "<select><optgroup><option>1<optgroup><option>2</select>",
+     "<body><select><optgroup><option>1</option></optgroup>"
+     "<optgroup><option>2</option></optgroup></select></body>"),
+    ("isindex-plain-element", "<isindex name=q>x",
+     '<body><isindex name="q">x</isindex></body>'),
+    ("isindex-fostered", "<table><isindex></table>",
+     "<body><isindex></isindex><table></table></body>"),
+    ("title-endtag-space", "<title>a</title >b",
+     "<body>b</body>"),
+    ("title-endtag-slash", "<title>a</title/>b",
+     "<body>b</body>"),
+    ("title-endtag-attr", "<title>a</title id=x>b",
+     "<body>b</body>"),
+    ("rcdata-almost-endtag", "<textarea>a</textare>b</textarea>c",
+     "<body><textarea>a&lt;/textare&gt;b</textarea>c</body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES15,
+                         ids=[c[0] for c in CASES15])
+def test_tree_construction_batch15(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+def test_template_eof_edges():
+    """EOF while the parser is inside template contents: the partial
+    subtree stays in the (detached) contents tree, per the spec's
+    in-template EOF rule (pop template, pop template insertion modes,
+    reprocess)."""
+    assert _contents("<template><td>x") == ["<td>x</td>"]
+    assert _contents("<table><template><tr>") == ["<tr></tr>"]
+    assert _contents("<template><template><p>y") == \
+        ["<template></template>", "<p>y</p>"]
+    assert _contents("<template><caption>z") == ["<caption>z</caption>"]
+    assert _contents("<template><col>") == ["<col>"]
+    # <frame> outside frameset is ignored even via the template path
+    assert _contents("<template><frame>") == [""]
+    assert _contents("<template><select><option>q") == \
+        ["<select><option>q</option></select>"]
