@@ -1215,6 +1215,76 @@ def _q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def _q_recrawl_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit scheduling over a fetch log derived
+    deterministically from the events table (user_id → page, ts-order
+    → fetch sequence, event_type → content fingerprint): exponential
+    backoff per trailing unchanged fetch, reset on change — the
+    frontier score input for recrawls (crawl/revisit.py)."""
+    from pyspark.sql import Window
+
+    from nipper_spark.crawl.revisit import revisit_scores
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    log = ev.select(
+        F.concat(F.lit("http://h"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".test/p"),
+                 F.col("user_id").cast("string")).alias("url"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long").alias("seq"),
+        F.col("event_type").alias("fingerprint"))
+    return (revisit_scores(log, base_interval=1, max_interval=64)
+            .select("url",
+                    F.col("last_seq").cast("bigint").alias("last_seq"),
+                    F.col("n_fetches").cast("bigint").alias("n_fetches"),
+                    F.col("unchanged_streak").cast("bigint")
+                    .alias("unchanged_streak"),
+                    F.col("revisit_interval").cast("bigint")
+                    .alias("revisit_interval"),
+                    F.col("next_due_seq").cast("bigint")
+                    .alias("next_due_seq"),
+                    "revisit_score"))
+
+
+# the DuckDB twin of _q_recrawl_scores — same fetch-log derivation,
+# same backoff arithmetic (powers of two, so 1.0/interval hash-matches)
+_O_RECRAWL = """
+WITH log AS (
+  SELECT 'http://h' || CAST(user_id % 20 AS VARCHAR) || '.test/p'
+           || CAST(user_id AS VARCHAR) AS url,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS seq,
+         event_type AS fingerprint
+  FROM events),
+ch AS (
+  SELECT url, seq,
+         (lag(fingerprint) OVER w IS NULL
+          OR fingerprint <> lag(fingerprint) OVER w) AS changed
+  FROM log WINDOW w AS (PARTITION BY url ORDER BY seq)),
+ch2 AS (
+  SELECT url, seq, changed,
+         max(CASE WHEN changed THEN seq END)
+             OVER (PARTITION BY url) AS lcs
+  FROM ch),
+agg AS (
+  SELECT url, max(seq) AS last_seq,
+         count(*) AS n_fetches,
+         CAST(coalesce(sum(CASE WHEN seq > lcs THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS unchanged_streak
+  FROM ch2 GROUP BY url),
+iv AS (
+  SELECT *, least(CAST(64 AS BIGINT),
+                  CAST(1 << CAST(least(unchanged_streak, 30) AS INTEGER)
+                       AS BIGINT)) AS revisit_interval
+  FROM agg)
+SELECT url, last_seq, CAST(n_fetches AS BIGINT) AS n_fetches,
+       unchanged_streak, revisit_interval,
+       last_seq + revisit_interval AS next_due_seq,
+       1.0 / CAST(revisit_interval AS DOUBLE) AS revisit_score
+FROM iv
+"""
+
+
 def _o_sitemap_refresh() -> str:
     from nipper_spark.crawl.sitemaps import (
         harvest_sitemap_entries_py, sitemap_refresh_py,
@@ -1326,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sitemap discovery (urlset/sitemapindex/gzip/txt, same-host)
         "sitemap_harvest": _q_sitemap_harvest,
         "sitemap_refresh": _q_sitemap_refresh,
+        # change-rate-adaptive recrawl scheduling (pure Catalyst)
+        "recrawl_scores": _q_recrawl_scores,
     }
 
 
@@ -1731,4 +1803,5 @@ def oracle_sql() -> dict[str, str]:
         "media_real_decode": _o_media_real_decode(),
         "sitemap_harvest": _o_sitemap_harvest(),
         "sitemap_refresh": _o_sitemap_refresh(),
+        "recrawl_scores": _O_RECRAWL,
     }

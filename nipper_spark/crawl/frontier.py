@@ -312,8 +312,12 @@ class FrontierEngine:
                                      wave_bound=bound,
                                      budgets_rows=self._budgets_rows,
                                      frontier_bound=bound)
-        obs_wave = Observation()
-        wave = wave.observe(obs_wave, F.count(F.lit(1)).alias("n")).cache()
+        wave = wave.cache()
+        # one count materializes the wave cache up front (it doubles as
+        # the scheduled counter), so the schedule write below can run
+        # CONCURRENTLY with the frontier chain — both read the cache,
+        # neither recomputes select_wave
+        stats.scheduled = wave.count()
 
         # ordering record — the wave is bounded by Σ politeness budgets,
         # but at 10^10 URLs that is still millions of rows. Adaptive
@@ -328,17 +332,15 @@ class FrontierEngine:
                 (F.row_number().over(Window.orderBy(*wave_order())) - 1)
                 .cast("long").alias("seq"),
                 "url", "host", "depth", "score")
-            st.write("schedule", r, schedule)
         else:
             seq_df = row_sequence(wave, wave_order_specs(), "seq")
             schedule = seq_df.select(
                 F.lit(r).alias("round"),
                 F.col("seq").cast("long").alias("seq"),
                 "url", "host", "depth", "score")
-            st.write("schedule", r, schedule)
-        stats.scheduled = _obs_long(obs_wave, "n", wave.count)
 
         if stats.scheduled == 0:
+            st.write("schedule", r, schedule)
             st.write("frontier", r + 1, frontier)
             st.write("seen", r + 1,
                      self.spark.createDataFrame([], SEEN_SCHEMA))
@@ -347,6 +349,14 @@ class FrontierEngine:
             st.commit_round(r)
             wave.unpersist()
             return stats
+
+        # the schedule write is small once the wave cache is hot; run
+        # it on a driver thread while THIS thread builds and writes the
+        # heavyweight frontier chain. Joined before commit_round.
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+        _sched_pool = _TPE(max_workers=1)
+        _sched_write = _sched_pool.submit(st.write, "schedule", r,
+                                          schedule)
 
         # "fetch" = join the wave against the big pages scan (broadcast
         # while the wave bound allows; shuffle join above the threshold
@@ -435,9 +445,6 @@ class FrontierEngine:
             lambda: probed.filter("bloom_hit").count())
         stats.residual = _obs_long(obs_residual, "n", residual.count)
 
-        st.write("seen", r + 1, fresh.select(
-            "url", "host_bucket", "url_hash", F.lit(r + 1).alias("round")))
-
         # bloom |= fresh, per bucket. The cogroup emits every bucket key
         # present on either side, so it alone produces exactly one row
         # per bucket: fresh-only → new payload, both → merged, bloom-only
@@ -446,14 +453,33 @@ class FrontierEngine:
                      .cogroup(bloom_df.groupBy("host_bucket"))
                      .applyInPandas(_make_merge_fn(pol.filter_kind),
                                     schema=BLOOM_SCHEMA))
-        st.write("bloom", r + 1, new_bloom)
+        seen_delta = fresh.select(
+            "url", "host_bucket", "url_hash", F.lit(r + 1).alias("round"))
 
-        per_bucket = [(row["host_bucket"], row["n"]) for row in
-                      fresh.groupBy("host_bucket").agg(
-                          F.count("*").alias("n")).collect()]
-        stats.fresh = sum(n for _, n in per_bucket)
-        stats.frontier_next = stats.residual + stats.fresh
-        st.write("round_log", r, self._log_df(r, stats, per_bucket))
+        # the seen write, bloom write, and per-bucket counters are
+        # three INDEPENDENT consumers of the fresh cache the frontier
+        # write just materialized — run them as concurrent jobs from
+        # driver threads instead of three serial job launches (each
+        # write's fixed cost is task scheduling + parquet commit, not
+        # compute, so overlap ≈ max instead of sum). commit_round only
+        # after every write landed: a failed write raises out of
+        # result() and the uncommitted round replays on resume.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            w_seen = ex.submit(st.write, "seen", r + 1, seen_delta)
+            w_bloom = ex.submit(st.write, "bloom", r + 1, new_bloom)
+            pb = ex.submit(
+                lambda: [(row["host_bucket"], row["n"]) for row in
+                         fresh.groupBy("host_bucket").agg(
+                             F.count("*").alias("n")).collect()])
+            per_bucket = pb.result()
+            stats.fresh = sum(n for _, n in per_bucket)
+            stats.frontier_next = stats.residual + stats.fresh
+            st.write("round_log", r, self._log_df(r, stats, per_bucket))
+            w_seen.result()
+            w_bloom.result()
+        _sched_write.result()
+        _sched_pool.shutdown()
         st.commit_round(r)
 
         # periodic seen-delta compaction (crash-safe; bounds file count)
