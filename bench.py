@@ -377,6 +377,69 @@ def frontier_stress_pair(n_lo: int, n_hi: int, per_core: int,
     return fold(lo_s), fold(hi_s)
 
 
+def frontier_stress_pair_isolated(n_lo: int, n_hi: int, per_core: int,
+                                  repeats: int = 3) -> tuple[dict, dict]:
+    """The --isolate variant: each stress level runs in its own
+    SUBPROCESS pinned to a disjoint-sized cpuset (taskset 0-(N-1)), so
+    the low level physically cannot borrow the high level's cores and
+    JVM+Python co-saturation cannot pollute the ratio — the closest a
+    one-box sandbox gets to two cluster sizes. Interleaved like
+    frontier_stress_pair, for the same page-cache-fairness reason."""
+    import subprocess
+    from statistics import median
+
+    def run_one(n: int, urls: int) -> dict:
+        cmd = ["taskset", "-c", f"0-{n - 1}", sys.executable, __file__,
+               "--stress-one", str(n), "--urls", str(urls)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_s, hi_s = [], []
+    for _ in range(repeats):
+        lo_s.append(run_one(n_lo, per_core * n_lo))
+        hi_s.append(run_one(n_hi, per_core * n_hi))
+
+    def fold(samples: list[dict]) -> dict:
+        out = dict(samples[len(samples) // 2])
+        n_eff = out["frontier_urls"] + out["fresh_after_antijoin"]
+        out["seconds"] = round(median(s["seconds"] for s in samples), 2)
+        out["seconds_warm"] = round(
+            median(s["seconds_warm"] for s in samples), 2)
+        out["urls_per_sec"] = round(n_eff / out["seconds"], 1)
+        out["urls_per_sec_warm"] = round(n_eff / out["seconds_warm"], 1)
+        out["cold_samples_sec"] = [s["seconds"] for s in samples]
+        out["warm_samples_sec"] = [s["seconds_warm"] for s in samples]
+        return out
+
+    lo, hi = fold(lo_s), fold(hi_s)
+    lo["pinned_cpuset"] = f"0-{n_lo - 1}"
+    hi["pinned_cpuset"] = f"0-{n_hi - 1}"
+    return lo, hi
+
+
+def dedup_flood_stress(spark, sizes=(2000, 8000)) -> dict:
+    """The hot-bucket guard's O(B) evidence: a flood of B identical
+    documents (every LSH band collapses to ONE bucket) must produce
+    exactly B-1 candidate pairs (star edges) — not B²/2 ≈ 2M/32M. Two
+    sizes pin the growth as linear."""
+    from pyspark.sql import functions as F
+    from nipper_spark.functions.dedup import minhash_lsh_candidates
+
+    out = {"b": list(sizes), "candidates": [], "seconds": []}
+    for b in sizes:
+        docs = spark.range(b).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same parked domain boilerplate text repeated "
+                  "for every page on the host").alias("text"))
+        t0 = time.time()
+        n = minhash_lsh_candidates(docs, max_bucket=64).count()
+        out["seconds"].append(round(time.time() - t0, 2))
+        out["candidates"].append(n)
+        assert n == b - 1, (b, n)
+    return out
+
+
 def fingerprint_kernel_bench(n_docs: int = 1500,
                              doc_bytes: int = 2048) -> dict:
     """Vectorized-vs-scalar microbench for the fingerprint rolling
@@ -442,10 +505,24 @@ def main() -> int:
                     help="N for the N vs 4N comparison (default 4)")
     ap.add_argument("--stress", action="store_true",
                     help="10^6-URL frontier stress (hot-host skew)")
+    ap.add_argument("--isolate", action="store_true",
+                    help="with --stress: pin each level to its own "
+                         "cpuset via taskset (subprocess per sample)")
+    ap.add_argument("--stress-one", type=int, default=0,
+                    help="internal: one stress sample at local[N], "
+                         "prints a JSON line (used by --isolate)")
+    ap.add_argument("--urls", type=int, default=0,
+                    help="internal: URL count for --stress-one")
     ap.add_argument("--sf", default=SF_DIR)
     ap.add_argument("--cpus", type=int, default=CPUS)
     args = ap.parse_args()
     SF_DIR = args.sf
+
+    if args.stress_one:
+        n = args.stress_one
+        print(json.dumps(frontier_stress(
+            f"local[{n}]", n, n_urls=args.urls or 125_000 * n)))
+        return 0
 
     if args.stress:
         # WEAK scaling for the queue machinery: a 4× cluster crawls 4×
@@ -456,9 +533,12 @@ def main() -> int:
         # has its own strong-scaling pair under --scaling.
         per_core = 125_000
         n_lo = max(args.cpus // 4, 2)
-        lo, hi = frontier_stress_pair(n_lo, args.cpus, per_core)
+        pair = (frontier_stress_pair_isolated if args.isolate
+                else frontier_stress_pair)
+        lo, hi = pair(n_lo, args.cpus, per_core)
         print(json.dumps({"frontier_stress": hi,
                           "frontier_stress_low": lo,
+                          "isolated_cpusets": bool(args.isolate),
                           "weak_scaling_efficiency": round(
                               lo["seconds"] / hi["seconds"], 3),
                           "weak_scaling_efficiency_warm": round(
@@ -489,6 +569,9 @@ def main() -> int:
     t_all0 = time.time()
     q, extra = bench_queries(spark)
     total = time.time() - t_all0
+    # hot-bucket guard evidence: candidate volume is O(B) on a
+    # mass-duplicate flood (star edges), pinned at two sizes
+    flood = dedup_flood_stress(spark)
     spark.stop()
     sf = os.path.basename(args.sf.rstrip("/")).replace("sf", "")
     out = {
@@ -501,6 +584,7 @@ def main() -> int:
         "detail": {k: v for k, v in extra.items() if k != "urls_per_sec"},
     }
     out["detail"]["fingerprint_kernel"] = fp_bench
+    out["detail"]["dedup_flood"] = flood
     if not os.environ.get("SPARK_GRAFT_SKIP_STRESS"):
         # weak-scaling frontier stress rides along in the recorded
         # JSON so rounds compare on the queue machinery, not just the

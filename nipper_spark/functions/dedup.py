@@ -190,15 +190,18 @@ def _capped_candidates(items: DataFrame, key_cols: list,
     """Distributed twin of `bucket_candidate_pairs`: ``items`` carries
     (``id`` + bucket key columns); returns (id_a, id_b), id_a < id_b.
 
-    One cheap agg counts each bucket (shuffles the small key only);
-    buckets within the cap self-join all-pairs as before, oversized
-    buckets emit star edges to the bucket min — candidate volume is
-    O(B) per hot bucket, not O(B²). Without this, one band signature
-    shared by 10⁶ near-identical web pages emits 5·10¹¹ candidate rows
-    before any verify runs."""
-    sizes = (items.groupBy(*key_cols)
-             .agg(F.count("*").alias("_bsz"), F.min("id").alias("_bmin")))
-    tagged = items.join(sizes, key_cols)
+    ONE exchange: a window over the bucket key tags every row with its
+    bucket's size and min id (no agg + join-back, which would shuffle
+    the items table twice), and the small-bucket self-join reuses that
+    partitioning. Buckets within the cap self-join all-pairs as
+    before; oversized buckets emit star edges to the bucket min —
+    candidate volume is O(B) per hot bucket, not O(B²). Without this,
+    one band signature shared by 10⁶ near-identical web pages emits
+    5·10¹¹ candidate rows before any verify runs."""
+    from pyspark.sql import Window
+    wb = Window.partitionBy(*key_cols)
+    tagged = (items.withColumn("_bsz", F.count("*").over(wb))
+              .withColumn("_bmin", F.min("id").over(wb)))
     if max_bucket > 0:
         small = tagged.filter(F.col("_bsz") <= max_bucket)
         star = (tagged.filter((F.col("_bsz") > max_bucket) &
