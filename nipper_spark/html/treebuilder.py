@@ -53,7 +53,7 @@ button caption center col colgroup dd details dir div dl dt embed fieldset
 figcaption figure footer form frame frameset h1 h2 h3 h4 h5 h6 head header
 hgroup hr html iframe img input keygen li link listing main marquee menu
 meta nav noembed noframes noscript object ol p param plaintext pre script
-section select source style summary table tbody td template textarea tfoot
+search section select source style summary table tbody td template textarea tfoot
 th thead title tr track ul wbr xmp
 """.split())
 
@@ -85,13 +85,14 @@ _IMPLIED_END_THOROUGH = _IMPLIED_END | frozenset(
 
 _CLOSE_P_TAGS = frozenset("""
 address article aside blockquote center details dialog dir div dl fieldset
-figcaption figure footer header hgroup main menu nav ol p section summary ul
+figcaption figure footer header hgroup main menu nav ol p search section
+summary ul
 """.split())
 
 _BODY_END_LIST = frozenset("""
 address article aside blockquote button center details dialog dir div dl
 fieldset figcaption figure footer header hgroup listing main menu nav ol
-pre section summary ul
+pre search section summary ul
 """.split())
 
 _HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
@@ -1142,11 +1143,19 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
             tb.frameset_ok = False
             return
         if name == "form":
-            if tb.form_id is not None:
+            # the form element pointer only governs (and is only set)
+            # when NO template is on the stack — template contents get
+            # their own forms, and a form inside a template must not
+            # block a later form in the body
+            in_template = any(tb._name(n) == "template"
+                              for n in tb.stack)
+            if tb.form_id is not None and not in_template:
                 tb.arena.errors.append("unexpected-start-tag-form")
                 return
             tb._maybe_close_p()
-            tb.form_id = tb._insert_element("form", attrs)
+            nid = tb._insert_element("form", attrs)
+            if not in_template:
+                tb.form_id = nid
             return
         if name == "li":
             tb.frameset_ok = False
@@ -1271,9 +1280,13 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
             tb._insert_element(name, attrs)
             return
         if name in ("rb", "rp", "rt", "rtc"):
+            # spec: rb/rtc generate implied end tags fully; rt/rp
+            # except RTC (not themselves) — an open <rtc> stays open
+            # and the rt/rp nests inside it, while an open rt/rp is
+            # closed by the next rt/rp
             if tb._in_scope("ruby"):
                 tb._generate_implied_end_tags(
-                    except_=name if name in ("rt", "rp") else None)
+                    except_="rtc" if name in ("rt", "rp") else None)
             tb._insert_element(name, attrs)
             return
         if name in ("math", "svg"):
@@ -1320,6 +1333,13 @@ def _mode_in_body(tb: TreeBuilder, tok) -> None:  # noqa: C901
                 tb._pop_until(name)
             return
         if name == "form":
+            if any(tb._name(n) == "template" for n in tb.stack):
+                # template branch of the spec rule: scope-based close,
+                # the form pointer is not consulted
+                if tb._in_scope("form"):
+                    tb._generate_implied_end_tags()
+                    tb._pop_until("form")
+                return
             node = tb.form_id
             tb.form_id = None
             if node is not None and tb._node_in_scope(node):
@@ -1452,7 +1472,11 @@ def _mode_in_table(tb: TreeBuilder, tok) -> None:
                 return
             # else fall to anything-else
         if name == "form":
-            if tb.form_id is None:
+            # in-table form: ignored when a template is on the stack
+            # OR the pointer is already set; otherwise insert, point,
+            # pop immediately
+            if tb.form_id is None and not any(
+                    tb._name(n) == "template" for n in tb.stack):
                 tb.form_id = tb._insert_element("form", tok[2])
                 tb.stack.pop()
             return

@@ -1241,3 +1241,56 @@ def test_template_eof_edges():
     assert _contents("<template><frame>") == [""]
     assert _contents("<template><select><option>q") == \
         ["<select><option>q</option></select>"]
+
+
+# batch 16 (round 5, second probe sweep): ruby rt/rp except-rtc rule,
+# the form-pointer × template interaction, and the <search> element
+# (current-WHATWG block element). THREE real bugs found: (1) rt/rp
+# generated implied end tags excepting THEMSELVES instead of rtc, so
+# <rtc>a<rt>b closed the rtc instead of nesting; (2) a form inside a
+# template set the form element pointer, blocking a later body form
+# (the pointer only governs when no template is on the stack, and
+# </form> inside a template closes by scope, not pointer); (3) search
+# was missing from SPECIAL/close-p/body-end lists, so </search> was
+# ignored and it did not close an open <p>.
+CASES16 = [
+    ("ruby-rtc-rt-nests", "<ruby><rtc>a<rt>b</ruby>",
+     "<body><ruby><rtc>a<rt>b</rt></rtc></ruby></body>"),
+    ("ruby-rt-rt-siblings", "<ruby><rt>a<rt>b</ruby>",
+     "<body><ruby><rt>a</rt><rt>b</rt></ruby></body>"),
+    ("ruby-rb-closes-rtc", "<ruby><rtc>a<rb>b</ruby>",
+     "<body><ruby><rtc>a</rtc><rb>b</rb></ruby></body>"),
+    ("ruby-rp-in-rtc", "<ruby><rtc><rp>a<rp>b</ruby>",
+     "<body><ruby><rtc><rp>a</rp><rp>b</rp></rtc></ruby></body>"),
+    ("search-closes-p", "<search><p>x</search>y",
+     "<body><search><p>x</p></search>y</body>"),
+    ("p-closed-by-search", "<p>a<search>b</search>",
+     "<body><p>a</p><search>b</search></body>"),
+    ("form-after-template", "<template><form><input></template><form>x</form>",
+     "<body><form>x</form></body>"),
+    ("nested-form-ignored", "<form><form><input>",
+     "<body><form><input></form></body>"),
+    ("form-in-table-pointer", "<table><form></table><form>",
+     "<body><table><form></form></table></body>"),
+    ("xmp-keeps-lf", "<xmp>\na</xmp>",
+     "<body><xmp>\na</xmp></body>"),
+    ("listing-skips-lf", "<listing>\na</listing>",
+     "<body><listing>a</listing></body>"),
+    ("plaintext-literal", "<plaintext>a<b>c</plaintext>",
+     "<body><plaintext>a<b>c</plaintext></plaintext></body>"),
+    ("image-renames-to-img", "<image src=x>",
+     '<body><img src="x"></body>'),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES16,
+                         ids=[c[0] for c in CASES16])
+def test_tree_construction_batch16(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+def test_template_form_contents():
+    """A template's form lands in the detached contents tree and does
+    not poison the outer form pointer."""
+    assert _contents("<template><form><input></template>") == \
+        ["<form><input></form>"]
