@@ -761,6 +761,54 @@ def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("vec_id"))
 
 
+def _q_ann_ivfpq_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-TABLE IVF-PQ: probe assignment + normalization in pandas
+    UDFs over the broadcast model — query side never collected."""
+    from nipper_spark.functions.similarity import ann_ivfpq_topk_df
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = (emb.orderBy("vec_id").limit(ANN["n_queries"])
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("q_embedding")))
+    return ann_ivfpq_topk_df(
+        emb, qdf, k=IVFPQ["k"], n_lists=IVFPQ["n_lists"], m=IVFPQ["m"],
+        k_pq=IVFPQ["k_pq"], n_probe=IVFPQ["n_probe"],
+        rerank=IVFPQ["rerank"], seed=IVFPQ["seed"]).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"))
+
+
+def _o_ann_ivfpq_df() -> str:
+    """_o_ann_ivfpq with queries = the n_queries SMALLEST vec_ids
+    (matching the DF variant's orderBy/limit selection)."""
+    import numpy as np
+    from nipper_spark.functions.similarity import (
+        _normalize, pq_adc_scores, pq_encode, train_ivfpq)
+    ids, mvec = _read_emb_sf001()
+    order = np.argsort(ids)
+    sample = mvec[order][:2048]
+    model = train_ivfpq(sample, IVFPQ["n_lists"], IVFPQ["m"],
+                        IVFPQ["k_pq"], IVFPQ["seed"])
+    lists, codes = pq_encode(mvec, model)
+    norm = _normalize(mvec.astype(np.float32))
+    idx = {int(v): j for j, v in enumerate(ids)}
+    rows = []
+    for qi in order[:ANN["n_queries"]]:
+        q = norm[qi]
+        probe = np.argsort(-(q @ model["coarse"].T),
+                           kind="stable")[:IVFPQ["n_probe"]]
+        mask = np.isin(lists, probe)
+        adc = pq_adc_scores(q, lists[mask], codes[mask], model)
+        cids = ids[mask]
+        short = cids[np.lexsort((cids, -adc))][:IVFPQ["rerank"] * IVFPQ["k"]]
+        scored = sorted(((-float((norm[idx[int(v)]] * q).sum()), int(v))
+                         for v in short))
+        for rank, (_negs, vid) in enumerate(scored[:IVFPQ["k"]], start=1):
+            rows.append((int(ids[qi]), rank, vid))
+    return _values_sql(rows, [("query_id", "BIGINT"), ("rank", "INTEGER"),
+                              ("vec_id", "BIGINT")])
+
+
 def _o_ann_ivfpq() -> str:
     """Single-threaded twin sharing the pure kernels (train_ivfpq /
     pq_encode / pq_adc_scores), so candidate selection and re-ranking
@@ -1375,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_df_topk": _q_ann_ivf_df,
         "ann_ivfpq_topk": _q_ann_ivfpq,
+        "ann_ivfpq_df_topk": _q_ann_ivfpq_df,
         # capstone complex query (select→mutate→re-select in one UDF)
         "readability": _q_readability,
         # composite training-set curation (filter→dedup→budget)
@@ -1787,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _o_ann_ivf(),
         "ann_ivf_df_topk": _o_ann_ivf_df(),
         "ann_ivfpq_topk": _o_ann_ivfpq(),
+        "ann_ivfpq_df_topk": _o_ann_ivfpq_df(),
         "readability": _o_readability(),
         "curate_training_set": _o_curate(),
         "topk_per_group": _O_TOPK,

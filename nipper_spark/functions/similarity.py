@@ -467,6 +467,105 @@ def ann_ivfpq_topk(corpus: DataFrame,
             .filter(F.col("rank") <= k))
 
 
+def ann_ivfpq_topk_df(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                      n_lists: int = 16, m: int = 8, k_pq: int = 32,
+                      n_probe: int = 4, rerank: int = 16,
+                      sample_size: int = 2048, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      q_id_col: str = "query_id",
+                      q_vec_col: str = "q_embedding",
+                      seed: int = 42) -> DataFrame:
+    """IVF-PQ with a query TABLE: probe assignment + query
+    normalization run in pandas UDFs over the broadcast model — the
+    query side is never collected (the `ann_ivfpq_topk` twin loops a
+    driver list). Same codes, same ADC shortlist, same exact re-rank;
+    bit-equal to the list variant on the same queries."""
+    spark = corpus.sparkSession
+    src = corpus.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("embedding"))
+    sample_rows = src.orderBy("vec_id").limit(sample_size).collect()
+    sample = np.asarray([r["embedding"] for r in sample_rows],
+                        dtype=np.float32)
+    model = train_ivfpq(sample, n_lists, m, k_pq, seed)
+    bc = spark.sparkContext.broadcast(model)
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mod = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lists, codes = pq_encode(_as_matrix(pdf["embedding"]), mod)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "list_id": lists.astype("int32"),
+                "codes": list(codes)})
+
+    coded = src.mapInPandas(
+        _encode, schema="vec_id long, list_id int, codes array<int>")
+
+    @F.pandas_udf("array<float>")
+    def _qnorm(vec: pd.Series) -> pd.Series:
+        mnorm = _normalize(_as_matrix(vec))
+        return pd.Series([row.tolist() for row in mnorm])
+
+    @F.pandas_udf("array<int>")
+    def _probe(q_norm: pd.Series) -> pd.Series:
+        coarse = bc.value["coarse"]
+        mq = _as_matrix(q_norm)
+        sims = mq @ coarse.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = queries.select(F.col(q_id_col).alias("query_id"),
+                       F.col(q_vec_col).alias("q_embedding"))
+    qn = q.withColumn("q_norm", _qnorm(F.col("q_embedding")))
+    probes = qn.select("query_id", "q_norm",
+                       F.explode(_probe(F.col("q_norm")))
+                       .alias("list_id"))
+    cand = coded.join(probes, "list_id")
+
+    @F.pandas_udf("float")
+    def _adc(q_norm: pd.Series, list_id: pd.Series,
+             codes: pd.Series) -> pd.Series:
+        mod = bc.value
+        if not len(q_norm):
+            return pd.Series([], dtype="float32")
+        out = np.empty(len(q_norm), dtype=np.float32)
+        qarr = np.asarray([np.asarray(x, dtype=np.float32)
+                           for x in q_norm])
+        lids = list_id.to_numpy()
+        cmat = np.asarray([np.asarray(c) for c in codes], dtype=np.int32)
+        keys = {}
+        for i in range(len(qarr)):
+            keys.setdefault(qarr[i].tobytes(), []).append(i)
+        for qb, idxs in keys.items():
+            ii = np.asarray(idxs)
+            out[ii] = pq_adc_scores(np.frombuffer(qb, dtype=np.float32),
+                                    lids[ii], cmat[ii], mod)
+        return pd.Series(out)
+
+    scored = cand.withColumn("adc", _adc("q_norm", "list_id", "codes"))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("vec_id"))
+    short = (scored.withColumn("_r", F.row_number().over(w_adc))
+             .filter(F.col("_r") <= rerank * k)
+             .select("query_id", "vec_id"))
+    withvec = short.join(src, "vec_id").join(q, "query_id")
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = _normalize(_as_matrix(a))
+        mb = _normalize(_as_matrix(b))
+        return pd.Series((ma * mb).sum(axis=1).astype(float))
+
+    final = withvec.withColumn("cosine", _cos("embedding", "q_embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (final.select("query_id", "vec_id", "cosine")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
                              n_bits: int = 16, bands: int = 8,
                              id_col: str = "vec_id",

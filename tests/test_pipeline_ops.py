@@ -681,6 +681,25 @@ class TestIvfPq:
             if r["query_id"] == r["vec_id"]:
                 assert r["rank"] == 1
 
+    def test_ivfpq_df_variant_matches_list_variant(self, spark, emb):
+        """Query-table IVF-PQ == list IVF-PQ bit-for-bit on the same
+        queries (shared model training, same float32 op order in
+        normalize/probe/ADC/re-rank)."""
+        from nipper_spark.functions.similarity import (
+            ann_ivfpq_topk, ann_ivfpq_topk_df)
+        rows = emb.orderBy("vec_id").limit(4).collect()
+        queries = [(r["vec_id"], r["embedding"]) for r in rows]
+        qdf = (emb.orderBy("vec_id").limit(4)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+        via_list = sorted(map(tuple, ann_ivfpq_topk(
+            emb, queries, k=5, n_lists=8, n_probe=4)
+            .select("query_id", "rank", "vec_id", "cosine").collect()))
+        via_df = sorted(map(tuple, ann_ivfpq_topk_df(
+            emb, qdf, k=5, n_lists=8, n_probe=4)
+            .select("query_id", "rank", "vec_id", "cosine").collect()))
+        assert via_list == via_df
+
     def test_ivfpq_recall_on_clustered_embeddings(self, spark):
         """Real embedding corpora are CLUSTERED (that's what gives
         IVF its pruning power and PQ its codebook fit); random vectors
