@@ -88,3 +88,25 @@ def revisit_due(scores: DataFrame, at_seq: int) -> DataFrame:
     revisit_score (comparable with discovery scores)."""
     return (scores.filter(F.col("next_due_seq") <= at_seq)
             .select("url", "revisit_score"))
+
+
+def revisit_frontier(scores: DataFrame, at_seq: int, policy,
+                     round_no: int = 0) -> DataFrame:
+    """Due URLs as a FRONTIER_SCHEMA-shaped re-seed table — the
+    recrawl sibling of ``sitemaps.sitemap_refresh_frontier``: where
+    refresh re-seeds on an ADVERTISED change (lastmod newer than the
+    last fetch), this re-seeds on a PREDICTED one (the backoff
+    interval elapsed). Like refresh, the output bootstraps a new crawl
+    generation (re-fetch despite seen = new generation by design);
+    revisit_score carries straight into the wave's score ordering, so
+    frequently-changing pages outrank static ones in the next wave."""
+    from nipper_spark.crawl.frontier import _host_cols
+
+    due = revisit_due(scores, at_seq) \
+        .withColumnRenamed("revisit_score", "score")
+    due = _host_cols(due, policy)
+    return due.select(
+        "url", "host", "host_bucket",
+        F.lit(0).cast("int").alias("depth"),
+        F.col("score").cast("double").alias("score"),
+        F.lit(int(round_no)).cast("int").alias("discovered_round"))

@@ -126,3 +126,42 @@ def test_plan_has_no_python_udf(spark):
         .toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_revisit_frontier_bootstraps_a_generation(spark, tmp_path):
+    """revisit_frontier rows feed bootstrap_from_df directly: the due
+    URLs become round-0 frontier state ordered by revisit score, and
+    the next wave schedules hot pages before cold ones."""
+    import datetime
+
+    from nipper_spark.crawl.frontier import FrontierEngine
+    from nipper_spark.crawl.politeness import CrawlPolicy
+    from nipper_spark.crawl.revisit import revisit_frontier, revisit_scores
+    from nipper_spark.crawl.state import SCHEDULE_SCHEMA, CrawlState
+    from nipper_spark.sources.synthetic import PAGES_SCHEMA
+
+    rows = [("http://h.test/hot", 1, "a"), ("http://h.test/hot", 2, "b"),
+            ("http://h.test/cold", 1, "c"), ("http://h.test/cold", 2, "c"),
+            ("http://h.test/ice", 1, "d"), ("http://h.test/ice", 2, "d"),
+            ("http://h.test/ice", 3, "d")]
+    log = spark.createDataFrame(rows, "url string, seq long, "
+                                      "fingerprint string")
+    policy = CrawlPolicy(default_tokens=4, n_buckets=2)
+    seeds = revisit_frontier(revisit_scores(log), at_seq=7, policy=policy)
+    got = {(r["url"], r["score"], r["depth"]) for r in seeds.collect()}
+    assert got == {("http://h.test/hot", 1.0, 0),
+                   ("http://h.test/cold", 0.5, 0),
+                   ("http://h.test/ice", 0.25, 0)}
+
+    ts = datetime.datetime(2026, 1, 1)
+    pages = spark.createDataFrame(
+        [(u, ts, b"<p>x</p>", None, "en") for u, _, _ in got],
+        PAGES_SCHEMA)
+    d = str(tmp_path / "regen")
+    eng = FrontierEngine(spark, pages, d, policy)
+    eng.bootstrap_from_df(seeds)
+    eng.run_round(0)
+    sched = CrawlState(spark, d).read("schedule", 0, SCHEDULE_SCHEMA) \
+        .orderBy("seq").collect()
+    assert [s["url"].rsplit("/", 1)[1] for s in sched] == \
+        ["hot", "cold", "ice"]  # score-ordered wave
