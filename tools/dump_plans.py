@@ -105,8 +105,29 @@ def main() -> int:
         "Candidate generation explodes/shuffles `(id, band, band_sig)` "
         "ONLY — no `text` column in any banded Exchange. Texts join "
         "back by id post-dedup for the exact-Jaccard verify, so the "
-        "candidate shuffle is ~signature-sized, not bands× the corpus.",
+        "candidate shuffle is ~signature-sized, not bands× the corpus. "
+        "A window over the band key tags each row with its bucket's "
+        "size+min in the SAME exchange; buckets over `max_bucket` emit "
+        "star edges to the bucket min instead of all pairs, so a "
+        "mass-duplicate flood costs O(B) candidates, not O(B²).",
         formatted_plan(minhash_lsh_pairs(docs))))
+
+    # 3b. adaptive recrawl scoring
+    from nipper_spark.crawl.revisit import revisit_scores
+    log = spark.range(0, 10000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".test/p"), (F.col("id") % 500).cast("string"))
+        .alias("url"),
+        (F.col("id") / 500).cast("long").alias("seq"),
+        (F.col("id") % 3).cast("string").alias("fingerprint"))
+    sections.append((
+        "Adaptive recrawl scoring (`crawl/revisit.py`)",
+        "ONE `Exchange hashpartitioning(url)` feeds the change-detect "
+        "lag window, the last-changed-seq window, AND the final "
+        "aggregation — all three reuse the same partitioning. Zero "
+        "Python in the plan (pure Catalyst windows + pow), so the "
+        "whole operator stays inside whole-stage codegen.",
+        formatted_plan(revisit_scores(log))))
 
     # 4. ANN brute top-k
     from nipper_spark.functions.similarity import ann_brute_topk
