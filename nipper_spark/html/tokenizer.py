@@ -35,6 +35,13 @@ RAWTEXT_TAGS = frozenset(
     ["script", "style", "xmp", "iframe", "noembed", "noframes", "noscript"])
 RCDATA_TAGS = frozenset(["title", "textarea"])
 
+def _nul(t: str) -> str:
+    """Tokenizer-spec NUL handling for tag/attr names, attribute
+    values, and comment data: U+0000 -> U+FFFD (parse error). Only
+    the data state (tree stage ignores NULs in body text) and CDATA
+    sections keep other behavior."""
+    return t.replace("\x00", "\ufffd") if "\x00" in t else t
+
 _TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\f />]*")
 _ATTRNAME_RE = re.compile(r"[^\t\n\f /=>]+")
 _WS_RE = re.compile(r"[\t\n\f ]+")
@@ -72,7 +79,13 @@ def decode_charrefs(text: str, in_attr: bool) -> str:
 
     ``in_attr`` enables the attribute-value exception: a semicolon-less
     legacy entity followed by ``[a-zA-Z0-9=]`` is left literal.
+    Attribute values also take the tokenizer's NUL replacement here
+    (every value state: NUL → U+FFFD); body text must NOT — the tree
+    stage decides per insertion mode (ignored in body, kept in
+    foreign content as U+FFFD via the text-node path).
     """
+    if in_attr:
+        text = _nul(text)
     if "&" not in text:
         return text
     out: list[str] = []
@@ -231,9 +244,9 @@ def tokenize(html: str, feedback: TokenizerFeedback | None = None):
             # bogus comment; data includes the '?'
             gt = s.find(">", lt + 1)
             if gt == -1:
-                yield ("comment", s[lt + 1:])
+                yield ("comment", _nul(s[lt + 1:]))
                 return
-            yield ("comment", s[lt + 1: gt])
+            yield ("comment", _nul(s[lt + 1: gt]))
             pos = gt + 1
             continue
         if c == "/":
@@ -245,12 +258,12 @@ def tokenize(html: str, feedback: TokenizerFeedback | None = None):
                 # bogus comment until '>'
                 gt = s.find(">", lt + 2)
                 if gt == -1:
-                    yield ("comment", s[lt + 2:])
+                    yield ("comment", _nul(s[lt + 2:]))
                     return
-                yield ("comment", s[lt + 2: gt])
+                yield ("comment", _nul(s[lt + 2: gt]))
                 pos = gt + 1
                 continue
-            name = m.group(0).lower()
+            name = _nul(m.group(0).lower())
             e = m.end()
             if e < n and s[e] == ">":  # overwhelmingly common: `</tag>`
                 pos = e + 1
@@ -265,7 +278,7 @@ def tokenize(html: str, feedback: TokenizerFeedback | None = None):
             continue
         if "a" <= c <= "z" or "A" <= c <= "Z":  # spec: ASCII alpha only
             m = _TAGNAME_RE.match(s, lt + 1)
-            name = m.group(0).lower()
+            name = _nul(m.group(0).lower())
             e = m.end()
             if e < n and s[e] == ">":  # bare `<tag>` fast path
                 pos = e + 1
@@ -376,7 +389,7 @@ def _parse_attrs(s: str, pos: int):
             if g4 and g4[0] in "\"'":
                 # unterminated quoted value: spec consumes to EOF
                 return n, attrs, self_closing, False
-            name = m.group(1).lower()
+            name = _nul(m.group(1).lower())
             if g2 is not None:
                 value = decode_charrefs(g2, True)
             elif g3 is not None:
@@ -399,7 +412,7 @@ def _parse_attrs(s: str, pos: int):
             m = _ATTRNAME_RE.match(s, pos)
             name = m.group(0)
             pos = m.end()
-        name = name.lower()
+        name = _nul(name.lower())
         # after attribute name
         while pos < n and s[pos] in "\t\n\f ":
             pos += 1
@@ -439,15 +452,15 @@ def _markup_declaration(s: str, pos: int):
             return i + 2, ("comment", "")
         m = re.compile(r"--!?>").search(s, i)
         if m is None:
-            return n, ("comment", s[i:])
-        return m.end(), ("comment", s[i:m.start()])
+            return n, ("comment", _nul(s[i:]))
+        return m.end(), ("comment", _nul(s[i:m.start()]))
     if s[pos:pos + 7].lower() == "doctype":
         return _doctype(s, pos + 7)
     # bogus comment (covers <![CDATA[ in HTML content)
     gt = s.find(">", pos)
     if gt == -1:
-        return n, ("comment", s[pos:])
-    return gt + 1, ("comment", s[pos:gt])
+        return n, ("comment", _nul(s[pos:]))
+    return gt + 1, ("comment", _nul(s[pos:gt]))
 
 
 _QUOTED_RE = re.compile(r'[\t\n\f ]*("([^"]*)"|\'([^\']*)\')')
@@ -470,7 +483,7 @@ def _doctype(s: str, pos: int):
         gt = n
     body = s[pos:gt]
     m = re.match(r"[\t\n\f ]*([^\t\n\f >]*)", body)
-    name = m.group(1).lower()
+    name = _nul(m.group(1).lower())
     rest = body[m.end():]
     public_id = None
     system_id = None

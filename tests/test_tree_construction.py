@@ -1294,3 +1294,35 @@ def test_template_form_contents():
     not poison the outer form pointer."""
     assert _contents("<template><form><input></template>") == \
         ["<form><input></form>"]
+
+
+NUL_CASES = [
+    # tokenizer NUL handling: U+FFFD in tag/attr names, attr values,
+    # comments, DOCTYPE names; IGNORED in in-body text (tree stage)
+    ("nul-tagname", "<p\x00q>x", "<body><p�q>x</p�q></body>"),
+    ("nul-attrname", "<p i\x00d=a>x",
+     '<body><p i�d="a">x</p></body>'),
+    ("nul-attrval-dq", '<p id="a\x00b">x',
+     '<body><p id="a�b">x</p></body>'),
+    ("nul-attrval-unq", "<p id=a\x00b>x",
+     '<body><p id="a�b">x</p></body>'),
+    ("nul-body-text-ignored", "<p>a\x00b", "<body><p>ab</p></body>"),
+    ("nul-endtag-no-match", "<pq>x</p\x00q>",
+     "<body><pq>x</pq></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", NUL_CASES,
+                         ids=[c[0] for c in NUL_CASES])
+def test_nul_replacement(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+def test_nul_in_comment_and_foreign():
+    from nipper_spark.html.treebuilder import parse_document
+    from nipper_spark.html.serializer import serialize
+    out = serialize(parse_document("<!--a\x00b-->"), 0, include_node=True)
+    assert "<!--a�b-->" in out and "\x00" not in out
+    out = serialize(parse_document("<svg><![CDATA[a\x00b]]></svg>"), 0,
+                    include_node=True)
+    assert "a�b" in out and "\x00" not in out
