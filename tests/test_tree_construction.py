@@ -1326,3 +1326,44 @@ def test_nul_in_comment_and_foreign():
     out = serialize(parse_document("<svg><![CDATA[a\x00b]]></svg>"), 0,
                     include_node=True)
     assert "a�b" in out and "\x00" not in out
+
+
+# batch 17: a clean sweep (no divergences found) pinned anyway —
+# body/html attribute merging, after-body comment placement,
+# select-in-table structure breakout, hidden inputs not fostered,
+# and the spec's any-other-end-tag special-category stop (sarcasm).
+def test_body_html_attr_merge():
+    from nipper_spark.html import parse_document
+    from nipper_spark.html.serializer import serialize
+    out = serialize(parse_document(
+        "<html id=a><html id=b class=c><body id=x><body id=y "
+        "lang=z>t"), 0, include_node=True)
+    assert out == ('<html id="a" class="c"><head></head>'
+                   '<body id="x" lang="z">t</body></html>')
+
+
+CASES17 = [
+    ("after-body-comment", "<p>x</p></body><!--c-->",
+     "<body><p>x</p></body>"),   # comment lands on <html>, not body
+    ("select-in-td-tr-breakout",
+     "<table><tr><td><select><tr><td>n</table>",
+     "<body><table><tbody><tr><td><select></select></td></tr>"
+     "<tr><td>n</td></tr></tbody></table></body>"),
+    ("input-hidden-not-fostered",
+     '<table><input type=hidden><tr><td>x</table>',
+     '<body><table><input type="hidden"><tbody><tr><td>x</td></tr>'
+     "</tbody></table></body>"),
+    ("input-visible-fostered",
+     '<table><input type=text><tr><td>x</table>',
+     '<body><input type="text"><table><tbody><tr><td>x</td></tr>'
+     "</tbody></table></body>"),
+    ("sarcasm-special-stop", "<sarcasm><p>x</sarcasm>y",
+     "<body><sarcasm><p>xy</p></sarcasm></body>"),
+    ("br-end-tag-is-br", "x</br>y", "<body>x<br>y</body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES17,
+                         ids=[c[0] for c in CASES17])
+def test_tree_construction_batch17(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
