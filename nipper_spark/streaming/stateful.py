@@ -93,3 +93,75 @@ def run_streaming_dedup(spark: SparkSession, pages_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+# ----------------------------------------------------------------------
+# streaming revisit tracker — the incremental twin of
+# crawl/revisit.revisit_scores (same backoff math, same streak rule)
+# ----------------------------------------------------------------------
+
+_REVISIT_OUT = ("url string, last_seq long, n_fetches long, "
+                "unchanged_streak long, revisit_interval long, "
+                "next_due_seq long, revisit_score double")
+_REVISIT_STATE = ("last_fp string, last_seq long, n_fetches long, "
+                  "unchanged_streak long")
+
+
+def _revisit_fn_factory(base_interval: int, max_interval: int):
+    def _fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        """One url: fold this batch's fetches (in seq order) into
+        (last_fp, last_seq, n, streak). The incremental streak rule —
+        changed → 0, unchanged → +1 — equals the batch operator's
+        count-after-last-change, so draining any prefix of the fetch
+        log leaves state identical to the batch computation on it."""
+        if state.exists:
+            last_fp, last_seq, n, streak = state.get
+        else:
+            last_fp, last_seq, n, streak = None, None, 0, 0
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["seq"], pdf["fingerprint"]))
+        if not rows:
+            return
+        rows.sort()
+        for seq, fp in rows:
+            changed = (n == 0) or (fp != last_fp)
+            streak = 0 if changed else streak + 1
+            last_fp = fp
+            last_seq = int(seq)
+            n += 1
+        state.update((last_fp, last_seq, n, streak))
+        interval = min(max_interval,
+                       base_interval * (2 ** min(streak, 30)))
+        yield pd.DataFrame({
+            "url": [key[0]], "last_seq": [last_seq], "n_fetches": [n],
+            "unchanged_streak": [streak], "revisit_interval": [interval],
+            "next_due_seq": [last_seq + interval],
+            "revisit_score": [1.0 / interval]})
+
+    return _fn
+
+
+def revisit_tracker(fetch_log: DataFrame, base_interval: int = 1,
+                    max_interval: int = 64,
+                    output_mode: str = "append") -> DataFrame:
+    """Streaming per-URL revisit state over an incremental fetch log
+    (url, seq, fingerprint) — emits the url's refreshed backoff row
+    every micro-batch it appears in (append output: each emission is
+    a per-batch snapshot row; the latest last_seq per url is the
+    current state). State is four scalars per url
+    (no history), so state size is O(distinct urls), not O(fetches);
+    at 10^10 URLs the state store shards it across executors exactly
+    like the batch engine's host buckets shard the seen set.
+
+    Requires per-url seqs to arrive in non-decreasing batches (a crawl
+    writes its fetch log in round order, so this holds by
+    construction); within a batch any order is fine (sorted here)."""
+    return (fetch_log.groupBy("url")
+            .applyInPandasWithState(
+                _revisit_fn_factory(base_interval, max_interval),
+                outputStructType=_REVISIT_OUT,
+                stateStructType=_REVISIT_STATE,
+                outputMode=output_mode,
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -183,3 +183,59 @@ def test_streaming_session_windows(spark, tmp_path):
     # the u1 split really happened at the 30-minute gap
     u1 = sorted(t for t in batch if t[0] == 1)
     assert len(u1) == 2 and u1[0][3] == 2 and u1[1][3] == 1
+
+
+def test_streaming_revisit_tracker_matches_batch(spark, tmp_path):
+    """Incremental revisit state == the batch operator on the full
+    fetch log, across micro-batches AND a restart: draining rounds
+    1-2 then (after restart) rounds 3-4 leaves exactly the state
+    revisit_scores computes over all four rounds."""
+    from nipper_spark.crawl.revisit import revisit_scores
+    from nipper_spark.streaming.stateful import revisit_tracker
+
+    log_dir = str(tmp_path / "fetchlog")
+    out_dir = str(tmp_path / "rout")
+    ckpt = str(tmp_path / "rckpt")
+    schema = "url string, seq long, fingerprint string"
+    # 4 crawl rounds of fetches: hot changes every round, cold never
+    # after discovery, warm changes once at round 3
+    rounds = [
+        [("hot", 1, "a"), ("cold", 1, "x"), ("warm", 1, "p")],
+        [("hot", 2, "b"), ("cold", 2, "x"), ("warm", 2, "p")],
+        [("hot", 3, "c"), ("cold", 3, "x"), ("warm", 3, "q")],
+        [("hot", 4, "d"), ("cold", 4, "x"), ("warm", 4, "q")],
+    ]
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .format("parquet").load(log_dir))
+        q = (revisit_tracker(stream).writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for chunk in (rounds[0] + rounds[1], rounds[2] + rounds[3]):
+        spark.createDataFrame(chunk, schema) \
+            .write.mode("append").parquet(log_dir)
+        drain()                       # second drain = restarted query
+
+    # latest emitted row per url == final state
+    out = spark.read.parquet(out_dir)
+    latest = {}
+    for r in out.collect():
+        if r["url"] not in latest or r["last_seq"] > \
+                latest[r["url"]]["last_seq"]:
+            latest[r["url"]] = r
+    batch_log = spark.createDataFrame(
+        [e for rnd in rounds for e in rnd], schema)
+    want = {r["url"]: r for r in revisit_scores(batch_log).collect()}
+    assert set(latest) == set(want)
+    for u in want:
+        for f in ("last_seq", "n_fetches", "unchanged_streak",
+                  "revisit_interval", "next_due_seq", "revisit_score"):
+            assert latest[u][f] == want[u][f], (u, f)
+    # semantics spot-check: cold has 3 trailing unchanged fetches
+    assert latest["cold"]["unchanged_streak"] == 3
+    assert latest["hot"]["unchanged_streak"] == 0
+    assert latest["warm"]["unchanged_streak"] == 1
