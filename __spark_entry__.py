@@ -1238,6 +1238,37 @@ def _q_sitemap_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("priority").cast("double").alias("priority"))
 
 
+def _q_robots_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`Sitemap:` advertisements harvested from robots.txt rows —
+    the sitemaps.org discovery channel (sites advertise unguessable
+    sitemap paths there). Executor-side parse, canonicalized,
+    same-host-filtered, deduplicated (crawl/robots.py
+    robots_sitemap_seeds)."""
+    from nipper_spark.crawl.robots import (
+        robots_sitemap_seeds, synth_robots_sitemap_rows)
+    from nipper_spark.sources.synthetic import PAGES_SCHEMA
+    pages = spark.createDataFrame(synth_robots_sitemap_rows(),
+                                  PAGES_SCHEMA)
+    return robots_sitemap_seeds(pages)
+
+
+def _o_robots_sitemap_seeds() -> str:
+    """Single-threaded twin: same parse kernel + canonicalization +
+    same-host filter over the same fixture rows."""
+    from nipper_spark.crawl.robots import (
+        parse_robots_txt, synth_robots_sitemap_rows)
+    from nipper_spark.functions.url import canonicalize_url, host_of
+    out = set()
+    for url, _ts, body, _t, _l in synth_robots_sitemap_rows():
+        host = host_of(url)
+        for ad in parse_robots_txt(body).sitemaps:
+            canon = canonicalize_url(ad)
+            if canon is not None and host_of(canon) == host:
+                out.add((host, canon))
+    return _values_sql(sorted(out), [("host", "VARCHAR"),
+                                     ("url", "VARCHAR")])
+
+
 def _q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap REFRESH (the lifecycle step after discovery/bootstrap/
     recursive fetch): kind='url' entries whose advertised lastmod is
@@ -1445,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sitemap discovery (urlset/sitemapindex/gzip/txt, same-host)
         "sitemap_harvest": _q_sitemap_harvest,
         "sitemap_refresh": _q_sitemap_refresh,
+        "robots_sitemap_seeds": _q_robots_sitemap_seeds,
         # change-rate-adaptive recrawl scheduling (pure Catalyst)
         "recrawl_scores": _q_recrawl_scores,
     }
@@ -1853,5 +1885,6 @@ def oracle_sql() -> dict[str, str]:
         "media_real_decode": _o_media_real_decode(),
         "sitemap_harvest": _o_sitemap_harvest(),
         "sitemap_refresh": _o_sitemap_refresh(),
+        "robots_sitemap_seeds": _o_robots_sitemap_seeds(),
         "recrawl_scores": _O_RECRAWL,
     }

@@ -32,6 +32,10 @@ class RobotsRules:
     disallow: list[str] = field(default_factory=list)
     allow: list[str] = field(default_factory=list)
     crawl_delay: float | None = None
+    # `Sitemap:` advertisements are GLOBAL records (sitemaps.org: they
+    # are independent of any user-agent group), carried on whatever
+    # group parse_robots_txt returns
+    sitemaps: list[str] = field(default_factory=list)
 
     def allowed(self, path: str) -> bool:
         return robots_decision(self.disallow, self.allow, path)
@@ -45,6 +49,7 @@ def parse_robots_txt(text: str | bytes, agent: str = "*") -> RobotsRules:
     groups: dict[str, RobotsRules] = {}
     current: list[str] = []
     last_was_agent = False
+    sitemaps: list[str] = []
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -52,6 +57,13 @@ def parse_robots_txt(text: str | bytes, agent: str = "*") -> RobotsRules:
         key, _, val = line.partition(":")
         key = key.strip().lower()
         val = val.strip()
+        if key == "sitemap":
+            # global record: legal before any group and outside all of
+            # them; full absolute URL (the value itself contains ':')
+            if val and val not in sitemaps:
+                sitemaps.append(val)
+            last_was_agent = False
+            continue
         if key == "user-agent":
             name = val.lower()
             if not last_was_agent:
@@ -74,7 +86,9 @@ def parse_robots_txt(text: str | bytes, agent: str = "*") -> RobotsRules:
                     g.crawl_delay = float(val)
                 except ValueError:
                     pass
-    return groups.get(agent.lower(), groups.get("*", RobotsRules()))
+    out = groups.get(agent.lower(), groups.get("*", RobotsRules()))
+    out.sitemaps = sitemaps
+    return out
 
 
 def harvest_robots(pages_rows: list[tuple[str, str | bytes]],
@@ -232,3 +246,80 @@ def harvest_robots_from_pages(pages_df, policy: CrawlPolicy,
         pages_df, agent, round_seconds,
         default_tokens=policy.default_tokens)
     return policy_from_tables(policy, rules_df, budgets_df)
+
+
+def robots_sitemap_seeds(pages_df, agent: str = "*"):
+    """Executor-side harvest of `Sitemap:` advertisements from the
+    robots.txt rows of the pages table — the sitemaps.org discovery
+    channel that complements URL-pattern discovery
+    (`sitemaps.harvest_sitemap_tables`): sites advertise their
+    sitemap's location in robots.txt precisely because its filename is
+    not guessable.
+
+    Returns a (host, url) DataFrame: canonicalized, SAME-HOST filtered
+    (the engine's sitemap trust policy — a cross-host advertisement
+    requires the cross-host submission handshake this engine does not
+    model), deduplicated. Rows feed `frontier.bootstrap_from_df` (add
+    score/depth) or union with the pattern-harvest entries table.
+
+    Caveat (documented): the fetch dispatch heuristic
+    (`sitemaps.is_sitemap_url`) routes by URL path pattern, so an
+    advertised sitemap at a non-sitemap-looking path schedules but
+    parses as HTML; advertised sitemaps matching the pattern get the
+    full recursive treatment."""
+    from pyspark.sql import functions as F
+
+    from nipper_spark.functions.url import canonicalize_url
+
+    robots = (pages_df
+              .filter(F.col("url").endswith("/robots.txt"))
+              .select("url", "html"))
+
+    def _parse(batches):
+        import pandas as pd
+        for pdf in batches:
+            hosts, urls = [], []
+            for url, body in zip(pdf["url"], pdf["html"]):
+                host = host_of(url)
+                if not host:
+                    continue
+                rules = parse_robots_txt(
+                    body if body is not None else b"", "*")
+                for ad in rules.sitemaps:
+                    canon = canonicalize_url(ad)
+                    if canon is None or host_of(canon) != host:
+                        continue
+                    hosts.append(host)
+                    urls.append(canon)
+            yield pd.DataFrame({"host": hosts, "url": urls})
+
+    return (robots.mapInPandas(_parse, schema="host string, url string")
+            .dropDuplicates(["host", "url"]))
+
+
+def synth_robots_sitemap_rows(n_hosts: int = 6) -> list[tuple]:
+    """Deterministic robots.txt pages-table rows (PAGES_SCHEMA shape)
+    for the sitemap-advertisement driver query and its oracle twin.
+    Per host: a global advertisement BEFORE any group, one mid-group,
+    a cross-host spam advertisement (must be dropped), a duplicate,
+    and a non-canonical form (uppercase host, default port) that must
+    canonicalize."""
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = []
+    for h in range(n_hosts):
+        host = f"rsm{h:02d}.test"
+        body = (
+            f"Sitemap: http://{host}/sitemap-main.xml\n"
+            "User-agent: *\n"
+            "Disallow: /private\n"
+            f"Sitemap: HTTP://{host.upper()}:80/sitemap-news.xml\n"
+            f"Sitemap: http://evil{h}.test/sitemap.xml\n"
+            f"Sitemap: http://{host}/sitemap-main.xml\n"
+            "\n"
+            "User-agent: bot\n"
+            "Disallow: /\n")
+        rows.append((f"http://{host}/robots.txt", ts, body.encode(),
+                     None, "en"))
+    return rows

@@ -478,3 +478,47 @@ def test_rule_to_like_equals_rule_matches_property():
         assert bool(like) == rule_matches(rule, path), (rule, path)
 
     prop()
+
+
+class TestSitemapDirective:
+    def test_parse_sitemap_records_are_global(self):
+        from nipper_spark.crawl.robots import parse_robots_txt
+        body = ("Sitemap: http://h.test/pre-group.xml\n"
+                "User-agent: a\nDisallow: /x\n"
+                "Sitemap: http://h.test/mid.xml\n"
+                "User-agent: b\nDisallow: /y\n"
+                "Sitemap: http://h.test/post.xml\n")
+        for agent in ("a", "b", "zzz"):
+            r = parse_robots_txt(body, agent)
+            assert r.sitemaps == ["http://h.test/pre-group.xml",
+                                  "http://h.test/mid.xml",
+                                  "http://h.test/post.xml"], agent
+        # the URL value itself contains ':' — partition must keep it
+        assert parse_robots_txt("Sitemap: https://h.test:8443/s.xml") \
+            .sitemaps == ["https://h.test:8443/s.xml"]
+        # a sitemap line between user-agent lines ends the agent run
+        # (Google's parser behavior): 'b' starts a NEW group
+        r = parse_robots_txt(
+            "User-agent: a\nSitemap: http://h.test/s.xml\n"
+            "User-agent: b\nDisallow: /z\n", "a")
+        assert r.disallow == []
+
+    def test_harvest_same_host_canonicalized_dedup(self):
+        from nipper_spark.crawl.robots import (
+            robots_sitemap_seeds, synth_robots_sitemap_rows)
+        from nipper_spark.session import build_session
+        from nipper_spark.sources.synthetic import PAGES_SCHEMA
+        spark = build_session("robots-tests", master="local[4]",
+                              shuffle_partitions=4)
+        pages = spark.createDataFrame(synth_robots_sitemap_rows(3),
+                                      PAGES_SCHEMA)
+        got = {(r["host"], r["url"])
+               for r in robots_sitemap_seeds(pages).collect()}
+        want = set()
+        for h in range(3):
+            host = f"rsm{h:02d}.test"
+            # cross-host spam dropped; uppercase/:80 canonicalized;
+            # duplicate collapsed
+            want.add((host, f"http://{host}/sitemap-main.xml"))
+            want.add((host, f"http://{host}/sitemap-news.xml"))
+        assert got == want
