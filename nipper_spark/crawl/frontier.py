@@ -434,16 +434,23 @@ class FrontierEngine:
                          F.lit(r + 1).alias("discovered_round")))
             .repartition(pol.n_buckets, "host_bucket")
             .sortWithinPartitions("depth", F.desc("score"), "url"))
-        # this single write materializes fetch→extract→candidates→probe→
-        # anti-join and populates the fresh cache; every observation above
-        # resolves here for free
-        st.write("frontier", r + 1, next_frontier)
+
+        # ONE count materializes fetch→extract→candidates→probe→
+        # anti-join into the fresh cache (the heavy chain of the round;
+        # the fetch/probe observations resolve on it) — after which the
+        # frontier write, seen write, bloom merge+write, and per-bucket
+        # counters are FOUR independent consumers of that cache, run as
+        # concurrent jobs from driver threads: the frontier's
+        # repartition+sort+write overlaps the bloom cogroup instead of
+        # preceding it. commit_round only after every write joined — a
+        # failed write raises out of result() and the uncommitted round
+        # replays on resume.
+        stats.fresh = fresh.count()
         stats.fetched = _obs_long(obs_fetch, "n", ext.count)
         stats.candidates = _obs_long(obs_probe, "candidates", probed.count)
         stats.bloom_hits = _obs_long(
             obs_probe, "hits",
             lambda: probed.filter("bloom_hit").count())
-        stats.residual = _obs_long(obs_residual, "n", residual.count)
 
         # bloom |= fresh, per bucket. The cogroup emits every bucket key
         # present on either side, so it alone produces exactly one row
@@ -456,16 +463,10 @@ class FrontierEngine:
         seen_delta = fresh.select(
             "url", "host_bucket", "url_hash", F.lit(r + 1).alias("round"))
 
-        # the seen write, bloom write, and per-bucket counters are
-        # three INDEPENDENT consumers of the fresh cache the frontier
-        # write just materialized — run them as concurrent jobs from
-        # driver threads instead of three serial job launches (each
-        # write's fixed cost is task scheduling + parquet commit, not
-        # compute, so overlap ≈ max instead of sum). commit_round only
-        # after every write landed: a failed write raises out of
-        # result() and the uncommitted round replays on resume.
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            w_frontier = ex.submit(st.write, "frontier", r + 1,
+                                   next_frontier)
             w_seen = ex.submit(st.write, "seen", r + 1, seen_delta)
             w_bloom = ex.submit(st.write, "bloom", r + 1, new_bloom)
             pb = ex.submit(
@@ -473,7 +474,8 @@ class FrontierEngine:
                          fresh.groupBy("host_bucket").agg(
                              F.count("*").alias("n")).collect()])
             per_bucket = pb.result()
-            stats.fresh = sum(n for _, n in per_bucket)
+            w_frontier.result()  # residual observation resolves here
+            stats.residual = _obs_long(obs_residual, "n", residual.count)
             stats.frontier_next = stats.residual + stats.fresh
             st.write("round_log", r, self._log_df(r, stats, per_bucket))
             w_seen.result()
