@@ -310,6 +310,37 @@ class TestHotBucketGuard:
             exp.update(bucket_candidate_pairs(members, 8))
         assert got == exp
 
+    def test_capped_candidates_property(self, spark):
+        """Hypothesis: for ANY bucket assignment and ANY cap, the
+        distributed path equals the pure kernel (both branches, ties,
+        singletons, cap==bucket-size boundaries)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from nipper_spark.functions.dedup import (
+            _capped_candidates, bucket_candidate_pairs)
+
+        @settings(max_examples=12, deadline=None)
+        @given(st.lists(st.tuples(st.integers(0, 39), st.integers(0, 4)),
+                        min_size=0, max_size=40, unique_by=lambda t: t[0]),
+               st.integers(0, 6))
+        def prop(rows, cap):
+            exp = set()
+            buckets: dict = {}
+            for i, b in rows:
+                buckets.setdefault(b, []).append(i)
+            for members in buckets.values():
+                exp.update(bucket_candidate_pairs(members, cap))
+            if rows:
+                items = spark.createDataFrame(rows, "id: long, bucket: int")
+                got = {(r["id_a"], r["id_b"]) for r in
+                       _capped_candidates(items, ["bucket"], cap).collect()}
+            else:
+                got = set()
+            assert got == exp, (rows, cap)
+
+        prop()
+
     def test_ngram_block_flood_linear(self, spark):
         from nipper_spark.functions.dedup import ngram_jaccard_pairs
         docs = self._flood(spark, n=500)
