@@ -86,7 +86,25 @@ def parse_robots_txt(text: str | bytes, agent: str = "*") -> RobotsRules:
                     g.crawl_delay = float(val)
                 except ValueError:
                     pass
-    out = groups.get(agent.lower(), groups.get("*", RobotsRules()))
+    # RFC 9309 §2.2.1: the crawler obeys the group with the MOST
+    # SPECIFIC matching user-agent — a group token matches when it is
+    # a case-insensitive prefix of the crawler's product token ending
+    # at a token boundary ("googlebot" matches agent "googlebot-news";
+    # "googlebot-n" does not); exact match is the longest possible.
+    # No match → the "*" group.
+    a = agent.lower()
+    best = None
+    for name in groups:
+        if name == "*":
+            continue
+        if a == name or (a.startswith(name)
+                         and a[len(name)] in "-_/ ."):
+            if best is None or len(name) > len(best):
+                best = name
+    out = groups.get(best) if best is not None else \
+        groups.get("*", RobotsRules())
+    if out is None:
+        out = RobotsRules()
     out.sitemaps = sitemaps
     return out
 

@@ -522,3 +522,26 @@ class TestSitemapDirective:
             want.add((host, f"http://{host}/sitemap-main.xml"))
             want.add((host, f"http://{host}/sitemap-news.xml"))
         assert got == want
+
+
+class TestAgentMatching:
+    def test_most_specific_prefix_group_wins(self):
+        from nipper_spark.crawl.robots import parse_robots_txt
+        body = ("User-agent: *\nDisallow: /all\n"
+                "User-agent: googlebot\nDisallow: /gb\n"
+                "User-agent: googlebot-news\nDisallow: /news\n")
+        # exact beats shorter prefix beats *
+        assert parse_robots_txt(body, "googlebot-news").disallow == \
+            ["/news"]
+        assert parse_robots_txt(body, "googlebot-image").disallow == \
+            ["/gb"]   # prefix at a token boundary
+        assert parse_robots_txt(body, "GoogleBot").disallow == ["/gb"]
+        assert parse_robots_txt(body, "otherbot").disallow == ["/all"]
+        # prefix must end at a token boundary: 'googlebotx' is NOT
+        # matched by the 'googlebot' group
+        assert parse_robots_txt(body, "googlebotx").disallow == ["/all"]
+
+    def test_no_star_group_no_match_allows_all(self):
+        from nipper_spark.crawl.robots import parse_robots_txt
+        r = parse_robots_txt("User-agent: foo\nDisallow: /\n", "bar")
+        assert r.disallow == [] and r.allowed("/anything")
