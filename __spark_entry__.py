@@ -874,6 +874,114 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("running_tokens").cast("bigint").alias("running_tokens"))
 
 
+def _q_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-strength curation: lang gate → exact dedup → NEAR-dup
+    clustering (MinHash+LSH, capped buckets → connected components →
+    min-id survivors) → quality gate → token budget."""
+    from nipper_spark.functions.curate import curate_training_set_neardup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_training_set_neardup(
+        docs, min_quality=CURATE["min_quality"], langs=CURATE["langs"],
+        token_budget=CURATE["token_budget"],
+        num_perm=MINHASH["num_perm"], bands=MINHASH["bands"],
+        ngram=MINHASH["ngram"], threshold=MINHASH["threshold"],
+        seed=MINHASH["seed"], max_bucket=MINHASH["max_bucket"]).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "bpe_tokens", "quality",
+        F.col("running_tokens").cast("bigint").alias("running_tokens"))
+
+
+def _o_curate_neardup() -> str:
+    """Hybrid twin: the near-dup survivor set computes in Python with
+    the SAME shared kernels (minhash signatures, capped bucket pairs,
+    exact Jaccard, union-find); the quality/token/budget tail is the
+    same SQL as _o_curate restricted to those survivors."""
+    import hashlib
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from nipper_spark.functions.dedup import (
+        _minhash_params, bucket_candidate_pairs, minhash_signature,
+        ngram_jaccard)
+    t = pq.read_table(f"{ORACLE_SF}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    rows = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist(),
+                    t["lang"].to_pylist()))
+    en = [(i, x or "") for i, x, lg in rows if lg in CURATE["langs"]]
+    # exact dedup: min-id per normalized-md5 class
+    by_norm: dict = {}
+    for i, x in en:
+        norm = _re.sub(r"\s+", " ", x.strip()).lower()
+        h = hashlib.md5(norm.encode()).hexdigest()
+        if h not in by_norm or i < by_norm[h]:
+            by_norm[h] = i
+    keep = set(by_norm.values())
+    docs = [(i, x) for i, x in en if i in keep]
+    # near-dup: minhash bands -> capped candidates -> verify -> union
+    params = _minhash_params(MINHASH["num_perm"], MINHASH["seed"])
+    rpb = MINHASH["num_perm"] // MINHASH["bands"]
+    buckets: dict = {}
+    textmap = dict(docs)
+    for i, x in docs:
+        sig = minhash_signature(x, MINHASH["num_perm"],
+                                MINHASH["ngram"], params)
+        for b in range(MINHASH["bands"]):
+            buckets.setdefault((b, tuple(sig[b * rpb:(b + 1) * rpb])),
+                               []).append(i)
+    parent: dict = {}
+
+    def find(z):
+        while parent.get(z, z) != z:
+            parent[z] = parent.get(parent[z], parent[z])
+            z = parent[z]
+        return z
+
+    seen_pairs = set()
+    for members in buckets.values():
+        for p in bucket_candidate_pairs(members, MINHASH["max_bucket"]):
+            if p in seen_pairs:
+                continue
+            seen_pairs.add(p)
+            if ngram_jaccard(textmap[p[0]], textmap[p[1]],
+                             MINHASH["ngram"]) >= MINHASH["threshold"]:
+                ra, rb = find(p[0]), find(p[1])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    survivors = sorted(i for i, _ in docs if find(i) == i)
+    ids_sql = ", ".join(f"({i})" for i in survivors)
+    return rf"""
+WITH survivors(doc_id) AS (VALUES {ids_sql}),
+en AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN survivors s ON s.doc_id = d.doc_id
+), scored AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+         (least(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                     AS DOUBLE) / 64.0, 1.0) +
+          least(CAST(len(list_filter(regexp_split_to_array(trim(text),
+                     '\s+'), w -> list_contains({_STOPLIST_SQL}, lower(w))))
+                     AS DOUBLE) /
+                greatest(CAST(len(regexp_split_to_array(trim(text),
+                     '\s+')) AS DOUBLE), 1.0) * 4.0, 1.0)) / 2.0 AS quality
+  FROM en
+), gated AS (
+  SELECT * FROM scored WHERE quality >= {CURATE["min_quality"]}
+), budgeted AS (
+  SELECT doc_id, bpe_tokens, quality,
+         CAST(sum(bpe_tokens) OVER (ORDER BY quality DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS running_tokens
+  FROM gated
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, bpe_tokens, quality,
+       running_tokens
+FROM budgeted WHERE running_tokens <= {CURATE["token_budget"]}
+"""
+
+
 def _o_curate() -> str:
     return rf"""
 WITH en AS (
@@ -1459,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         # composite training-set curation (filter→dedup→budget)
         "curate_training_set": _q_curate,
+        "curate_neardup_training_set": _q_curate_neardup,
         # relational primitives the frontier is built from
         "topk_per_group": _q_topk_per_group,
         "anti_join_dedup": _q_anti_join,
@@ -1871,6 +1980,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_df_topk": _o_ann_ivfpq_df(),
         "readability": _o_readability(),
         "curate_training_set": _o_curate(),
+        "curate_neardup_training_set": _o_curate_neardup(),
         "topk_per_group": _O_TOPK,
         "anti_join_dedup": _O_ANTI,
         "round_counters": _O_COUNTERS,

@@ -18,8 +18,10 @@ bucket-partitioned operator (operators/cumsum.py) — same semantics as
 quality-filtered corpus is not funneled through one task at 100 TB;
 the bucket boundaries are literal expressions, so the operator holds
 no persisted state (no cache to leak across calls).
-Everything here is SQL-expressible, so the driver's DuckDB oracle
-checks the whole composite end-to-end.
+`curate_training_set` is fully SQL-expressible, so the driver's DuckDB
+oracle checks that composite end-to-end; the near-dup variant's
+MinHash/union-find stage is checked by a shared-kernel Python twin
+whose survivor set feeds the same SQL tail.
 """
 
 from __future__ import annotations
@@ -33,18 +35,10 @@ from nipper_spark.functions.text_udfs import (
 from nipper_spark.operators.cumsum import running_sum
 
 
-def curate_training_set(docs: DataFrame, min_quality: float = 0.5,
-                        langs: tuple[str, ...] = ("en",),
-                        token_budget: int = 50_000,
-                        id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
-    """→ (doc_id, bpe_tokens, quality, running_tokens) — the selected
-    training set, deterministic for a given corpus + config."""
-    base = (docs
-            .filter(F.col("lang").isin(*langs))
-            .select(F.col(id_col).alias("doc_id"), F.col(text_col),
-                    F.col("lang")))
-    deduped = dedup_exact(base, id_col="doc_id", text_col=text_col)
+def _score_and_budget(deduped: DataFrame, min_quality: float,
+                      token_budget: int, text_col: str) -> DataFrame:
+    """Shared tail of both curation composites: quality gate →
+    deterministic token budget via the two-phase running sum."""
     scored = deduped.select(
         "doc_id",
         bpe_ish_token_count(text_col).cast("int").alias("bpe_tokens"),
@@ -59,3 +53,53 @@ def curate_training_set(docs: DataFrame, min_quality: float = 0.5,
             .filter(F.col("running_tokens") <= token_budget)
             .select("doc_id", "bpe_tokens",
                     F.col("quality").alias("quality"), "running_tokens"))
+
+
+def curate_training_set(docs: DataFrame, min_quality: float = 0.5,
+                        langs: tuple[str, ...] = ("en",),
+                        token_budget: int = 50_000,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """→ (doc_id, bpe_tokens, quality, running_tokens) — the selected
+    training set, deterministic for a given corpus + config."""
+    base = (docs
+            .filter(F.col("lang").isin(*langs))
+            .select(F.col(id_col).alias("doc_id"), F.col(text_col),
+                    F.col("lang")))
+    deduped = dedup_exact(base, id_col="doc_id", text_col=text_col)
+    return _score_and_budget(deduped, min_quality, token_budget, text_col)
+
+
+def curate_training_set_neardup(docs: DataFrame,
+                                min_quality: float = 0.5,
+                                langs: tuple[str, ...] = ("en",),
+                                token_budget: int = 50_000,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                num_perm: int = 64, bands: int = 16,
+                                ngram: int = 3, threshold: float = 0.9,
+                                seed: int = 42,
+                                max_bucket: int = 64) -> DataFrame:
+    """The full-strength composite: lang gate → exact dedup →
+    NEAR-dup dedup (MinHash+LSH candidate pairs, hot-bucket-capped →
+    connected components → min-id survivor per cluster) → quality
+    gate → token budget. This is the web-corpus pipeline shape
+    (near-identical boilerplate pages survive exact dedup and must be
+    clustered out before budgeting); every stage is a verified
+    operator from this package, and the near-dup stage's shuffles
+    carry signatures only — the text never rides a banded Exchange."""
+    from nipper_spark.functions.dedup import (
+        minhash_lsh_pairs, near_dup_survivors)
+    base = (docs
+            .filter(F.col("lang").isin(*langs))
+            .select(F.col(id_col).alias("doc_id"), F.col(text_col),
+                    F.col("lang")))
+    deduped = dedup_exact(base, id_col="doc_id", text_col=text_col)
+    pairs = minhash_lsh_pairs(deduped, id_col="doc_id",
+                              text_col=text_col, num_perm=num_perm,
+                              bands=bands, ngram=ngram,
+                              threshold=threshold, seed=seed,
+                              max_bucket=max_bucket)
+    survivors = near_dup_survivors(deduped, pairs, id_col="doc_id")
+    return _score_and_budget(survivors, min_quality, token_budget,
+                             text_col)
