@@ -46,6 +46,10 @@ def parse_robots_txt(text: str | bytes, agent: str = "*") -> RobotsRules:
     to the ``*`` group)."""
     if isinstance(text, (bytes, bytearray)):
         text = bytes(text).decode("utf-8", errors="replace")
+    # real-world robots.txt files frequently start with a UTF-8 BOM;
+    # without stripping it the first line's key becomes "﻿user-
+    # agent" and the whole first group is silently ignored
+    text = text.lstrip("﻿")
     groups: dict[str, RobotsRules] = {}
     current: list[str] = []
     last_was_agent = False

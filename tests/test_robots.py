@@ -545,3 +545,14 @@ class TestAgentMatching:
         from nipper_spark.crawl.robots import parse_robots_txt
         r = parse_robots_txt("User-agent: foo\nDisallow: /\n", "bar")
         assert r.disallow == [] and r.allowed("/anything")
+
+
+def test_bom_stripped_before_first_directive():
+    """Real robots.txt files often begin with a UTF-8 BOM; it must not
+    poison the first line's key (previously the whole first group was
+    silently ignored)."""
+    from nipper_spark.crawl.robots import parse_robots_txt
+    r = parse_robots_txt(b"\xef\xbb\xbfUser-agent: *\nDisallow: /x\n")
+    assert r.disallow == ["/x"]
+    assert parse_robots_txt("﻿Sitemap: http://h.test/s.xml") \
+        .sitemaps == ["http://h.test/s.xml"]
