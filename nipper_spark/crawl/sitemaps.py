@@ -36,14 +36,29 @@ import zlib
 
 from nipper_spark.functions.url import canonicalize_url, host_of
 
+# (?:\w+:)? — sitemap generators occasionally emit prefixed namespaces
+# (<sm:urlset xmlns:sm=...>); the scanner matches the LOCAL name
 _BLOCK_RE = re.compile(
-    r"<(url|sitemap)\b[^>]*>(.*?)</\1\s*>", re.S | re.I)
-_LOC_RE = re.compile(r"<loc\b[^>]*>\s*(.*?)\s*</loc\s*>", re.S | re.I)
-_LASTMOD_RE = re.compile(r"<lastmod\b[^>]*>\s*(.*?)\s*</lastmod\s*>",
-                         re.S | re.I)
-_PRIORITY_RE = re.compile(r"<priority\b[^>]*>\s*(.*?)\s*</priority\s*>",
-                          re.S | re.I)
-_HAS_XML_RE = re.compile(r"<\s*(\?xml|urlset|sitemapindex)\b", re.I)
+    r"<(?:\w+:)?(url|sitemap)\b[^>]*>(.*?)</(?:\w+:)?\1\s*>",
+    re.S | re.I)
+_LOC_RE = re.compile(
+    r"<(?:\w+:)?loc\b[^>]*>\s*(.*?)\s*</(?:\w+:)?loc\s*>", re.S | re.I)
+_LASTMOD_RE = re.compile(
+    r"<(?:\w+:)?lastmod\b[^>]*>\s*(.*?)\s*</(?:\w+:)?lastmod\s*>",
+    re.S | re.I)
+_PRIORITY_RE = re.compile(
+    r"<(?:\w+:)?priority\b[^>]*>\s*(.*?)\s*</(?:\w+:)?priority\s*>",
+    re.S | re.I)
+_HAS_XML_RE = re.compile(
+    r"<\s*(\?xml|(?:\w+:)?urlset|(?:\w+:)?sitemapindex)\b", re.I)
+_CDATA_RE = re.compile(r"^<!\[CDATA\[(.*?)\]\]>$", re.S)
+
+
+def _elem_text(raw: str) -> str:
+    """Element text per XML rules: CDATA content is LITERAL (no entity
+    decoding); everything else entity-unescapes."""
+    m = _CDATA_RE.match(raw)
+    return m.group(1) if m is not None else _htmlmod.unescape(raw)
 
 
 def parse_sitemap(body: bytes | str) -> list[tuple[str, str,
@@ -63,6 +78,7 @@ def parse_sitemap(body: bytes | str) -> list[tuple[str, str,
         text = data.decode("utf-8", errors="replace")
     else:
         text = body or ""
+    text = text.lstrip("﻿")  # BOM must not poison line 1 / <?xml
     out: list[tuple[str, str, str | None, float | None]] = []
     if _HAS_XML_RE.search(text) is not None:
         for m in _BLOCK_RE.finditer(text):
@@ -71,9 +87,10 @@ def parse_sitemap(body: bytes | str) -> list[tuple[str, str,
             locm = _LOC_RE.search(block)
             if locm is None:
                 continue
-            loc = _htmlmod.unescape(locm.group(1))
+            loc = _elem_text(locm.group(1))
             lastmod_m = _LASTMOD_RE.search(block)
-            lastmod = lastmod_m.group(1) if lastmod_m else None
+            lastmod = _elem_text(lastmod_m.group(1)) if lastmod_m \
+                else None
             priority: float | None = None
             pm = _PRIORITY_RE.search(block)
             if pm is not None:

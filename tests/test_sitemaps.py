@@ -392,3 +392,31 @@ def test_refresh_staleness_compares_instants_not_strings():
            "http://h.test/c": "2026-05-04"}
     got = {u for u, _ in sitemap_refresh_py(entries, log)}
     assert got == {"http://h.test/c"}
+
+
+class TestParseEdges:
+    def test_bom_prefixed_ns_and_cdata(self):
+        from nipper_spark.crawl.sitemaps import parse_sitemap
+        # UTF-8 BOM before <?xml and before a plaintext line
+        assert parse_sitemap(
+            b"\xef\xbb\xbf<?xml version='1.0'?><urlset><url>"
+            b"<loc>http://h.test/a</loc></url></urlset>") == \
+            [("url", "http://h.test/a", None, None)]
+        assert parse_sitemap("﻿http://h.test/f\n".encode()) == \
+            [("url", "http://h.test/f", None, None)]
+        # prefixed namespaces: local names matched
+        assert parse_sitemap(
+            b'<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/'
+            b'sitemap/0.9"><sm:url><sm:loc>http://h.test/c</sm:loc>'
+            b"</sm:url></sm:urlset>") == \
+            [("url", "http://h.test/c", None, None)]
+        # CDATA loc content is LITERAL (no entity decoding inside)
+        assert parse_sitemap(
+            b"<urlset><url><loc><![CDATA[http://h.test/d?a=1&b=2"
+            b"]]></loc></url></urlset>") == \
+            [("url", "http://h.test/d?a=1&b=2", None, None)]
+        # ...while non-CDATA locs still entity-decode
+        assert parse_sitemap(
+            b"<urlset><url><loc>http://h.test/e?a=1&amp;b=2</loc>"
+            b"</url></urlset>") == \
+            [("url", "http://h.test/e?a=1&b=2", None, None)]
