@@ -58,6 +58,12 @@ CANON_VECTORS = [
     "http://dot.test/a/./b/../c/.",
     "http://bücher.test/x",
     "http://pct%2Ehost.test/y",
+    # round 5: IPv6 literals keep brackets (+default-port drop), %2F
+    # stays an encoded slash (p%2Fq ≠ p/q), forbidden decoded host
+    "http://[2001:DB8::1]:80/p",
+    "http://[2001:db8::1]:8080/p",
+    "http://h.test/p%2Fq?x=1",
+    "http://victim.test%2F.evil.test/z",
 ]
 
 

@@ -46,8 +46,7 @@ from nipper_spark.crawl.state import (
     BLOOM_SCHEMA, FRONTIER_SCHEMA, ROUND_LOG_SCHEMA, SCHEDULE_SCHEMA,
     SEEN_SCHEMA, CrawlState)
 from nipper_spark.crawl.sitemaps import crawl_extract_outlinks
-from nipper_spark.functions.url import (
-    canonicalize_url, host_bucket, host_of, url_hash64)
+from nipper_spark.functions.url import (HOST_RE_SQL, canonicalize_url, host_bucket, host_of, url_hash64)
 from nipper_spark.operators.cumsum import row_sequence
 
 
@@ -101,7 +100,7 @@ def _host_cols(df: DataFrame, policy: CrawlPolicy) -> DataFrame:
 
     return (df
             .withColumn("host", F.regexp_extract("url",
-                                                 r"^https?://([^/:]+)", 1))
+                                                 HOST_RE_SQL, 1))
             .withColumn("_k", _keys("host", "url"))
             .withColumn("host_bucket", F.col("_k.host_bucket"))
             .withColumn("url_hash", F.col("_k.url_hash"))

@@ -62,8 +62,16 @@ def _fast_canonical(m: "re.Match") -> str:
 # characters never re-encoded in paths (RFC 3986 unreserved + sub-delims
 # commonly left literal by crawlers)
 _PATH_SAFE = "/:@!$&'()*+,;=~-._"
+# per-SEGMENT safe set: a "/" decoded out of %2F must re-encode, not
+# become a path separator (distinct URLs p%2Fq and p/q must not merge)
+_SEG_SAFE = _PATH_SAFE.replace("/", "")
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+# THE host-extraction pattern, shared verbatim with every JVM-side
+# regexp_extract twin (frontier/_host_cols, streaming keys): bracketed
+# IPv6 literal or a regular reg-name stopped by / or :
+HOST_RE_SQL = r"^https?://(\[[^\]]+\]|[^/:]+)"
 
 # WHATWG forbidden host code points (superset incl. %): any of these
 # in a percent-DECODED host makes the URL invalid
@@ -149,10 +157,19 @@ def canonicalize_url(url: str) -> str | None:
         port = parts.port  # raises on non-numeric port garbage
     except ValueError:
         return None
+    if ":" in host:
+        # IPv6 literal: urlsplit.hostname strips the brackets, but the
+        # canonical URL must keep them (a bare colon-ful host does not
+        # re-parse — canonicalize would not be idempotent)
+        host = "[" + host + "]"
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = "%s:%d" % (host, port)
-    path = quote(unquote(parts.path), safe=_PATH_SAFE) or "/"
+    # decode+re-encode PER SEGMENT: %2F must stay an encoded slash,
+    # never become a separator (p%2Fq and p/q are different resources
+    # — merging them poisons the URL-seen set)
+    path = "/".join(quote(unquote(seg), safe=_SEG_SAFE)
+                    for seg in parts.path.split("/")) or "/"
     path = _remove_dot_segments(path)
     query = ""
     if parts.query:
@@ -197,11 +214,14 @@ def resolve_and_canonicalize(base_url: str, href: str) -> str | None:
 
 
 def host_of(url: str) -> str:
-    """Lowercased host (no port/userinfo) — the politeness key."""
+    """Lowercased host (no port/userinfo) — the politeness key. IPv6
+    literals keep their brackets so the key equals the JVM twin's
+    HOST_RE_SQL extraction."""
     try:
-        return (urlsplit(url).hostname or "").lower()
+        h = (urlsplit(url).hostname or "").lower()
     except ValueError:
         return ""
+    return "[" + h + "]" if ":" in h else h
 
 
 def url_hash64(url: str) -> int:

@@ -36,6 +36,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from nipper_spark.sources.synthetic import PAGES_SCHEMA
 
+from nipper_spark.functions.url import HOST_RE_SQL
+
 _OUT_SCHEMA = "url string, host_bucket int"
 _STATE_SCHEMA = "seen array<string>"
 
@@ -67,7 +69,7 @@ def dedup_first_occurrences(pages: DataFrame, n_buckets: int = 32,
     keyed = pages.select(
         "url",
         F.pmod(F.xxhash64(F.regexp_extract(
-            "url", r"^https?://([^/:]+)", 1)), F.lit(n_buckets))
+            "url", HOST_RE_SQL, 1)), F.lit(n_buckets))
         .cast("int").alias("host_bucket"))
     return (keyed.groupBy("host_bucket")
             .applyInPandasWithState(

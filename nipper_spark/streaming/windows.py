@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nipper_spark.functions.url import HOST_RE_SQL
+
 
 def host_fetch_windows(pages: DataFrame, window: str = "10 minutes",
                        delay: str = "5 minutes") -> DataFrame:
@@ -23,7 +25,7 @@ def host_fetch_windows(pages: DataFrame, window: str = "10 minutes",
     aggregate; also runs on batch DataFrames, where every window
     finalizes immediately)."""
     hosts = pages.select(
-        F.regexp_extract("url", r"^https?://([^/:]+)", 1).alias("host"),
+        F.regexp_extract("url", HOST_RE_SQL, 1).alias("host"),
         F.col("warc_ts"),
         F.length("html").alias("n_bytes"))
     if pages.isStreaming:

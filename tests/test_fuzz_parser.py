@@ -237,3 +237,40 @@ def test_remove_dot_segments_preserves_empty_segments():
     assert _remove_dot_segments("//a") == "//a"
     assert _remove_dot_segments("/a//../b") == "/a/b"
     assert _remove_dot_segments("/a//b") == "/a//b"
+
+
+def test_canonicalize_ipv6_and_encoded_slash():
+    """Round-5 semantics: IPv6 literals keep brackets (idempotent,
+    host key == JVM HOST_RE_SQL extraction), %2F stays an encoded
+    slash (p%2Fq and p/q are distinct resources), and idempotence
+    holds across the board."""
+    from nipper_spark.functions.url import canonicalize_url as c
+    from nipper_spark.functions.url import host_of
+
+    assert c("http://[2001:DB8::1]:80/p") == "http://[2001:db8::1]/p"
+    assert c("http://[2001:db8::1]:8080/p") == \
+        "http://[2001:db8::1]:8080/p"
+    assert host_of("http://[2001:db8::1]/p") == "[2001:db8::1]"
+    assert c("http://h.test/p%2Fq") == "http://h.test/p%2Fq"
+    assert c("http://h.test/p%2fq") == "http://h.test/p%2Fq"
+    assert c("http://h.test/p/q") == "http://h.test/p/q"
+    # dot-segment removal does NOT cross an encoded slash
+    assert c("http://h.test/a%2F../b") == "http://h.test/a%2F../b"
+    for u in ("http://[2001:DB8::1]:80/p", "http://h.test/p%2Fq",
+              "http://[::1]/x%2F%2e%2e%2Fy?b=2&a=1"):
+        once = c(u)
+        assert once is not None and c(once) == once, u
+
+
+def test_host_re_sql_matches_host_of():
+    """The shared JVM pattern and the Python kernel agree on the host
+    key — bracketed IPv6 included."""
+    import re
+
+    from nipper_spark.functions.url import HOST_RE_SQL, host_of
+    pat = re.compile(HOST_RE_SQL)
+    for u in ("http://h.test/p", "https://a-b.test:8080/x",
+              "http://[2001:db8::1]/p", "http://[::1]:8080/q"):
+        m = pat.match(u)
+        assert m is not None, u
+        assert m.group(1) == host_of(u), u
