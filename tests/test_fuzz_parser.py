@@ -3,7 +3,7 @@ bytes; it must never crash, and parse∘serialize must be idempotent
 (serializing a parsed tree and re-parsing yields the same serialization
 — the fixpoint html5ever's own golden tests rely on)."""
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from nipper_spark.html import Document, parse_document
@@ -178,13 +178,29 @@ _attred = st.recursive(
 
 @settings(max_examples=150, deadline=None)
 @given(_attred)
+@example(s='<a><table><a></a></table></a>')
 def test_attribute_trees_serialize_fixpoint(s):
-    """parse∘serialize idempotent over trees with escaped attribute
-    values (quotes, entities, unicode, whitespace)."""
+    """parse∘serialize converges over trees with escaped attribute
+    values (quotes, entities, unicode, whitespace).
+
+    NOT asserted in one pass: spec HTML parsing is not idempotent for
+    misnested formatting markup. `<a><table><a></a></table></a>` is
+    the discovered witness — the inner <a> runs the adoption agency
+    (the outer <a> is out of scope past the table boundary, so AAA
+    returns after removing it from the stack) and the new <a> is
+    foster-parented INSIDE the still-in-tree outer <a>, serializing as
+    <a><a></a><table></table></a>; reparsing THAT splits the nested
+    <a>s. Both parses are spec-correct. The escaping property this
+    test exists for survives as eventual convergence: a serializer
+    escaping bug would never reach a fixpoint."""
     s = "<!DOCTYPE html>" + s
-    out1 = serialize(parse_document(s), 0, include_node=True)
-    out2 = serialize(parse_document(out1), 0, include_node=True)
-    assert out1 == out2
+    prev = serialize(parse_document(s), 0, include_node=True)
+    for _ in range(3):
+        cur = serialize(parse_document(prev), 0, include_node=True)
+        if cur == prev:
+            return
+        prev = cur
+    raise AssertionError(f"no fixpoint within 4 passes: {prev!r}")
 
 
 @settings(max_examples=150, deadline=None)

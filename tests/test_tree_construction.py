@@ -1367,3 +1367,29 @@ CASES17 = [
                          ids=[c[0] for c in CASES17])
 def test_tree_construction_batch17(name, inp, expected):
     assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+# batch 18: adoption-agency × foster-parenting interaction found by
+# the attribute-tree fuzz suite. The inner <a> runs AAA (outer <a> is
+# out of scope past the table boundary → AAA returns after the handler
+# removes it from stack+AFE) and the NEW <a> is foster-parented before
+# the table — whose parent is the still-in-tree outer <a>. One-pass
+# serialize∘parse is therefore not idempotent here (both parses are
+# spec-correct); the fuzz suite asserts eventual convergence instead.
+CASES18 = [
+    ("a-table-a-foster-into-outer", "<a><table><a></a></table></a>",
+     "<body><a><a></a><table></table></a></body>"),
+    # reparse of the above: no table boundary now, so AAA pops the
+    # outer <a> (no furthest block) — nested <a>s become siblings
+    ("a-table-a-reparse", "<a><a></a><table></table></a>",
+     "<body><a></a><a></a><table></table></body>"),
+    # same shape with <b>: AAA no-furthest-block path, fostered <b>
+    ("b-table-b-foster", "<b><table><b>x</b></table></b>",
+     "<body><b><b>x</b><table></table></b></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES18,
+                         ids=[c[0] for c in CASES18])
+def test_tree_construction_batch18(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
