@@ -186,38 +186,60 @@ def bucket_candidate_pairs(members: list, max_bucket: int = 0):
 
 
 def _capped_candidates(items: DataFrame, key_cols: list,
-                       max_bucket: int) -> DataFrame:
+                       max_bucket: int,
+                       payload_cols: list | None = None) -> DataFrame:
     """Distributed twin of `bucket_candidate_pairs`: ``items`` carries
     (``id`` + bucket key columns); returns (id_a, id_b), id_a < id_b.
 
-    ONE exchange: a window over the bucket key tags every row with its
-    bucket's size and min id (no agg + join-back, which would shuffle
-    the items table twice), and the small-bucket self-join reuses that
-    partitioning. Buckets within the cap self-join all-pairs as
-    before; oversized buckets emit star edges to the bucket min —
-    candidate volume is O(B) per hot bucket, not O(B²). Without this,
-    one band signature shared by 10⁶ near-identical web pages emits
-    5·10¹¹ candidate rows before any verify runs."""
-    from pyspark.sql import Window
-    wb = Window.partitionBy(*key_cols)
-    tagged = (items.withColumn("_bsz", F.count("*").over(wb))
-              .withColumn("_bmin", F.min("id").over(wb)))
+    ONE exchange, ONE pass over the input: groupBy the bucket key,
+    ``collect_list`` the sorted members, and expand pairs with pure
+    Catalyst array lambdas (nested ``transform``/``slice``) — the same
+    sorted-members-then-emit shape as `bucket_candidate_pairs`.
+    Buckets within the cap expand all C(B,2) pairs; oversized buckets
+    emit star edges to the bucket min — candidate volume is O(B) per
+    hot bucket, not O(B²). Without the cap, one band signature shared
+    by 10⁶ near-identical web pages emits 5·10¹¹ candidate rows before
+    any verify runs. A window + self-join formulation was measurably
+    worse: the self-join's two branches (plus the star branch) each
+    re-evaluate the upstream subtree, so a sketch pandas UDF feeding
+    this ran 3× per action (Spark does not reuse the exchange across
+    the branches).
+
+    ``payload_cols``: small per-id columns (a sketch, never the text)
+    carried through to the output as ``{p}_a``/``{p}_b`` so callers
+    whose verify needs only the sketch skip two join-backs against the
+    corpus. Payloads ride the member structs; the pair SET is
+    identical with or without them (payload is a function of id).
+
+    Memory shape: the agg buffer holds one bucket's (id, payloads)
+    structs — O(B) small rows, never the documents; the same bound the
+    window formulation had. With the cap on, the expanded pair array
+    is also O(min(B, cap²))."""
+    payload_cols = payload_cols or []
+    member = F.struct(F.col("id"), *[F.col(p) for p in payload_cols])
+    grouped = (items.groupBy(*key_cols)
+               .agg(F.sort_array(F.collect_list(member)).alias("m")))
+    # all pairs (x_i, y_j), j > i, over the sorted member array —
+    # slice() takes 1-based start; over-long length clips at the end
+    allp = F.flatten(F.transform(
+        "m", lambda x, i: F.transform(
+            F.slice("m", i + F.lit(2), F.size("m")),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
     if max_bucket > 0:
-        small = tagged.filter(F.col("_bsz") <= max_bucket)
-        star = (tagged.filter((F.col("_bsz") > max_bucket) &
-                              (F.col("id") != F.col("_bmin")))
-                .select(F.col("_bmin").alias("id_a"),
-                        F.col("id").alias("id_b")))
+        star = F.transform(
+            F.slice("m", 2, F.size("m")),
+            lambda y: F.struct(F.element_at("m", 1).alias("a"),
+                               y.alias("b")))
+        arr = F.when(F.size("m") > max_bucket, star).otherwise(allp)
     else:
-        small, star = tagged, None
-    join_cond = (F.col("l.id") < F.col("r.id"))
-    for k in key_cols:
-        join_cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & join_cond
-    pairs = (small.alias("l").join(small.alias("r"), join_cond)
-             .select(F.col("l.id").alias("id_a"),
-                     F.col("r.id").alias("id_b")))
-    if star is not None:
-        pairs = pairs.unionByName(star)
+        arr = allp
+    pairs = (grouped.select(F.explode(arr).alias("p"))
+             .select(F.col("p.a.id").alias("id_a"),
+                     F.col("p.b.id").alias("id_b"),
+                     *[F.col(f"p.a.{p}").alias(f"{p}_a")
+                       for p in payload_cols],
+                     *[F.col(f"p.b.{p}").alias(f"{p}_b")
+                       for p in payload_cols]))
     return pairs.dropDuplicates(["id_a", "id_b"])
 
 
@@ -281,6 +303,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         return pd.Series([ngram_jaccard(str(x), str(y), ngram, cache)
                           for x, y in zip(ta, tb)])
 
+    # deterministic, but marked nondeterministic so Catalyst cannot
+    # substitute the UDF into the pushed-down threshold filter and
+    # evaluate the (expensive) verify twice per pair
+    _jac = _jac.asNondeterministic()
+
     return (pairs
             .withColumn("jaccard", _jac("text_a", "text_b"))
             .filter(F.col("jaccard") >= threshold)
@@ -325,6 +352,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         cache: dict = {}
         return pd.Series([ngram_jaccard(str(x), str(y), ngram, cache)
                           for x, y in zip(ta, tb)])
+
+    # see minhash_lsh_pairs: prevents double evaluation via the filter
+    _jac = _jac.asNondeterministic()
 
     return (pairs.withColumn("jaccard", _jac("text_a", "text_b"))
             .filter(F.col("jaccard") >= threshold)
@@ -488,19 +518,15 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     sh = docs.select(F.col(id_col).alias("id"),
                      simhash_udf(ngram)(F.col(text_col)).alias("sim"))
     chunks = sh.select(
-        "id",
+        "id", "sim",
         F.posexplode(F.array(*[
             F.shiftrightunsigned("sim", k * prefix_bits)
             .bitwiseAND(F.lit((1 << prefix_bits) - 1))
             for k in range(64 // prefix_bits)])).alias("chunk_no", "chunk"))
-    cand = _capped_candidates(chunks, ["chunk_no", "chunk"], max_bucket)
-    # join the (small) sketch table back by id — pairs ≪ corpus, and
-    # the star edges dropped sim_a/sim_b so the verify rejoins anyway
-    sims = sh.withColumnRenamed("sim", "sim_a") \
-             .withColumnRenamed("id", "id_a")
-    cand = (cand.join(sims, "id_a")
-            .join(sh.withColumnRenamed("sim", "sim_b")
-                    .withColumnRenamed("id", "id_b"), "id_b"))
+    # the 8-byte sketch rides the explode as a payload — join-backs by
+    # id would re-run the simhash UDF over the corpus once per branch
+    cand = _capped_candidates(chunks, ["chunk_no", "chunk"], max_bucket,
+                              payload_cols=["sim"])
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (cand.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)

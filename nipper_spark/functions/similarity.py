@@ -602,6 +602,11 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
         mb = _normalize(_as_matrix(b))
         return pd.Series((ma * mb).sum(axis=1).astype(float))
 
+    # deterministic, but marked nondeterministic so Catalyst cannot
+    # substitute the UDF into the pushed-down threshold filter and
+    # run the cosine verify twice per pair (see dedup.minhash_lsh_pairs)
+    _cos = _cos.asNondeterministic()
+
     return (cand.withColumn("cosine", _cos("vec_a", "vec_b"))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
