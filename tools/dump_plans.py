@@ -106,10 +106,14 @@ def main() -> int:
         "ONLY — no `text` column in any banded Exchange. Texts join "
         "back by id post-dedup for the exact-Jaccard verify, so the "
         "candidate shuffle is ~signature-sized, not bands× the corpus. "
-        "A window over the band key tags each row with its bucket's "
-        "size+min in the SAME exchange; buckets over `max_bucket` emit "
-        "star edges to the bucket min instead of all pairs, so a "
-        "mass-duplicate flood costs O(B) candidates, not O(B²).",
+        "ONE exchange + ONE pass: groupBy the band key, collect the "
+        "sorted members, expand pairs with pure Catalyst array lambdas "
+        "(the plan shows a single ArrowEvalPython for the sketch — a "
+        "window+self-join form re-evaluated it per branch, 3× per "
+        "action); buckets over `max_bucket` emit star edges to the "
+        "bucket min instead of all pairs, so a mass-duplicate flood "
+        "costs O(B) candidates, not O(B²). The verify UDF is marked "
+        "nondeterministic so the threshold filter cannot duplicate it.",
         formatted_plan(minhash_lsh_pairs(docs))))
 
     # 3b. adaptive recrawl scoring
