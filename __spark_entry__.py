@@ -245,6 +245,64 @@ def _q_extract_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("outlinks", "|").alias("links"))
 
 
+_WARC_RECORDS = dict(n_pages=30, links_per_page=3, n_hosts=6, seed=7)
+PR_PAGES = dict(n_pages=120, links_per_page=4, n_hosts=16, seed=9)
+PR_ITERS = 10
+
+
+def _warc_corpus_dir() -> str:
+    """Synthetic corpus as a mixed WARC directory (two Common-Crawl
+    .warc.gz segments + one uncompressed .warc), written once per
+    process — the engine lists and parses it executor-side."""
+    import os
+    if getattr(_warc_corpus_dir, "_dir", None) is None:
+        from nipper_spark.sources.synthetic import synth_pages_rows
+        from nipper_spark.sources.warc import write_warc, write_warc_gz
+        recs = [(u, ts, h) for (u, ts, h, _, _)
+                in synth_pages_rows(**_WARC_RECORDS)]
+        d = _tmp_state_dir("warc_corpus_")
+        write_warc_gz(os.path.join(d, "seg-00.warc.gz"), recs[:12])
+        write_warc_gz(os.path.join(d, "seg-01.warc.gz"), recs[12:24])
+        write_warc(os.path.join(d, "seg-02.warc"), recs[24:])
+        _warc_corpus_dir._dir = d
+    return _warc_corpus_dir._dir
+
+
+def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source → fused extraction: Common-Crawl-layout segments
+    (per-record gzip members) plus an uncompressed segment, parsed
+    executor-side into the pages schema, then text + outlink counts.
+    Cites reference examples/readability.rs usage of from_html —
+    the source layer must be transparent to the kernel."""
+    from nipper_spark.functions.html_udfs import extract_pages
+    from nipper_spark.sources.warc import read_warc_pages
+    pages = read_warc_pages(spark, _warc_corpus_dir())
+    ts = pages.select(
+        "url", F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss")
+        .alias("fetched"))
+    return (extract_pages(pages)
+            .join(ts, "url")
+            .select("url", "fetched", F.md5("text").alias("text_md5"),
+                    F.size("outlinks").cast("int").alias("n_links")))
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank over the synthetic crawl's outlinks.
+    Integer-quantized fixed-point arithmetic (graph.py) makes the
+    distributed result bit-identical to the sequential twin — the
+    oracle is hash-exact, not approximately-close."""
+    from nipper_spark.functions.graph import host_edges, pagerank
+    from nipper_spark.functions.html_udfs import extract_pages
+    from nipper_spark.sources.synthetic import (
+        PAGES_SCHEMA, synth_pages_rows)
+    pages = spark.createDataFrame(synth_pages_rows(**PR_PAGES),
+                                  PAGES_SCHEMA)
+    pr = pagerank(host_edges(extract_pages(pages)), iters=PR_ITERS)
+    return pr.select(F.col("node").alias("host"),
+                     F.col("outdeg").cast("int").alias("outdeg"),
+                     "rank_q")
+
+
 def _q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from nipper_spark.functions.url import canonicalize_url
@@ -1540,6 +1598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hn_stories": _q_hn_stories,
         "serialize_goldens": _q_serialize,
         "extract_text_hash": _q_extract_text_hash,
+        "warc_extract": _q_warc_extract,
+        "host_pagerank": _q_host_pagerank,
         "extract_outlinks": _q_extract_outlinks,
         # crawl layer (SURVEY.md §2.8, north rule)
         "canonicalize_urls": _q_canonicalize,
@@ -1645,6 +1705,46 @@ def _o_extract_outlinks() -> str:
         rows.append((url, len(links), "|".join(links)))
     return _values_sql(rows, [("url", "VARCHAR"), ("n_links", "INTEGER"),
                               ("links", "VARCHAR")])
+
+
+def _o_host_pagerank() -> str:
+    from nipper_spark.functions.graph import pagerank_oracle
+    from nipper_spark.functions.html_udfs import extract_text_and_links
+    from nipper_spark.functions.url import host_of
+    from nipper_spark.sources.synthetic import synth_pages_rows
+    edges = set()
+    for (url, _, html, _, _) in synth_pages_rows(**PR_PAGES):
+        _, links, _, _ = extract_text_and_links(url, html)
+        for link in links:
+            a, b = host_of(url), host_of(link)
+            if a and b and a != b:
+                edges.add((a, b))
+    pr = pagerank_oracle(sorted(edges), iters=PR_ITERS)
+    rows = [(host, outdeg, rank_q)
+            for host, (outdeg, rank_q) in sorted(pr.items())]
+    return _values_sql(rows, [("host", "VARCHAR"), ("outdeg", "INTEGER"),
+                              ("rank_q", "BIGINT")])
+
+
+def _o_warc_extract() -> str:
+    """Single-threaded twin: read the SAME files the engine reads,
+    through the same pure parser + extraction kernel."""
+    import hashlib
+    import os
+    from nipper_spark.functions.html_udfs import extract_text_and_links
+    from nipper_spark.sources.warc import parse_warc_bytes
+    d = _warc_corpus_dir()
+    rows = []
+    for fn in sorted(os.listdir(d)):
+        with open(os.path.join(d, fn), "rb") as f:
+            for url, ts, html in parse_warc_bytes(f.read()):
+                text, links, _, _ = extract_text_and_links(url, html)
+                rows.append((url, ts.strftime("%Y-%m-%d %H:%M:%S"),
+                             hashlib.md5(text.encode("utf-8")).hexdigest(),
+                             len(links)))
+    return _values_sql(rows, [("url", "VARCHAR"), ("fetched", "VARCHAR"),
+                              ("text_md5", "VARCHAR"),
+                              ("n_links", "INTEGER")])
 
 
 def _o_canonicalize() -> str:
@@ -1959,6 +2059,8 @@ def oracle_sql() -> dict[str, str]:
         "hn_stories": _o_hn_stories(),
         "serialize_goldens": _o_serialize(),
         "extract_text_hash": _o_extract_text_hash(),
+        "warc_extract": _o_warc_extract(),
+        "host_pagerank": _o_host_pagerank(),
         "extract_outlinks": _o_extract_outlinks(),
         "canonicalize_urls": _o_canonicalize(),
         "crawl_schedule": _o_crawl_schedule(),

@@ -1,0 +1,137 @@
+"""Host-graph metrics over crawl outlink edges — PageRank first.
+
+Why integer-quantized: ranks live in fixed-point units of
+``2^-scale_bits``, every division is floor division, and every reduce
+is a sum of LONGS — exact and order-independent, so the distributed
+result is bit-identical to the single-threaded twin
+(`pagerank_oracle`) regardless of partitioning, AQE re-plans, or
+scheduling order. A float formulation drifts with the aggregation
+tree shape: at 1000 executors two runs of the same job would disagree
+in the low bits, and no hash-exact oracle (or reproducible pipeline)
+could be built on it.
+
+Semantics (both implementations, lockstep):
+- nodes: distinct(src) ∪ distinct(dst); edges deduplicated.
+- r₀(v) = S where S = 2^scale_bits (total mass N·S).
+- per iteration, with d = num/den (default 85/100):
+    contrib(u)   = Σ_{v→u} floor(r(v) / outdeg(v))
+    dangling     = Σ_{outdeg(v)=0} r(v);  dshare = floor(dangling / N)
+    r'(u)        = floor(S·(den−num)/den)
+                   + floor(num·(contrib(u) + dshare) / den)
+- overflow bound: worst case one hub receives ALL mass, so
+  num·N·S must stay < 2^63 — with the defaults (num=85, S=2^30)
+  that holds to N ≈ 10⁸ hosts; drop ``scale_bits`` to go wider.
+
+Scale shape: per iteration ONE shuffle join ranks⋈edges on src (both
+sides hash-partitioned by host) + ONE groupBy(dst) with map-side
+partial sums of longs; the dangling total is a 1-row aggregate
+broadcast back (never a driver collect inside the loop).
+``localCheckpoint`` per iteration bounds Catalyst re-analysis of the
+growing lineage — the same discipline as
+`dedup.connected_components`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING_NUM = 85
+DAMPING_DEN = 100
+SCALE_BITS = 30
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 10, damping_num: int = DAMPING_NUM,
+             damping_den: int = DAMPING_DEN,
+             scale_bits: int = SCALE_BITS) -> DataFrame:
+    """edges(src, dst) → (node, outdeg, rank_q).
+
+    ``rank_q`` is the fixed-point rank (units of 2^-scale_bits, total
+    mass ≈ N·2^scale_bits); divide by ``N << scale_bits`` for the
+    conventional sums-to-1 value."""
+    s_unit = 1 << scale_bits
+    teleport = s_unit * (damping_den - damping_num) // damping_den
+
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    outdeg = e.groupBy(F.col("src").alias("node")) \
+              .agg(F.count("*").alias("outdeg"))
+    nt = (nodes.join(outdeg, "node", "left")
+          .select("node", F.coalesce("outdeg", F.lit(0)).cast("long")
+                  .alias("outdeg"))
+          .localCheckpoint())
+    n_nodes = nt.count()  # bounded: one scalar, outside the loop
+
+    ranks = nt.select("node", "outdeg",
+                      F.lit(s_unit).cast("long").alias("rank_q"))
+    for _ in range(iters):
+        contribs = (ranks.filter(F.col("outdeg") > 0)
+                    .join(e, ranks["node"] == e["src"])
+                    .select(F.col("dst").alias("node"),
+                            F.expr("rank_q div outdeg").alias("c"))
+                    .groupBy("node").agg(F.sum("c").alias("contrib")))
+        dangling = (ranks.filter(F.col("outdeg") == 0)
+                    .agg(F.coalesce(F.sum("rank_q"), F.lit(0))
+                         .alias("_dng")))
+        ranks = (nt.join(contribs, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select(
+                     "node", "outdeg",
+                     (F.lit(teleport) + F.expr(
+                         f"({damping_num} * (coalesce(contrib, 0) "
+                         f"+ _dng div {n_nodes})) div {damping_den}"))
+                     .cast("long").alias("rank_q"))
+                 .localCheckpoint())
+    return ranks.select("node", "outdeg", "rank_q")
+
+
+def pagerank_oracle(edges: list, iters: int = 10,
+                    damping_num: int = DAMPING_NUM,
+                    damping_den: int = DAMPING_DEN,
+                    scale_bits: int = SCALE_BITS) -> dict:
+    """Single-threaded twin — identical integer math, Python dicts.
+    Returns {node: (outdeg, rank_q)}."""
+    s_unit = 1 << scale_bits
+    teleport = s_unit * (damping_den - damping_num) // damping_den
+    e = sorted(set(edges))
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    n = len(nodes)
+    outdeg = {v: 0 for v in nodes}
+    for a, _ in e:
+        outdeg[a] += 1
+    rank = {v: s_unit for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for a, b in e:
+            contrib[b] += rank[a] // outdeg[a]
+        dangling = sum(r for v, r in rank.items() if outdeg[v] == 0)
+        dshare = dangling // n
+        rank = {v: teleport
+                + damping_num * (contrib[v] + dshare) // damping_den
+                for v in nodes}
+    return {v: (outdeg[v], rank[v]) for v in nodes}
+
+
+def host_edges(extracted: DataFrame, url_col: str = "url",
+               outlinks_col: str = "outlinks",
+               drop_self_loops: bool = True) -> DataFrame:
+    """extracted(url, outlinks[]) → distinct host-level edges
+    (src, dst). Uses the engine's `HOST_RE_SQL` twin of
+    `url.host_of` so the politeness key and the graph key are the
+    same definition. Self-loops (intra-host links — the vast majority
+    on the web) are dropped by default: they dominate edge counts but
+    carry no cross-host authority."""
+    from nipper_spark.functions.url import HOST_RE_SQL
+    e = (extracted
+         .select(F.regexp_extract(F.col(url_col), HOST_RE_SQL, 1)
+                 .alias("src"),
+                 F.explode(outlinks_col).alias("_dst"))
+         .select("src", F.regexp_extract("_dst", HOST_RE_SQL, 1)
+                 .alias("dst"))
+         .filter((F.col("src") != "") & (F.col("dst") != "")))
+    if drop_self_loops:
+        e = e.filter(F.col("src") != F.col("dst"))
+    return e.distinct()

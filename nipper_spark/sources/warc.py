@@ -8,13 +8,18 @@ engine's pages schema. No driver-side I/O.
 
 Implements the subset of ISO 28500 the pages pipeline needs:
 ``response`` records with HTTP headers + HTML payloads, plus
-``warcinfo`` passthrough. The writer exists for tests and for
-emitting fixture corpora; it writes uncompressed WARC/1.0.
+``warcinfo`` passthrough. The writers exist for tests and for
+emitting fixture corpora; ``write_warc`` emits uncompressed WARC/1.0,
+``write_warc_gz`` the Common Crawl layout (one gzip member per
+record, concatenated — readers can then split/seek per record).
+The reader transparently handles both: Python's ``gzip.decompress``
+consumes all concatenated members of a ``.warc.gz`` in one call.
 """
 
 from __future__ import annotations
 
 import datetime
+import gzip
 import io
 from typing import Iterator
 
@@ -25,32 +30,47 @@ from nipper_spark.sources.synthetic import PAGES_SCHEMA
 _CRLF = b"\r\n"
 
 
+def _record_bytes(url: str, ts: datetime.datetime, html: bytes) -> bytes:
+    """One WARC/1.0 ``response`` record, headers through trailing CRLFs."""
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=UTF-8\r\n"
+            b"Content-Length: " + str(len(html)).encode() +
+            b"\r\n\r\n" + html)
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Target-URI: " + url.encode("utf-8"),
+        b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+        b"Content-Type: application/http; msgtype=response",
+        b"Content-Length: " + str(len(http)).encode(),
+    ]
+    return (_CRLF.join(headers) + _CRLF + _CRLF + http + _CRLF + _CRLF)
+
+
 def write_warc(path: str, records: list[tuple[str, datetime.datetime,
                                               bytes]]) -> None:
     """records: (url, timestamp, html_bytes) → one WARC/1.0 file."""
     with open(path, "wb") as f:
         for url, ts, html in records:
-            http = (b"HTTP/1.1 200 OK\r\n"
-                    b"Content-Type: text/html; charset=UTF-8\r\n"
-                    b"Content-Length: " + str(len(html)).encode() +
-                    b"\r\n\r\n" + html)
-            headers = [
-                b"WARC/1.0",
-                b"WARC-Type: response",
-                b"WARC-Target-URI: " + url.encode("utf-8"),
-                b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
-                b"Content-Type: application/http; msgtype=response",
-                b"Content-Length: " + str(len(http)).encode(),
-            ]
-            f.write(_CRLF.join(headers) + _CRLF + _CRLF)
-            f.write(http)
-            f.write(_CRLF + _CRLF)
+            f.write(_record_bytes(url, ts, html))
+
+
+def write_warc_gz(path: str, records: list[tuple[str, datetime.datetime,
+                                                 bytes]]) -> None:
+    """Common Crawl layout: one gzip member PER RECORD, concatenated.
+    (``mtime=0`` keeps the bytes deterministic for golden oracles.)"""
+    with open(path, "wb") as f:
+        for url, ts, html in records:
+            f.write(gzip.compress(_record_bytes(url, ts, html), mtime=0))
 
 
 def parse_warc_bytes(data: bytes) -> list[tuple[str, datetime.datetime,
                                                 bytes]]:
-    """Parse response records out of one (uncompressed) WARC buffer.
-    Pure function: executors and tests share it."""
+    """Parse response records out of one WARC buffer — uncompressed or
+    Common-Crawl-style concatenated gzip members (auto-detected by the
+    gzip magic). Pure function: executors and tests share it."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)  # consumes ALL concatenated members
     out = []
     stream = io.BytesIO(data)
     while True:
@@ -95,7 +115,7 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
     import pandas as pd
 
     files = spark.read.format("binaryFile") \
-        .option("pathGlobFilter", "*.warc").load(path) \
+        .option("pathGlobFilter", "*.warc*").load(path) \
         .select("content")
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

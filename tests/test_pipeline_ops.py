@@ -791,3 +791,68 @@ class TestPiiScrub:
                              r["n_phones"]) for r in out.collect()}
         for doc_id, text in rows:
             assert got[doc_id] == scrub_pii_py(text), doc_id
+
+
+class TestPageRank:
+    """Integer-quantized PageRank: distributed == single-threaded twin
+    BIT-EXACTLY (long sums commute; floor-div is deterministic)."""
+
+    def _compare(self, spark, edges, iters=10):
+        from nipper_spark.functions.graph import pagerank, pagerank_oracle
+        df = spark.createDataFrame(edges, "src: string, dst: string")
+        got = {r["node"]: (r["outdeg"], r["rank_q"])
+               for r in pagerank(df, iters=iters).collect()}
+        assert got == pagerank_oracle(edges, iters=iters)
+        return got
+
+    def test_cycle_is_uniform(self, spark):
+        """A k-cycle is perfectly symmetric: every node must get the
+        IDENTICAL rank_q (exact arithmetic — no float tie-breaking)."""
+        edges = [(f"h{i}", f"h{(i + 1) % 5}") for i in range(5)]
+        got = self._compare(spark, edges)
+        assert len({rq for _, rq in got.values()}) == 1
+
+    def test_star_and_dangling(self, spark):
+        """Star into a dangling hub: the hub outranks the leaves, and
+        the dangling hub's mass redistributes (total mass stays put
+        within quantization loss)."""
+        edges = [(f"leaf{i}", "hub") for i in range(6)]
+        got = self._compare(spark, edges)
+        hub = got["hub"][1]
+        leaves = [rq for v, (_, rq) in got.items() if v != "hub"]
+        assert all(hub > rq for rq in leaves)
+        assert len(set(leaves)) == 1
+        s_total = sum(rq for _, rq in got.values())
+        assert s_total <= 7 * (1 << 30)  # floors only lose mass
+
+    def test_random_graph_matches_twin(self, spark):
+        import random
+        rng = random.Random(13)
+        hosts = [f"host{i:02d}.test" for i in range(25)]
+        edges = sorted({(rng.choice(hosts), rng.choice(hosts))
+                        for _ in range(120)})
+        edges = [(a, b) for a, b in edges if a != b]
+        # duplicate some edges: both sides must dedupe identically
+        self._compare(spark, edges + edges[:10], iters=12)
+
+    def test_host_edges_from_extraction(self, spark):
+        """host_edges' HOST_RE_SQL extraction == url.host_of kernel on
+        every synthetic outlink (twin-consistency)."""
+        from nipper_spark.functions.graph import host_edges
+        from nipper_spark.functions.html_udfs import (
+            extract_pages, extract_text_and_links)
+        from nipper_spark.functions.url import host_of
+        from nipper_spark.sources.synthetic import (
+            PAGES_SCHEMA, synth_pages_rows)
+        rows = synth_pages_rows(n_pages=30, links_per_page=4, n_hosts=6)
+        pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+        got = {(r["src"], r["dst"])
+               for r in host_edges(extract_pages(pages)).collect()}
+        exp = set()
+        for (u, _, h, _, _) in rows:
+            _, links, _, _ = extract_text_and_links(u, h)
+            for link in links:
+                a, b = host_of(u), host_of(link)
+                if a and b and a != b:
+                    exp.add((a, b))
+        assert got == exp

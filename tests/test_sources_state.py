@@ -33,6 +33,34 @@ class TestWarc:
         got = {r["url"]: bytes(r["html"]) for r in pages.collect()}
         assert got == {u: h for u, _, h in recs}
 
+    def test_gzip_members_roundtrip(self, spark, tmp_path):
+        """Common Crawl layout: one gzip member per record. The reader
+        must parse .warc.gz identically to the uncompressed twin, and
+        a mixed directory (plain + gz) must union cleanly."""
+        from nipper_spark.sources.synthetic import synth_pages_rows
+        from nipper_spark.sources.warc import (
+            parse_warc_bytes, read_warc_pages, write_warc, write_warc_gz)
+        rows = synth_pages_rows(n_pages=20, links_per_page=3, n_hosts=4)
+        recs = [(u, ts, h) for (u, ts, h, _, _) in rows]
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        write_warc_gz(str(corpus / "a.warc.gz"), recs[:12])
+        write_warc(str(corpus / "b.warc"), recs[12:])
+        gz_bytes = open(corpus / "a.warc.gz", "rb").read()
+        assert gz_bytes[:2] == b"\x1f\x8b"
+        assert [(u, h) for u, _, h in parse_warc_bytes(gz_bytes)] == \
+            [(u, h) for u, _, h in recs[:12]]
+        # byte-determinism of the writer (mtime=0) — golden oracles
+        # re-generate the same file on every call
+        write_warc_gz(str(tmp_path / "a2.warc.gz"), recs[:12])
+        assert gz_bytes == open(tmp_path / "a2.warc.gz", "rb").read()
+        pages = read_warc_pages(spark, str(corpus / "a.warc.gz"))
+        assert pages.count() == 12
+        mixed = read_warc_pages(spark, str(corpus))
+        assert mixed.count() == 20
+        got = {r["url"]: bytes(r["html"]) for r in mixed.collect()}
+        assert got == {u: h for u, _, h in recs}
+
     def test_extraction_over_warc(self, spark, tmp_path):
         """WARC → pages → fused extraction: same bytes as the direct
         path (the source layer is transparent)."""
