@@ -423,12 +423,16 @@ def connected_components(pairs: DataFrame,
 
     The returned DataFrame carries ``cc_rounds`` (int) for tests."""
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    # localCheckpoint, not cache: a cached edge table still EMBEDS the
+    # upstream plan (the whole LSH candidate pipeline), and every one
+    # of the O(log D) round queries would re-canonicalize that tree
+    # during analysis/cache-lookup — per-round driver cost must depend
+    # on the round's plan, not on how the pairs were produced
     edges = (edges.unionByName(edges.select(F.col("b").alias("a"),
                                             F.col("a").alias("b")))
-             .distinct().cache())
+             .distinct().localCheckpoint())
     labels = (edges.select(F.col("a").alias("id")).distinct()
-              .withColumn("component", F.col("id")).cache())
-    labels.count()
+              .withColumn("component", F.col("id")).localCheckpoint())
     rounds = 0
     converged = False
     from pyspark.sql import Observation
@@ -476,12 +480,10 @@ def connected_components(pairs: DataFrame,
                        .filter(F.col("n.component") !=
                                F.col("o.component")).count())
         stepped.unpersist()
-        labels.unpersist()
-        labels = new_labels
+        labels = new_labels  # old checkpoint blocks free with the ref
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
