@@ -1393,3 +1393,64 @@ CASES18 = [
                          ids=[c[0] for c in CASES18])
 def test_tree_construction_batch18(name, inp, expected):
     assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+# batch 19: adversarial probe sweep — tokenizer comment endings,
+# leading-LF skipping, charref legacy/overflow edges, AAA classics,
+# after-head/after-html reprocessing, table section ordering, EOF in
+# an open tag. Every expectation hand-derived from the WHATWG spec;
+# all matched the engine on first run (no divergences found).
+CASES19 = [
+    # leading LF skipped in pre/listing/textarea — but ONLY the first
+    ("pre-leading-lf", "<pre>\nx</pre>",
+     "<body><pre>x</pre></body>"),
+    ("pre-leading-lf-once", "<pre>\n\nx</pre>",
+     "<body><pre>\nx</pre></body>"),
+    ("listing-leading-lf", "<listing>\nx</listing>",
+     "<body><listing>x</listing></body>"),
+    ("textarea-leading-lf", "<textarea>\nx</textarea>",
+     "<body><textarea>x</textarea></body>"),
+    # comment endings: --!> closes (with error); <!--> and <!--->
+    # are abrupt empty comments
+    ("comment-bang-close", "a<!--x--!>b", "<body>a<!--x-->b</body>"),
+    ("comment-abrupt-empty", "a<!-->b", "<body>a<!---->b</body>"),
+    ("comment-abrupt-dash", "a<!--->b", "<body>a<!---->b</body>"),
+    # the html5lib classic: </a> runs AAA across the <p>
+    ("aaa-a-p", "<a>1<p>2</a>3</p>",
+     "<body><a>1</a><p><a>2</a>3</p></body>"),
+    # after-html content reprocessed in body
+    ("after-html-start-tag", "<html></html><p>x",
+     "<body><p>x</p></body>"),
+    # table sections: </tbody> implied before <tfoot>
+    ("tbody-then-tfoot",
+     "<table><tbody><tr><td>a</tbody><tfoot><tr><td>b</table>",
+     "<body><table><tbody><tr><td>a</td></tr></tbody>"
+     "<tfoot><tr><td>b</td></tr></tfoot></table></body>"),
+    # out-of-range numeric charref -> U+FFFD
+    ("charref-overflow", "<p>&#x110000;</p>",
+     "<body><p>\N{REPLACEMENT CHARACTER}</p></body>"),
+    # <title> inside <svg> stays foreign (no RCDATA switch)
+    ("svg-title-foreign", "<svg><title>x</title></svg>",
+     "<body><svg><title>x</title></svg></body>"),
+    # legacy charref in ATTRIBUTE followed by '='/alnum: NOT expanded
+    ("attr-legacy-entity-eq", '<a href="?x&copy=1">t</a>',
+     '<body><a href="?x&amp;copy=1">t</a></body>'),
+    ("attr-legacy-entity-alnum", '<a href="?x&copy1">t</a>',
+     '<body><a href="?x&amp;copy1">t</a></body>'),
+    # ...but in TEXT the legacy entity expands (with parse error)
+    ("text-legacy-entity-alnum", "x&copy1", "<body>x©1</body>"),
+    # EOF inside an attribute value: the whole tag is dropped
+    ("eof-in-attr-value", 'a<p id="x', "<body>a</body>"),
+    # AAA across a block boundary (furthest-block path)
+    ("aaa-b-div", "<b>x<div>y</b>z</div>",
+     "<body><b>x</b><div><b>y</b>z</div></body>"),
+    # <isindex> is an ordinary unknown element in the current spec
+    ("isindex-ordinary", "<isindex>x",
+     "<body><isindex>x</isindex></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES19,
+                         ids=[c[0] for c in CASES19])
+def test_tree_construction_batch19(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
