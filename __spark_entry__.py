@@ -352,6 +352,24 @@ def _crawl_seeds():
     return [(rows[0][0], 1.0), (rows[1][0], 0.9), (rows[2][0], 0.8)]
 
 
+SPANS = dict(width=5, max_docs=1)
+
+
+def _q_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span boilerplate removal (functions/boilerplate.py):
+    word-5-gram windows shared by >max_docs documents are stripped
+    everywhere they occur (exact-substring dedup, Lee et al. 2022
+    shape). Output hashes the cleaned text so the VALUES oracle stays
+    compact; shuffles carry (id, pos, gram_hash) only."""
+    from nipper_spark.functions.boilerplate import remove_repeated_spans
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_repeated_spans(docs, **SPANS)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.md5("text_clean").alias("clean_md5"),
+                      F.col("n_words").cast("int").alias("n_words"),
+                      F.col("n_removed").cast("int").alias("n_removed"))
+
+
 def _q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (emails / IPv4 / phone runs -> typed placeholders,
     functions/pii.py): pure-Catalyst regexp chain, patterns restricted
@@ -1622,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": _q_source_stats,
         "doc_sample_split": _q_sample_split,
         "doc_pii_scrub": _q_doc_pii_scrub,
+        "doc_repeated_spans": _q_doc_repeated_spans,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1705,6 +1724,24 @@ def _o_extract_outlinks() -> str:
         rows.append((url, len(links), "|".join(links)))
     return _values_sql(rows, [("url", "VARCHAR"), ("n_links", "INTEGER"),
                               ("links", "VARCHAR")])
+
+
+def _o_doc_repeated_spans() -> str:
+    import hashlib
+    import duckdb
+    from nipper_spark.functions.boilerplate import repeated_spans_oracle
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+    out = repeated_spans_oracle(docs, **SPANS)
+    rows = [(i, hashlib.md5(c.encode("utf-8")).hexdigest(), n, r)
+            for i, (c, n, r) in sorted(out.items())]
+    return _values_sql(rows, [("doc_id", "BIGINT"),
+                              ("clean_md5", "VARCHAR"),
+                              ("n_words", "INTEGER"),
+                              ("n_removed", "INTEGER")])
 
 
 def _o_host_pagerank() -> str:
@@ -2080,6 +2117,7 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": _O_SOURCE_STATS,
         "doc_sample_split": _o_sample_split(),
         "doc_pii_scrub": _o_doc_pii_scrub(),
+        "doc_repeated_spans": _o_doc_repeated_spans(),
         "ann_brute_topk": _o_ann_brute(),
         "ann_lsh_topk": _o_ann_lsh(),
         "ann_ivf_topk": _o_ann_ivf(),

@@ -856,3 +856,57 @@ class TestPageRank:
                 if a and b and a != b:
                     exp.add((a, b))
         assert got == exp
+
+
+class TestRepeatedSpans:
+    def test_kernel_basics(self):
+        from nipper_spark.functions.boilerplate import (
+            remove_spans_py, span_gram_hashes)
+        assert span_gram_hashes("a b c", 5) == []
+        h = span_gram_hashes("a b c d e f", 3)
+        assert len(h) == 4 and len(set(h)) == 4
+        # same window text hashes equal wherever it appears
+        assert span_gram_hashes("x a b c", 3)[1:] == \
+            span_gram_hashes("y a b c", 3)[1:]
+        clean, n, r = remove_spans_py("a b c d e f", [1], 3)
+        assert (clean, n, r) == ("a e f", 6, 3)
+        # overlapping flagged windows union their coverage
+        clean, n, r = remove_spans_py("a b c d e f", [1, 2], 3)
+        assert (clean, n, r) == ("a f", 6, 4)
+
+    def test_spark_matches_twin(self, spark):
+        from nipper_spark.functions.boilerplate import (
+            remove_repeated_spans, repeated_spans_oracle)
+        banner = "accept all cookies to continue browsing this site"
+        rows = [(i, f"{banner} unique words {i} alpha beta gamma "
+                    f"delta epsilon {i}") for i in range(8)] + \
+               [(100, "completely unrelated text with no shared spans"),
+                (101, "short")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = remove_repeated_spans(docs, width=4, max_docs=2)
+        got = {r["doc_id"]: (r["text_clean"], r["n_words"],
+                             r["n_removed"]) for r in out.collect()}
+        assert got == repeated_spans_oracle(rows, width=4, max_docs=2)
+        # the banner is gone from every repeated doc; the per-doc
+        # unique tokens survive (every window containing them still
+        # has >=1 shared-window overlap, so only "3 3" remains)
+        assert all(banner not in got[i][0] for i in range(8))
+        assert got[3][0] == "3 3" and got[3][2] == got[3][1] - 2
+        assert got[100] == ("completely unrelated text with no shared "
+                            "spans", 7, 0)
+        assert got[101] == ("short", 1, 0)
+
+    def test_shuffle_never_carries_text(self, spark):
+        """The gram/hot/flagged subplan exchanges only (id, pos,
+        gram_h) — no string column in any Exchange."""
+        from nipper_spark.functions.boilerplate import (
+            remove_repeated_spans)
+        rows = [(i, f"w{i} common run of words here {i}")
+                for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        plan = (remove_repeated_spans(docs, width=3, max_docs=2)
+                ._jdf.queryExecution().executedPlan().toString())
+        import re
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)",
+                             plan):
+            assert "text" not in m.group(1), m.group(0)
