@@ -44,12 +44,17 @@ SCALE_BITS = 30
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 10, damping_num: int = DAMPING_NUM,
              damping_den: int = DAMPING_DEN,
-             scale_bits: int = SCALE_BITS) -> DataFrame:
+             scale_bits: int = SCALE_BITS,
+             checkpoint: bool = True) -> DataFrame:
     """edges(src, dst) → (node, outdeg, rank_q).
 
     ``rank_q`` is the fixed-point rank (units of 2^-scale_bits, total
     mass ≈ N·2^scale_bits); divide by ``N << scale_bits`` for the
-    conventional sums-to-1 value."""
+    conventional sums-to-1 value.
+
+    ``checkpoint=False`` keeps the per-round lineage (plan inspection
+    only — production runs must checkpoint or the Catalyst tree grows
+    with every iteration)."""
     s_unit = 1 << scale_bits
     teleport = s_unit * (damping_den - damping_num) // damping_den
 
@@ -83,8 +88,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                      (F.lit(teleport) + F.expr(
                          f"({damping_num} * (coalesce(contrib, 0) "
                          f"+ _dng div {n_nodes})) div {damping_den}"))
-                     .cast("long").alias("rank_q"))
-                 .localCheckpoint())
+                     .cast("long").alias("rank_q")))
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", "outdeg", "rank_q")
 
 

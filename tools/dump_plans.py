@@ -193,7 +193,43 @@ def main() -> int:
         formatted_plan(stratified_hash_sample(
             docs, "lang", {"en": 0.5}, "doc_id", 0.1))))
 
-    # 9. sitemap harvest: scan-filtered mapInPandas + one host-keyed agg
+    # 9. host-graph PageRank (one iteration shown; loop is per-round
+    # identical because each round localCheckpoints)
+    from nipper_spark.functions.graph import pagerank
+    edges = spark.range(0, 2000).select(
+        F.concat(F.lit("h"), (F.col("id") % 80).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), ((F.col("id") * 7) % 80).cast("string"))
+        .alias("dst"))
+    sections.append((
+        "Host-graph PageRank (integer-quantized, `functions/graph.py`)",
+        "Fixed-point LONG arithmetic end-to-end, so the result is "
+        "bit-identical regardless of partitioning or aggregation-tree "
+        "shape (a float formulation drifts at 1000 executors). Per "
+        "iteration: ONE ranks⋈edges shuffle join on src + ONE "
+        "groupBy(dst) with map-side partial LONG sums; the dangling "
+        "total is a 1-row aggregate broadcast back — no driver collect "
+        "inside the loop; each round `localCheckpoint`s so Catalyst "
+        "re-analysis stays O(1) in iteration count (this dump passes "
+        "`checkpoint=False` to show one round's real plan — production "
+        "keeps the checkpoint, so the lineage never grows).",
+        formatted_plan(pagerank(edges, iters=1, checkpoint=False))))
+
+    # 9b. repeated-span boilerplate removal
+    from nipper_spark.functions.boilerplate import remove_repeated_spans
+    sections.append((
+        "Repeated-span boilerplate removal "
+        "(`functions/boilerplate.py`)",
+        "Text crosses into Python exactly twice (hash the word "
+        "n-grams; rebuild the cleaned text) — the exploded gram rows "
+        "that ride every Exchange are 24-byte (id, pos, hash) tuples, "
+        "never text. Document frequency is a distinct+groupBy over the "
+        "hash only; flagged span positions collect per doc as a sorted "
+        "int array, and docs with no hot spans pass through the left "
+        "join verbatim.",
+        formatted_plan(remove_repeated_spans(docs))))
+
+    # 10. sitemap harvest: scan-filtered mapInPandas + one host-keyed agg
     from nipper_spark.crawl.sitemaps import (
         harvest_sitemap_tables, synth_sitemap_rows)
     from nipper_spark.sources.synthetic import PAGES_SCHEMA
