@@ -245,6 +245,17 @@ def _q_extract_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("outlinks", "|").alias("links"))
 
 
+ANCHOR_TOP = 5
+
+
+def _q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text index (n_refs, distinct source hosts,
+    top-k anchors by count) over the synthetic link graph — the salted
+    top-k path guards the popular-target skew."""
+    from nipper_spark.functions.anchors import anchor_text_index
+    return anchor_text_index(_synth_pages(spark), top_anchors=ANCHOR_TOP)
+
+
 _WARC_RECORDS = dict(n_pages=30, links_per_page=3, n_hosts=6, seed=7)
 PR_PAGES = dict(n_pages=120, links_per_page=4, n_hosts=16, seed=9)
 PR_ITERS = 10
@@ -1619,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": _q_warc_extract,
         "host_pagerank": _q_host_pagerank,
         "extract_outlinks": _q_extract_outlinks,
+        "anchor_text_index": _q_anchor_text_index,
         # crawl layer (SURVEY.md §2.8, north rule)
         "canonicalize_urls": _q_canonicalize,
         "crawl_schedule": _q_crawl_schedule,
@@ -1724,6 +1736,16 @@ def _o_extract_outlinks() -> str:
         rows.append((url, len(links), "|".join(links)))
     return _values_sql(rows, [("url", "VARCHAR"), ("n_links", "INTEGER"),
                               ("links", "VARCHAR")])
+
+
+def _o_anchor_text_index() -> str:
+    from nipper_spark.functions.anchors import anchor_text_index_oracle
+    from nipper_spark.sources.synthetic import synth_pages_rows
+    rows = [(u, h) for (u, _, h, _, _) in synth_pages_rows(**CRAWL_PAGES)]
+    out = anchor_text_index_oracle(rows, top_anchors=ANCHOR_TOP)
+    return _values_sql(out, [("dst", "VARCHAR"), ("n_refs", "BIGINT"),
+                             ("n_src_hosts", "BIGINT"),
+                             ("top_anchors", "VARCHAR")])
 
 
 def _o_doc_repeated_spans() -> str:
@@ -2099,6 +2121,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_extract": _o_warc_extract(),
         "host_pagerank": _o_host_pagerank(),
         "extract_outlinks": _o_extract_outlinks(),
+        "anchor_text_index": _o_anchor_text_index(),
         "canonicalize_urls": _o_canonicalize(),
         "crawl_schedule": _o_crawl_schedule(),
         "round_skew": _o_round_skew(),

@@ -123,6 +123,23 @@ def _rel_nofollow(rel: str) -> bool:
     return "nofollow" in rel.lower().split()
 
 
+def document_base(doc, url: str) -> str:
+    """WHATWG document base URL: the first ``<base href>`` resolved
+    against the page URL (falling back to the page URL itself), kept
+    only when the result is http(s). Shared by every outlink-resolving
+    kernel so 'which base' can never diverge between extractors."""
+    from urllib.parse import urljoin, urlsplit
+    bhref = doc.select("base[href]").attr("href")
+    if bhref:
+        try:
+            resolved = urljoin(url, bhref.strip())
+            if urlsplit(resolved).scheme in ("http", "https"):
+                return resolved
+        except ValueError:
+            pass
+    return url
+
+
 def extract_text_and_links(url: str, html,
                            respect_nofollow: bool = False
                            ) -> tuple[str, list[str], int, int]:
@@ -143,8 +160,6 @@ def extract_text_and_links(url: str, html,
 
     Returns (root-element text, canonical outlinks deduped in document
     order, node count, anchor count)."""
-    from urllib.parse import urljoin, urlsplit
-
     from nipper_spark.html.arena import ELEMENT
     doc = Document.from_html(_to_text(html))
     a = doc.arena
@@ -152,15 +167,7 @@ def extract_text_and_links(url: str, html,
     root = next((c for c in a.children_of(0) if a.kind[c] == ELEMENT), None)
     if root is None:
         return "", [], len(a.kind), 0
-    base = url
-    bhref = doc.select("base[href]").attr("href")
-    if bhref:
-        try:
-            resolved = urljoin(url, bhref.strip())
-            if urlsplit(resolved).scheme in ("http", "https"):
-                base = resolved
-        except ValueError:
-            pass
+    base = document_base(doc, url)
     text, hrefs, rels = a.text_and_anchor_hrefs(root, with_rel=True)
     n_anchors = len(hrefs)
     if respect_nofollow:

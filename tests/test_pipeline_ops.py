@@ -910,3 +910,86 @@ class TestRepeatedSpans:
         for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)",
                              plan):
             assert "text" not in m.group(1), m.group(0)
+
+
+class TestAnchorTextIndex:
+    """Anchor-text index: distributed == single-threaded twin, the
+    salted top-k equals the plain window, and no html/text column
+    rides any Exchange."""
+
+    PAGES = [
+        # two pages agree on "home", one dissents; nested markup and a
+        # <base href> redirect; duplicate links on one page both count
+        ("http://a.test/1",
+         '<base href="http://b.test/dir/"><a href="/">home</a>'
+         '<a href="page">deep <b>page</b></a><a href="/">home</a>'),
+        ("http://a.test/2",
+         '<a href="http://b.test/">home</a>'
+         '<a href="http://b.test/">  B   site </a>'),
+        ("http://c.test/x",
+         '<a href="http://b.test/">B site</a>'
+         '<a href="mailto:x@y">skip</a><a name="nohref">skip</a>'),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(u, h.encode()) for u, h in self.PAGES],
+            "url string, html binary")
+
+    def test_matches_twin(self, spark):
+        from nipper_spark.functions.anchors import (
+            anchor_text_index, anchor_text_index_oracle)
+        got = sorted(tuple(r) for r in
+                     anchor_text_index(self._df(spark), 2).collect())
+        want = anchor_text_index_oracle(
+            [(u, h.encode()) for u, h in self.PAGES], 2)
+        assert got == want
+
+    def test_kernel_semantics(self):
+        """base-href resolution, ws-normalized nested text, every
+        occurrence counted, non-http hrefs dropped."""
+        from nipper_spark.functions.anchors import anchor_text_pairs
+        pairs = anchor_text_pairs(*self.PAGES[0])
+        assert pairs == [("http://b.test/", "home"),
+                         ("http://b.test/dir/page", "deep page"),
+                         ("http://b.test/", "home")]
+        assert anchor_text_pairs(*self.PAGES[2]) == [
+            ("http://b.test/", "B site")]
+
+    def test_index_row(self, spark):
+        from nipper_spark.functions.anchors import anchor_text_index
+        rows = {r["dst"]: r for r in
+                anchor_text_index(self._df(spark), 2).collect()}
+        hub = rows["http://b.test/"]
+        # 3 "home" + "B site" + "B   site"(normalized) = 5 refs
+        assert hub["n_refs"] == 5
+        assert hub["n_src_hosts"] == 2
+        # count desc, then text asc; capped at 2 of the 2 anchors
+        assert hub["top_anchors"] == "home|B site"
+
+    def test_salted_equals_plain(self, spark):
+        """topk salting must not change the index (monotone top-k)."""
+        from nipper_spark.functions import anchors as A
+        from nipper_spark.sources.synthetic import (
+            PAGES_SCHEMA, synth_pages_rows)
+        pages = spark.createDataFrame(
+            synth_pages_rows(n_pages=40, links_per_page=5, n_hosts=4),
+            PAGES_SCHEMA)
+        got = sorted(tuple(r) for r in
+                     A.anchor_text_index(pages, 3).collect())
+        want = A.anchor_text_index_oracle(
+            [(r[0], r[2]) for r in
+             synth_pages_rows(n_pages=40, links_per_page=5, n_hosts=4)],
+            3)
+        assert got == want
+
+    def test_no_text_in_exchanges(self, spark):
+        """Exchanges carry (src_host, dst, anchor) triples and count
+        columns only — never the html payload."""
+        from nipper_spark.functions.anchors import anchor_text_index
+        plan = (anchor_text_index(self._df(spark), 2)
+                ._jdf.queryExecution().executedPlan().toString())
+        import re
+        for m in re.finditer(
+                r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "html" not in m.group(1), m.group(0)
