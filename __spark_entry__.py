@@ -366,6 +366,61 @@ def _crawl_seeds():
 SPANS = dict(width=5, max_docs=1)
 
 
+def _c4_page_expr():
+    """Deterministic page synthesis for the C4-filter gate: the flat
+    word-soup documents get line structure injected per doc_id so
+    every rule fires — kept lines, no-punct / too-short / javascript
+    drops, sentence-count floor (d%3), lorem-ipsum (d%7), curly (d%11)
+    and bad-word (d%13) page drops. `_c4_page_py` is the exact twin;
+    TestC4Filter pins their equality."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.substring(F.col("text"), 1, 80), F.lit(".\n"),
+        F.lit("no terminal punct here\n"),
+        F.lit("enable javascript to continue.\n"),
+        F.lit("tiny line.\n"),
+        F.substring(F.col("text"), 41, 80), F.lit("?\n"),
+        F.lit("closing words for doc "), d.cast("string"), F.lit("!"),
+        F.when(d % 3 == 0,
+               F.lit("\nextra sentence three. and four. and five."))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("\nlorem ipsum dolor sit amet."))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("\nconfig { x: 1 }"))
+        .otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("\nthis page has badword content."))
+        .otherwise(F.lit("")))
+
+
+def _c4_page_py(doc_id: int, text: str) -> str:
+    page = (f"{text[:80]}.\n"
+            "no terminal punct here\n"
+            "enable javascript to continue.\n"
+            "tiny line.\n"
+            f"{text[40:120]}?\n"
+            f"closing words for doc {doc_id}!")
+    if doc_id % 3 == 0:
+        page += "\nextra sentence three. and four. and five."
+    if doc_id % 7 == 0:
+        page += "\nlorem ipsum dolor sit amet."
+    if doc_id % 11 == 0:
+        page += "\nconfig { x: 1 }"
+    if doc_id % 13 == 0:
+        page += "\nthis page has badword content."
+    return page
+
+
+def _q_doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line+page quality filtering (functions/filtering.py):
+    pure Catalyst (higher-order array functions + translate/contains,
+    zero Python, zero shuffle), hash-exact against the operation-
+    identical single-threaded twin."""
+    from nipper_spark.functions.filtering import c4_clean
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    paged = docs.select("doc_id", _c4_page_expr().alias("text"))
+    return c4_clean(paged)
+
+
 def _q_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span boilerplate removal (functions/boilerplate.py):
     word-5-gram windows shared by >max_docs documents are stripped
@@ -1653,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_split": _q_sample_split,
         "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_repeated_spans": _q_doc_repeated_spans,
+        "doc_c4_clean": _q_doc_c4_clean,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1736,6 +1792,23 @@ def _o_extract_outlinks() -> str:
         rows.append((url, len(links), "|".join(links)))
     return _values_sql(rows, [("url", "VARCHAR"), ("n_links", "INTEGER"),
                               ("links", "VARCHAR")])
+
+
+def _o_doc_c4_clean() -> str:
+    import duckdb
+    from nipper_spark.functions.filtering import c4_clean_doc
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+    rows = [(d,) + c4_clean_doc(_c4_page_py(d, t)) for d, t in docs]
+    return _values_sql(rows, [("doc_id", "BIGINT"),
+                              ("kept", "BOOLEAN"),
+                              ("clean_md5", "VARCHAR"),
+                              ("n_lines", "INTEGER"),
+                              ("n_kept", "INTEGER"),
+                              ("n_sentences", "INTEGER")])
 
 
 def _o_anchor_text_index() -> str:
@@ -2141,6 +2214,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_split": _o_sample_split(),
         "doc_pii_scrub": _o_doc_pii_scrub(),
         "doc_repeated_spans": _o_doc_repeated_spans(),
+        "doc_c4_clean": _o_doc_c4_clean(),
         "ann_brute_topk": _o_ann_brute(),
         "ann_lsh_topk": _o_ann_lsh(),
         "ann_ivf_topk": _o_ann_ivf(),

@@ -993,3 +993,65 @@ class TestAnchorTextIndex:
         for m in re.finditer(
                 r"Exchange hashpartitioning\(([^)]*)\)", plan):
             assert "html" not in m.group(1), m.group(0)
+
+
+class TestC4Filter:
+    """C4-style quality filter: pure Catalyst == Python twin, every
+    rule exercised, zero-Python zero-shuffle plan."""
+
+    CASES = [
+        # kept page: 5 terminal sentences, clean
+        "one two three.\nfour five six!\nseven eight nine?\n"
+        'quote ends here "\nlast one here. and more.',
+        # line drops: no punct / <3 words / javascript
+        "no punct line\nok.\nenable javascript now.\n"
+        "a b c.\nd e f.\ng h i.\nj k l.\nm n o.",
+        # page drops
+        "Lorem Ipsum dolor. one two three. four five six. s s s. t t t.",
+        "brace { here. one two three. four five six. s s s. t t t.",
+        "has badword here. one two three. four five six. s s s. t t t.",
+        "",  # degenerate
+    ]
+
+    def test_matches_twin(self, spark):
+        from nipper_spark.functions.filtering import c4_clean, c4_clean_doc
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.CASES)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["kept"], r["clean_md5"], r["n_lines"],
+                             r["n_kept"], r["n_sentences"])
+               for r in c4_clean(df).collect()}
+        for i, t in enumerate(self.CASES):
+            assert got[i] == c4_clean_doc(t), (i, t)
+
+    def test_rules(self):
+        from nipper_spark.functions.filtering import c4_clean_doc
+        kept, _, n_lines, n_kept, n_sent = c4_clean_doc(self.CASES[0])
+        assert (kept, n_lines, n_kept, n_sent) == (True, 5, 5, 5)
+        # javascript / no-punct / short lines dropped at line level
+        kept, _, _, n_kept, _ = c4_clean_doc(self.CASES[1])
+        assert n_kept == 5 and kept is True
+        # page-level drops regardless of clean sentences
+        for case in self.CASES[2:5]:
+            kept, _, _, n_kept, n_sent = c4_clean_doc(case)
+            assert not kept and n_sent >= 5, case
+        assert c4_clean_doc("")[0] is False
+
+    def test_entry_fixture_twin(self, spark, docs):
+        """The driver query's injected page synthesis: Catalyst expr
+        == Python twin byte-for-byte."""
+        import __spark_entry__ as e
+        from pyspark.sql import functions as F
+        sample = docs.select("doc_id", "text").orderBy("doc_id").limit(40)
+        got = {r["doc_id"]: r["page"] for r in sample.select(
+            "doc_id", e._c4_page_expr().alias("page")).collect()}
+        for r in sample.collect():
+            assert got[r["doc_id"]] == e._c4_page_py(r["doc_id"],
+                                                     r["text"])
+
+    def test_plan_pure_catalyst(self, spark, docs):
+        from nipper_spark.functions.filtering import c4_clean
+        plan = (c4_clean(docs)._jdf.queryExecution().executedPlan()
+                .toString())
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "ArrowEval" not in plan
