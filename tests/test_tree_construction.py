@@ -1454,3 +1454,101 @@ CASES19 = [
                          ids=[c[0] for c in CASES19])
 def test_tree_construction_batch19(name, inp, expected):
     assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+# batch 20: adversarial probe sweep — PLAINTEXT/xmp raw modes, script
+# double-escape, form pointer rules, <image> rename, nobr AAA, nested
+# select, foreign-content breakout/integration points/CDATA,
+# windows-1252 charref remapping, head-after-head, body attr merge,
+# caption/colgroup/cell edges, empty-p synthesis (in-body only — in
+# "before html" an orphan </p> is correctly IGNORED, which an earlier
+# probe misread as a bug). Every expectation hand-derived from the
+# WHATWG spec; all matched the engine on first run.
+CASES20 = [
+    # PLAINTEXT: tokenizer never leaves the state; serializer is raw
+    ("plaintext", "<plaintext>a<b>c</plaintext>x",
+     "<body><plaintext>a<b>c</plaintext>x</plaintext></body>"),
+    # xmp is RAWTEXT: no tags, no charref decoding, raw serialization
+    ("xmp-rawtext", "<xmp>a<b>&amp;</xmp>x",
+     "<body><xmp>a<b>&amp;</xmp>x</body>"),
+    # form element pointer: nested <form> ignored while pointer set
+    ("nested-form", "<form><input><form><input></form><input>",
+     "<body><form><input><input></form><input></body>"),
+    # </form> with null pointer ignored; next <form> opens fresh
+    ("form-end-no-pointer", "</form><form>a",
+     "<body><form>a</form></body>"),
+    # <image> start tag is renamed to <img>
+    ("image-rename", "<image src=x>t", '<body><img src="x">t</body>'),
+    # second <nobr> with one in scope runs AAA first
+    ("nobr-aaa", "<nobr>a<nobr>b</nobr>c",
+     "<body><nobr>a</nobr><nobr>b</nobr>c</body>"),
+    # <select> inside select acts as </select> (no nesting)
+    ("select-nested", "<select><option>a<select><option>b",
+     "<body><select><option>a</option></select>"
+     "<option>b</option></body>"),
+    # foreign <font> WITHOUT color/face/size stays foreign...
+    ("math-font-stays", "<math><font>x</font></math>",
+     "<body><math><font>x</font></math></body>"),
+    # ...but WITH size it breaks out of svg
+    ("svg-font-breakout", "<svg><font size=1>x</font></svg>",
+     '<body><svg></svg><font size="1">x</font></body>'),
+    # CDATA in foreign content: literal text, escaped on serialize
+    ("svg-cdata", "<svg><![CDATA[a<b>&amp;]]></svg>",
+     "<body><svg>a&lt;b&gt;&amp;amp;</svg></body>"),
+    # annotation-xml text/html is an HTML integration point
+    ("math-annotation-html",
+     "<math><annotation-xml encoding='text/html'><p>x"
+     "</annotation-xml></math>",
+     '<body><math><annotation-xml encoding="text/html">'
+     "<p>x</p></annotation-xml></math></body>"),
+    # mtext is a MathML text integration point: <b> is HTML
+    ("math-mtext-ip", "<math><mtext><b>x</b></mtext></math>",
+     "<body><math><mtext><b>x</b></mtext></math></body>"),
+    # C1 charrefs remap through windows-1252
+    ("charref-windows1252", "a&#x80;b&#150;c",
+     "<body>a\N{EURO SIGN}b\N{EN DASH}c</body>"),
+    ("charref-null-num", "a&#0;b",
+     "<body>a\N{REPLACEMENT CHARACTER}b</body>"),
+    # <head> after head ignored; <meta> in "after head" re-enters head
+    ("head-after-head", "<head></head><head><meta>", "<body></body>"),
+    # second <body> merges only MISSING attributes
+    ("body-attr-merge", "<body a=1><div>x</div><body a=2 b=3>",
+     '<body a="1" b="3"><div>x</div></body>'),
+    # </td> inside caption is ignored (text keeps flowing)
+    ("caption-td-end",
+     "<table><caption>a</td>b</caption><tr><td>c</table>",
+     "<body><table><caption>ab</caption><tbody><tr><td>c</td></tr>"
+     "</tbody></table></body>"),
+    ("colgroup-eof", "<table><colgroup><col>",
+     "<body><table><colgroup><col></colgroup></table></body>"),
+    # <tr> closes the open cell; formatting list cleared to marker
+    ("cell-close-on-tr", "<table><tr><td><b>x<tr><td>y</table>",
+     "<body><table><tbody><tr><td><b>x</b></td></tr>"
+     "<tr><td>y</td></tr></tbody></table></body>"),
+    # named charref longest match with and without semicolon
+    ("entity-longest-match", "&notin;x &not;in y",
+     "<body>\N{NOT AN ELEMENT OF}x \N{NOT SIGN}in y</body>"),
+    # </br> acts as <br>
+    ("br-end-tag", "a</br>b", "<body>a<br>b</body>"),
+    # orphan </p> IN BODY synthesizes an empty p (button scope rule)
+    ("p-end-synth", "x</p>y", "<body>x<p></p>y</body>"),
+    ("p-end-button-scope", "<button><p>a</button></p>b",
+     "<body><button><p>a</p></button><p></p>b</body>"),
+    # ...but in "before html" an orphan </p> is ignored entirely
+    ("p-end-before-html", "</p>x", "<body>x</body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES20,
+                         ids=[c[0] for c in CASES20])
+def test_tree_construction_batch20(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+def test_frameset_document():
+    """Frameset documents have NO body element; the full-document
+    serialization shows head + frameset under html."""
+    from nipper_spark.html import Document
+    d = Document.from_html("<!DOCTYPE html><frameset><frame></frameset>")
+    assert d.html() == ("<!DOCTYPE html><html><head></head>"
+                        "<frameset><frame></frameset></html>")
