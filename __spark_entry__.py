@@ -421,6 +421,24 @@ def _q_doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(paged)
 
 
+DECON = dict(width=8, min_hits=1)
+
+
+def _q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/decontam.py): flag docs
+    sharing any 8-word-gram with the benchmark set. The benchmark is
+    synthesized deterministically as a 16-word snippet of every 17th
+    doc (an 'eval question copied from the web'), so contaminated
+    docs = those sources + their exact duplicates."""
+    from nipper_spark.functions.decontam import decontaminate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 11, 16),
+            " ").alias("text"))
+    return decontaminate(docs, bench, **DECON)
+
+
 def _q_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span boilerplate removal (functions/boilerplate.py):
     word-5-gram windows shared by >max_docs documents are stripped
@@ -1709,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_repeated_spans": _q_doc_repeated_spans,
         "doc_c4_clean": _q_doc_c4_clean,
+        "doc_decontam": _q_doc_decontam,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1792,6 +1811,22 @@ def _o_extract_outlinks() -> str:
         rows.append((url, len(links), "|".join(links)))
     return _values_sql(rows, [("url", "VARCHAR"), ("n_links", "INTEGER"),
                               ("links", "VARCHAR")])
+
+
+def _o_doc_decontam() -> str:
+    import duckdb
+    from nipper_spark.functions.decontam import decontaminate_oracle
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+    bench = [" ".join(t.split()[10:26]) for d, t in docs if d % 17 == 0]
+    rows = decontaminate_oracle(docs, bench, **DECON)
+    return _values_sql(rows, [("doc_id", "BIGINT"),
+                              ("n_hits", "BIGINT"),
+                              ("n_gram_hits", "BIGINT"),
+                              ("contaminated", "BOOLEAN")])
 
 
 def _o_doc_c4_clean() -> str:
@@ -2215,6 +2250,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": _o_doc_pii_scrub(),
         "doc_repeated_spans": _o_doc_repeated_spans(),
         "doc_c4_clean": _o_doc_c4_clean(),
+        "doc_decontam": _o_doc_decontam(),
         "ann_brute_topk": _o_ann_brute(),
         "ann_lsh_topk": _o_ann_lsh(),
         "ann_ivf_topk": _o_ann_ivf(),

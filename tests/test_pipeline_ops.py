@@ -1055,3 +1055,39 @@ class TestC4Filter:
                 .toString())
         assert "Exchange" not in plan
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestDecontam:
+    """Benchmark decontamination: distributed == twin, benchmark side
+    broadcast (no corpus shuffle before the hit agg), zero hits for a
+    disjoint benchmark."""
+
+    def test_matches_twin(self, spark, docs):
+        from nipper_spark.functions.decontam import (
+            decontaminate, decontaminate_oracle)
+        rows = [(r["doc_id"], r["text"])
+                for r in docs.select("doc_id", "text").collect()]
+        bench = [" ".join(t.split()[:12]) for i, t in rows if i % 23 == 0]
+        bdf = spark.createDataFrame([(b,) for b in bench], "text string")
+        got = sorted(tuple(r) for r in
+                     decontaminate(docs, bdf, width=6).collect())
+        assert got == decontaminate_oracle(rows, bench, width=6)
+        # the snippet sources themselves must be contaminated
+        flagged = {i for i, _, _, c in got if c}
+        assert {i for i, _ in rows if i % 23 == 0} <= flagged
+
+    def test_disjoint_benchmark_all_clean(self, spark, docs):
+        from nipper_spark.functions.decontam import decontaminate
+        bdf = spark.createDataFrame(
+            [("completely unrelated benchmark question about nothing "
+              "in particular at all honestly truly",)], "text string")
+        out = decontaminate(docs, bdf, width=8)
+        assert out.filter("contaminated").count() == 0
+        assert out.count() == docs.count()
+
+    def test_benchmark_broadcast_in_plan(self, spark, docs):
+        from nipper_spark.functions.decontam import decontaminate
+        bdf = docs.limit(3).select("text")
+        plan = (decontaminate(docs, bdf)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
