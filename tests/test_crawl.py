@@ -256,6 +256,46 @@ class TestResume:
                     .read_all_rounds("seen", 64, SEEN_SCHEMA).collect()}
         assert seen_full == seen_res == oracle.seen
 
+    def test_failed_state_write_leaves_round_uncommitted(
+            self, spark, pages, oracle, seeds, tmp_path_factory,
+            monkeypatch):
+        """Fault injection for the overlapped-write invariant: if ANY
+        of the four concurrent state writes fails, commit_round must
+        not run — the MANIFEST stays at the previous round and a fresh
+        engine replays the failed round to the oracle-exact result."""
+        from nipper_spark.crawl.state import CrawlState as CS
+        state_dir = str(tmp_path_factory.mktemp("crawl_state_fault"))
+        eng = FrontierEngine(spark, pages, state_dir, POLICY)
+        eng.bootstrap(seeds)
+        eng.run_round(0)
+
+        real_write = CS.write
+
+        def failing_write(self, table, r, df):
+            if table == "seen" and r == 2:
+                raise OSError("injected: seen write lost")
+            return real_write(self, table, r, df)
+
+        monkeypatch.setattr(CS, "write", failing_write)
+        with pytest.raises(OSError, match="injected"):
+            eng.run_round(1)
+        monkeypatch.setattr(CS, "write", real_write)
+
+        st = CrawlState(spark, state_dir)
+        assert st.last_committed_round() == 0  # round 1 NOT committed
+
+        eng2 = FrontierEngine(spark, pages, state_dir, POLICY)
+        assert eng2.resume_round() == 1       # replay the failed round
+        rest = eng2.run(max_rounds=64)
+        scheds = read_engine_schedules(spark, state_dir,
+                                       1 + len(rest) + 1)
+        non_empty = {r: w for r, w in scheds.items() if w}
+        for r, wave in enumerate(oracle.schedules):
+            assert non_empty[r] == wave, f"round {r} mismatch"
+        seen = {x["url"] for x in st.read_all_rounds(
+            "seen", 64, SEEN_SCHEMA).collect()}
+        assert seen == oracle.seen
+
 
 class TestNofollow:
     def test_kernel_rel_and_meta(self):
