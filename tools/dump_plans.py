@@ -229,6 +229,43 @@ def main() -> int:
         "join verbatim.",
         formatted_plan(remove_repeated_spans(docs))))
 
+    # 9c. anchor-text index
+    from nipper_spark.functions.anchors import anchor_text_index
+    sections.append((
+        "Anchor-text index (`functions/anchors.py`)",
+        "html crosses into Python once; every Exchange carries short "
+        "(src_host, dst, anchor) string triples or per-(dst, anchor) "
+        "counts with map-side partial aggregation. The per-target "
+        "top-k anchor selection is the salted two-phase "
+        "`topk_per_key` — the frontier wave selector's kernel — so a "
+        "mega-popular target (every page links to the home page) "
+        "cannot pin one shuffle partition.",
+        formatted_plan(anchor_text_index(
+            spark.read.parquet(pdir).select("url", "html"), 5))))
+
+    # 9d. benchmark decontamination
+    from nipper_spark.functions.decontam import decontaminate
+    bench = docs.limit(5).select("text")
+    sections.append((
+        "Benchmark decontamination (`functions/decontam.py`)",
+        "The benchmark side (eval suites: MBs vs the 100-TB corpus) "
+        "reduces to distinct gram hashes and BROADCASTS — the corpus "
+        "gram stream joins with no corpus shuffle; the only Exchange "
+        "is the per-doc hit aggregation carrying (id, gram_h) longs. "
+        "Corpus text crosses into Python once (to hash).",
+        formatted_plan(decontaminate(docs, bench))))
+
+    # 9e. C4 quality filter — pure Catalyst, zero shuffle
+    from nipper_spark.functions.filtering import c4_clean
+    sections.append((
+        "C4-style quality filter (`functions/filtering.py`)",
+        "Line rules (terminal punct, min words, javascript) via "
+        "higher-order array functions; page rules (sentence floor, "
+        "lorem ipsum, braces, bad words) via translate/contains — "
+        "ZERO Python, ZERO Exchange: one projection straight over the "
+        "scan, like the PII scrubber.",
+        formatted_plan(c4_clean(docs))))
+
     # 10. sitemap harvest: scan-filtered mapInPandas + one host-keyed agg
     from nipper_spark.crawl.sitemaps import (
         harvest_sitemap_tables, synth_sitemap_rows)
