@@ -831,6 +831,23 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("vec_id"))
 
 
+def _q_ann_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-TABLE LSH: both sides band-bucket through the same UDF and
+    equi-join on the bucket — the query side is a DataFrame end to end
+    (no driver collect)."""
+    from nipper_spark.functions.similarity import ann_lsh_topk_df
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = (emb.orderBy("vec_id").limit(ANN["n_queries"])
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("q_embedding")))
+    return ann_lsh_topk_df(
+        emb, qdf, k=LSH_ANN["k"], n_bits=LSH_ANN["n_bits"],
+        bands=LSH_ANN["bands"], seed=LSH_ANN["seed"]).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"))
+
+
 IVF = dict(k=5, n_lists=8, n_probe=3, seed=42)
 
 
@@ -1733,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_df_topk": _q_ann_ivf_df,
+        "ann_lsh_df_topk": _q_ann_lsh_df,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "ann_ivfpq_df_topk": _q_ann_ivfpq_df,
         # capstone complex query (select→mutate→re-select in one UDF)
@@ -2146,6 +2164,39 @@ def _o_ann_lsh() -> str:
                               ("vec_id", "BIGINT")])
 
 
+def _o_ann_lsh_df() -> str:
+    """Same twin as _o_ann_lsh, but queries are the n_queries SMALLEST
+    vec_ids (the DF variant picks them via orderBy/limit)."""
+    import numpy as np
+    from nipper_spark.functions.similarity import _hyperplanes
+    ids, m = _read_emb_sf001()
+    dim = m.shape[1]
+    planes = _hyperplanes(dim, LSH_ANN["n_bits"], LSH_ANN["seed"])
+    bits_per_band = LSH_ANN["n_bits"] // LSH_ANN["bands"]
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+    signs = (m @ planes) > 0
+
+    def codes(row):
+        return [int((row[b * bits_per_band:(b + 1) * bits_per_band]
+                     * weights).sum()) + (b << 24)
+                for b in range(LSH_ANN["bands"])]
+
+    corpus_codes = [set(codes(signs[i])) for i in range(len(ids))]
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norm = m / np.where(norms == 0, 1.0, norms)
+    rows = []
+    for qi in np.argsort(ids)[:ANN["n_queries"]]:
+        qcodes = corpus_codes[qi]
+        cand = [i for i in range(len(ids)) if corpus_codes[i] & qcodes]
+        sims = [(float((norm[i] * norm[qi]).sum()), int(ids[i]))
+                for i in cand]
+        order = sorted(((-s, v) for s, v in sims))
+        for rank, (negs, vid) in enumerate(order[:LSH_ANN["k"]], start=1):
+            rows.append((int(ids[qi]), rank, vid))
+    return _values_sql(rows, [("query_id", "BIGINT"), ("rank", "INTEGER"),
+                              ("vec_id", "BIGINT")])
+
+
 def _o_embedding_neardup() -> str:
     import numpy as np
     from nipper_spark.functions.similarity import _hyperplanes
@@ -2255,6 +2306,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _o_ann_lsh(),
         "ann_ivf_topk": _o_ann_ivf(),
         "ann_ivf_df_topk": _o_ann_ivf_df(),
+        "ann_lsh_df_topk": _o_ann_lsh_df(),
         "ann_ivfpq_topk": _o_ann_ivfpq(),
         "ann_ivfpq_df_topk": _o_ann_ivfpq_df(),
         "readability": _o_readability(),

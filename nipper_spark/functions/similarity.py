@@ -149,6 +149,52 @@ def ann_lsh_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]],
             .filter(F.col("rank") <= k))
 
 
+def ann_lsh_topk_df(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    n_bits: int = 16, bands: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q_id_col: str = "query_id",
+                    q_vec_col: str = "q_embedding",
+                    seed: int = 42) -> DataFrame:
+    """LSH ANN with a query TABLE: same semantics as `ann_lsh_topk`,
+    but the query side is a DataFrame end to end — bucket codes for
+    BOTH sides come from the same `lsh_bucket_udf`, candidates are an
+    equi-join on the band bucket (neither side collected; AQE
+    broadcasts the query side when it is small), so a 10⁷-row query
+    table works. Only the dim probe reads one corpus row on the
+    driver. Output: (query_id, vec_id, cosine, rank) — identical to
+    `ann_lsh_topk` on the same queries (same planes, same float op
+    order)."""
+    dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    buckets = lsh_bucket_udf(dim, n_bits, bands, seed)
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.explode(buckets(F.col(vec_col))).alias("bucket"))
+    qdf = queries.select(F.col(q_id_col).alias("query_id"),
+                         F.col(q_vec_col).alias("q_embedding"))
+    q = qdf.select("query_id",
+                   F.explode(buckets(F.col("q_embedding"))).alias("bucket"))
+    cand = (c.join(q, "bucket")
+            .select("query_id", "vec_id")
+            .dropDuplicates(["query_id", "vec_id"]))
+    withv = (cand
+             .join(corpus.select(F.col(id_col).alias("vec_id"),
+                                 F.col(vec_col).alias("embedding")),
+                   "vec_id")
+             .join(qdf, "query_id"))
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = _normalize(_as_matrix(a))
+        mb = _normalize(_as_matrix(b))
+        return pd.Series((ma * mb).sum(axis=1).astype(float))
+
+    scored = withv.withColumn("cosine", _cos("embedding", "q_embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (scored.select("query_id", "vec_id", "cosine")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def _kmeans_centroids(sample: np.ndarray, k: int, iters: int = 8,
                       seed: int = 42) -> np.ndarray:
     """Deterministic mini k-means (fixed seed/iters, ties by index) on

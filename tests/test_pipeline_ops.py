@@ -678,6 +678,26 @@ class TestIvf:
             .select("query_id", "rank", "vec_id", "cosine").collect()))
         assert via_list == via_df
 
+    def test_lsh_df_variant_matches_list_variant(self, spark, emb):
+        """ann_lsh_topk_df (query TABLE bucketed through the same
+        lsh_bucket_udf, equi-joined on the band bucket — no driver
+        collect of queries) must return exactly what the list variant
+        returns for the same queries."""
+        from nipper_spark.functions.similarity import (
+            ann_lsh_topk, ann_lsh_topk_df)
+        rows = emb.orderBy("vec_id").limit(5).collect()
+        queries = [(r["vec_id"], r["embedding"]) for r in rows]
+        qdf = (emb.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+        via_list = sorted(map(tuple, ann_lsh_topk(
+            emb, queries, k=5, n_bits=16, bands=8)
+            .select("query_id", "rank", "vec_id", "cosine").collect()))
+        via_df = sorted(map(tuple, ann_lsh_topk_df(
+            emb, qdf, k=5, n_bits=16, bands=8)
+            .select("query_id", "rank", "vec_id", "cosine").collect()))
+        assert via_list == via_df
+
     def test_ivf_deterministic(self, spark, emb):
         from nipper_spark.functions.similarity import ann_ivf_topk
         rows = emb.orderBy("vec_id").limit(3).collect()
