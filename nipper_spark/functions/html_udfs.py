@@ -123,13 +123,13 @@ def _rel_nofollow(rel: str) -> bool:
     return "nofollow" in rel.lower().split()
 
 
-def document_base(doc, url: str) -> str:
-    """WHATWG document base URL: the first ``<base href>`` resolved
-    against the page URL (falling back to the page URL itself), kept
-    only when the result is http(s). Shared by every outlink-resolving
-    kernel so 'which base' can never diverge between extractors."""
+def resolve_base(url: str, bhref: str | None) -> str:
+    """WHATWG document base URL from a raw ``<base href>`` value:
+    resolved against the page URL (falling back to the page URL
+    itself), kept only when the result is http(s). ONE definition —
+    every outlink-resolving kernel routes through here, whether the
+    href came from the fused arena walk or a selector pass."""
     from urllib.parse import urljoin, urlsplit
-    bhref = doc.select("base[href]").attr("href")
     if bhref:
         try:
             resolved = urljoin(url, bhref.strip())
@@ -138,6 +138,11 @@ def document_base(doc, url: str) -> str:
         except ValueError:
             pass
     return url
+
+
+def document_base(doc, url: str) -> str:
+    """`resolve_base` over the document's first ``<base href>``."""
+    return resolve_base(url, doc.select("base[href]").attr("href"))
 
 
 def extract_text_and_links(url: str, html,
@@ -167,8 +172,9 @@ def extract_text_and_links(url: str, html,
     root = next((c for c in a.children_of(0) if a.kind[c] == ELEMENT), None)
     if root is None:
         return "", [], len(a.kind), 0
-    base = document_base(doc, url)
-    text, hrefs, rels = a.text_and_anchor_hrefs(root, with_rel=True)
+    text, hrefs, rels, bhref = a.text_and_anchor_hrefs(
+        root, with_rel=True, with_base=True)
+    base = resolve_base(url, bhref)
     n_anchors = len(hrefs)
     if respect_nofollow:
         # REP meta directives combine across ALL robots metas on the

@@ -261,7 +261,8 @@ class Arena:
                 parts.append(text[i])  # type: ignore[arg-type]
         return "".join(parts)
 
-    def text_and_anchor_hrefs(self, nid: int, with_rel: bool = False):
+    def text_and_anchor_hrefs(self, nid: int, with_rel: bool = False,
+                              with_base: bool = False):
         """One pre-order walk collecting BOTH the text (identical bytes
         to :meth:`text_of`) and the href of every descendant <a[href]>
         in document order — the fused fast path of the page extractor
@@ -269,17 +270,22 @@ class Arena:
 
         ``with_rel=True`` additionally returns each anchor's ``rel``
         attribute value ("" when absent) as a third list, for
-        nofollow-aware crawling."""
+        nofollow-aware crawling. ``with_base=True`` appends the FIRST
+        <base href> value in document order (None when absent) —
+        identical to ``select("base[href]").attr("href")``, fused here
+        so the extractor needs no selector pass."""
         kind, text, name, attrs = self.kind, self.text, self.name, self.attrs
         parts: list[str] = []
         hrefs: list[str] = []
         rels: list[str] = []
+        base: str | None = None
         stack = [nid]
         while stack:
             i = stack.pop()
             k = kind[i]
             if k == ELEMENT:
-                if name[i] == "a":
+                nm = name[i]
+                if nm == "a":
                     href = rel = None
                     for a in attrs[i]:  # type: ignore[union-attr]
                         if a[0] == "href" and href is None:
@@ -290,15 +296,23 @@ class Arena:
                         hrefs.append(href)
                         if with_rel:
                             rels.append(rel or "")
+                elif nm == "base" and base is None:
+                    for a in attrs[i]:  # type: ignore[union-attr]
+                        if a[0] == "href":
+                            base = a[1]
+                            break
                 c = self.last[i]
                 while c != NIL:
                     stack.append(c)
                     c = self.prev[c]
             elif k == TEXT:
                 parts.append(text[i])  # type: ignore[arg-type]
+        out = ["".join(parts), hrefs]
         if with_rel:
-            return "".join(parts), hrefs, rels
-        return "".join(parts), hrefs
+            out.append(rels)
+        if with_base:
+            out.append(base)
+        return tuple(out)
 
     # ------------------------------------------------------------------
     # attribute helpers (linear scan like Node::attr, src/dom_tree.rs:846-855)
