@@ -1552,3 +1552,94 @@ def test_frameset_document():
     d = Document.from_html("<!DOCTYPE html><frameset><frame></frameset>")
     assert d.html() == ("<!DOCTYPE html><html><head></head>"
                         "<frameset><frame></frameset></html>")
+
+
+# batch 21: adversarial probe sweep — in-table pending-text batching
+# (ws-only stays, any non-ws fosters the WHOLE run), the hidden-input
+# exception, table-level style/script/template, in-head-noscript
+# (RAWTEXT: html5ever's scripting-enabled default), li/dd scope edges,
+# formatting reconstruction across table markers, select-in-table
+# breakout. Every expectation hand-derived from the WHATWG spec; all
+# matched the engine on first run (a noscript probe initially LOOKED
+# divergent, but the raw-text serialization of `<noscript><div>` is
+# byte-identical to an element tree — the arena dump confirmed the
+# content is ONE text node, the spec tree).
+CASES21 = [
+    ("table-pending-text-ws", "<table> <td>a</table>",
+     "<body><table> <tbody><tr><td>a</td></tr></tbody></table></body>"),
+    ("table-pending-text-mixed", "<table> x<td>a</table>",
+     "<body> x<table><tbody><tr><td>a</td></tr></tbody></table></body>"),
+    ("table-hidden-input", "<table><input type=hidden><td>a</table>",
+     '<body><table><input type="hidden"><tbody><tr><td>a</td></tr>'
+     "</tbody></table></body>"),
+    ("table-visible-input", "<table><input type=text><td>a</table>",
+     '<body><input type="text"><table><tbody><tr><td>a</td></tr>'
+     "</tbody></table></body>"),
+    ("table-script-style",
+     "<table><style>s</style><script>j</script><td>a</table>",
+     "<body><table><style>s</style><script>j</script>"
+     "<tbody><tr><td>a</td></tr></tbody></table></body>"),
+    # template contents are a detached fragment (invisible to
+    # serialization/queries — the engine's pinned html5ever-rcdom
+    # compatible behavior)
+    ("table-template",
+     "<table><template><td>x</td></template><tr><td>a</table>",
+     "<body><table><template></template>"
+     "<tbody><tr><td>a</td></tr></tbody></table></body>"),
+    ("col-no-colgroup", "<table><col span=2><tr><td>a</table>",
+     '<body><table><colgroup><col span="2"></colgroup>'
+     "<tbody><tr><td>a</td></tr></tbody></table></body>"),
+    ("caption-after-tbody",
+     "<table><tbody><tr><td>a</tbody><caption>c</caption></table>",
+     "<body><table><tbody><tr><td>a</td></tr></tbody>"
+     "<caption>c</caption></table></body>"),
+    ("dd-dt-implied", "<dl><dt>a<dd>b<dt>c</dl>",
+     "<body><dl><dt>a</dt><dd>b</dd><dt>c</dt></dl></body>"),
+    # div is an exception in the li-closing loop: the open div pops
+    # WITH the li instead of blocking it
+    ("li-div-scope", "<ul><li>a<div><li>b</ul>",
+     "<body><ul><li>a<div></div></li><li>b</li></ul></body>"),
+    ("li-nested-list", "<ul><li>a<ul><li>b</ul><li>c</ul>",
+     "<body><ul><li>a<ul><li>b</li></ul></li><li>c</li></ul></body>"),
+    ("fmt-reconstruct", "<p><b>x<p>y",
+     "<body><p><b>x</b></p><p><b>y</b></p></body>"),
+    # the table's AFM marker blocks reconstruction inside the cell;
+    # the still-open <b> swallows the post-table text
+    ("fmt-reconstruct-marker", "<b>x<table><td>y</td></table>z",
+     "<body><b>x<table><tbody><tr><td>y</td></tr></tbody></table>"
+     "z</b></body>"),
+    ("button-implies-close", "<button>a<button>b",
+     "<body><button>a</button><button>b</button></body>"),
+    ("select-table-breakout", "<table><tr><td><select><table>",
+     "<body><table><tbody><tr><td><select></select><table></table>"
+     "</td></tr></tbody></table></body>"),
+    # pending <a>x fosters before the table; the marker keeps 'y' plain
+    ("a-in-table-foster", "<table><a>x<td>y</table>",
+     "<body><a>x</a><table><tbody><tr><td>y</td></tr></tbody>"
+     "</table></body>"),
+    ("nested-table-in-cell",
+     "<table><tr><td><table><tr><td>i</table>o</table>",
+     "<body><table><tbody><tr><td><table><tbody><tr><td>i</td></tr>"
+     "</tbody></table>o</td></tr></tbody></table></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES21,
+                         ids=[c[0] for c in CASES21])
+def test_tree_construction_batch21(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+def test_noscript_is_rawtext_everywhere():
+    """noscript follows html5ever's scripting-enabled default: RAWTEXT
+    in head AND body — its content is ONE text node (never parsed
+    markup), which raw-text serialization makes look like elements."""
+    from nipper_spark.html import Document
+    d = Document.from_html(
+        "<!DOCTYPE html><head><noscript><link><div>x</div></noscript>")
+    assert d.select("noscript").text() == "<link><div>x</div>"
+    assert d.select("noscript div").size() == 0
+    d2 = Document.from_html(
+        "<!DOCTYPE html><body><noscript><div>y</div></noscript>")
+    assert d2.select("noscript").text() == "<div>y</div>"
+    assert d2.select("div").size() == 0
