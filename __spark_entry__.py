@@ -314,6 +314,19 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "rank_q")
 
 
+def _q_rank_seed_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-aware frontier seeding: candidate outlink URLs scored by
+    their target host's PageRank (integer-exact, so the twin is
+    hash-exact). The rank join is per-host — the small side."""
+    from nipper_spark.functions.graph import rank_seed_scores
+    from nipper_spark.functions.html_udfs import extract_pages
+    from nipper_spark.sources.synthetic import (
+        PAGES_SCHEMA, synth_pages_rows)
+    pages = spark.createDataFrame(synth_pages_rows(**PR_PAGES),
+                                  PAGES_SCHEMA)
+    return rank_seed_scores(extract_pages(pages), iters=PR_ITERS)
+
+
 def _q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from nipper_spark.functions.url import canonicalize_url
@@ -1719,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_hash": _q_extract_text_hash,
         "warc_extract": _q_warc_extract,
         "host_pagerank": _q_host_pagerank,
+        "rank_seed_scores": _q_rank_seed_scores,
         "extract_outlinks": _q_extract_outlinks,
         "anchor_text_index": _q_anchor_text_index,
         # crawl layer (SURVEY.md §2.8, north rule)
@@ -1908,6 +1922,28 @@ def _o_host_pagerank() -> str:
     rows = [(host, outdeg, rank_q)
             for host, (outdeg, rank_q) in sorted(pr.items())]
     return _values_sql(rows, [("host", "VARCHAR"), ("outdeg", "INTEGER"),
+                              ("rank_q", "BIGINT")])
+
+
+def _o_rank_seed_scores() -> str:
+    from nipper_spark.functions.graph import pagerank_oracle
+    from nipper_spark.functions.html_udfs import extract_text_and_links
+    from nipper_spark.functions.url import host_of
+    from nipper_spark.sources.synthetic import synth_pages_rows
+    edges = set()
+    cand = set()
+    for (url, _, html, _, _) in synth_pages_rows(**PR_PAGES):
+        _, links, _, _ = extract_text_and_links(url, html)
+        a = host_of(url)
+        for link in links:
+            b = host_of(link)
+            if b:
+                cand.add((link, b))
+            if a and b and a != b:
+                edges.add((a, b))
+    pr = pagerank_oracle(sorted(edges), iters=PR_ITERS)
+    rows = [(u, h, pr[h][1]) for u, h in sorted(cand) if h in pr]
+    return _values_sql(rows, [("url", "VARCHAR"), ("host", "VARCHAR"),
                               ("rank_q", "BIGINT")])
 
 
@@ -2279,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_hash": _o_extract_text_hash(),
         "warc_extract": _o_warc_extract(),
         "host_pagerank": _o_host_pagerank(),
+        "rank_seed_scores": _o_rank_seed_scores(),
         "extract_outlinks": _o_extract_outlinks(),
         "anchor_text_index": _o_anchor_text_index(),
         "canonicalize_urls": _o_canonicalize(),

@@ -94,6 +94,32 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks.select("node", "outdeg", "rank_q")
 
 
+def rank_seed_scores(extracted: DataFrame, iters: int = 10,
+                     url_col: str = "url",
+                     outlinks_col: str = "outlinks") -> DataFrame:
+    """Candidate outlink URLs scored by their TARGET host's PageRank —
+    the graph-aware frontier seeding composition: crawl authority
+    flows to URLs on authoritative hosts. Returns
+    (url, host, rank_q); `FrontierEngine.bootstrap_from_df` accepts it
+    directly with ``rank_q`` cast as the seed score (exact: rank_q <
+    2^53 for any corpus the overflow bound admits).
+
+    Scale shape: candidates are (url, host) strings; the rank join is
+    per-HOST (small side — hosts ≪ urls; broadcastable), so the URL
+    table shuffles only for its own distinct."""
+    from nipper_spark.functions.url import HOST_RE_SQL
+    ranks = pagerank(host_edges(extracted, url_col, outlinks_col),
+                     iters=iters)
+    cand = (extracted
+            .select(F.explode(outlinks_col).alias("url"))
+            .select("url", F.regexp_extract("url", HOST_RE_SQL, 1)
+                    .alias("host"))
+            .filter(F.col("host") != "")
+            .distinct())
+    return cand.join(ranks.select(F.col("node").alias("host"), "rank_q"),
+                     "host").select("url", "host", "rank_q")
+
+
 def pagerank_oracle(edges: list, iters: int = 10,
                     damping_num: int = DAMPING_NUM,
                     damping_den: int = DAMPING_DEN,

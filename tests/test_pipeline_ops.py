@@ -1111,3 +1111,33 @@ class TestDecontam:
         plan = (decontaminate(docs, bdf)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestRankSeedScores:
+    """Graph-aware frontier seeding: candidates scored by target-host
+    PageRank — integer-exact against a hand-built twin."""
+
+    def test_matches_twin(self, spark):
+        from nipper_spark.functions.graph import (
+            pagerank_oracle, rank_seed_scores)
+        rows = [
+            ("http://a.test/1", ["http://b.test/x", "http://a.test/2"]),
+            ("http://b.test/x", ["http://c.test/y", "http://b.test/z"]),
+            ("http://c.test/y", ["http://a.test/1"]),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, outlinks array<string>")
+        got = sorted(tuple(r) for r in
+                     rank_seed_scores(df, iters=5).collect())
+        edges = {("a.test", "b.test"), ("b.test", "c.test"),
+                 ("c.test", "a.test")}
+        pr = pagerank_oracle(sorted(edges), iters=5)
+        want = []
+        for _, links in rows:
+            for u in links:
+                h = u.split("/")[2]
+                want.append((u, h, pr[h][1]))
+        assert got == sorted(set(want))
+        # self-loops (a.test/2, b.test/z) still seed — their hosts are
+        # graph nodes via cross-host edges
+        assert any(u == "http://a.test/2" for u, _, _ in got)
