@@ -1141,3 +1141,37 @@ class TestRankSeedScores:
         # self-loops (a.test/2, b.test/z) still seed — their hosts are
         # graph nodes via cross-host edges
         assert any(u == "http://a.test/2" for u, _, _ in got)
+
+
+class TestC4FilterProperty:
+    def test_catalyst_equals_twin_on_arbitrary_text(self, spark):
+        """Hypothesis: the pure-Catalyst c4_clean and the Python twin
+        agree on ARBITRARY text — newlines, quotes, braces, repeated
+        spaces, unicode, and embedded 'javascript'/'lorem ipsum' — not
+        just the injected fixtures. One Spark action per example set
+        (texts batched into a single DataFrame)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from nipper_spark.functions.filtering import c4_clean, c4_clean_doc
+
+        pieces = ["a", "bb word", " ", ".", "!", "?", '"', "{", "}",
+                  "\n", "javascript", "Lorem Ipsum", "é中", "  ",
+                  "three little words", "badword"]
+        texts_strategy = st.lists(
+            st.lists(st.sampled_from(pieces), max_size=30)
+            .map("".join), min_size=1, max_size=40)
+
+        @settings(max_examples=10, deadline=None)
+        @given(texts_strategy)
+        def prop(texts):
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)],
+                "doc_id long, text string")
+            got = {r["doc_id"]: (r["kept"], r["clean_md5"], r["n_lines"],
+                                 r["n_kept"], r["n_sentences"])
+                   for r in c4_clean(df).collect()}
+            for i, t in enumerate(texts):
+                assert got[i] == c4_clean_doc(t), repr(t)
+
+        prop()
