@@ -250,7 +250,14 @@ def tokenize(html: str, feedback: TokenizerFeedback | None = None):
             pos = gt + 1
             continue
         if c == "/":
-            if lt + 2 < n and s[lt + 2] == ">":
+            if lt + 2 >= n:
+                # eof-before-tag-name: "<" and "/" are emitted as TEXT
+                # (a bogus comment here was a spec divergence — the
+                # bogus-comment state is only entered on a non-alpha
+                # CHARACTER, not on EOF)
+                yield ("text", "</")
+                return
+            if s[lt + 2] == ">":
                 pos = lt + 3  # `</>` dropped
                 continue
             m = _TAGNAME_RE.match(s, lt + 2)

@@ -1643,3 +1643,60 @@ def test_noscript_is_rawtext_everywhere():
         "<!DOCTYPE html><body><noscript><div>y</div></noscript>")
     assert d2.select("noscript").text() == "<div>y</div>"
     assert d2.select("div").size() == 0
+
+
+# batch 22: tokenizer-edge probe sweep — bogus-comment entries, EOF in
+# tag-open family, duplicate/valueless/quote-edge attributes, doctype
+# quirks detection. Found and fixed ONE real divergence: `</` at EOF
+# must emit "<" "/" as TEXT (eof-before-tag-name), not a bogus
+# comment — the bogus-comment state is entered on a non-alpha
+# CHARACTER only. Everything else matched on first run.
+CASES22 = [
+    ("bogus-comment-endtag", "a</ x>b", "<body>a<!-- x-->b</body>"),
+    ("bogus-comment-question", "a<?xml version='1'?>b",
+     "<body>a<!--?xml version='1'?-->b</body>"),
+    ("dup-attr-first-wins", "<p id=a id=b class=c>x",
+     '<body><p id="a" class="c">x</p></body>'),
+    ("attr-no-value", "<input disabled>",
+     '<body><input disabled=""></body>'),
+    ("attr-unquoted-amp", "<a href=a&b=c>x</a>",
+     '<body><a href="a&amp;b=c">x</a></body>'),
+    # after a quoted value, a bare quote starts a NEW attribute name
+    ("attr-quote-after-quoted", "<a title='it''s'>x</a>",
+     '<body><a title="it" \'s\'="">x</a></body>'),
+    ("tag-attr-case", "<DIV CLASS=UP>x</DIV>",
+     '<body><div class="UP">x</div></body>'),
+    ("self-closing-nonvoid-ignored", "<div/>x",
+     "<body><div>x</div></body>"),
+    # EOF in the tag-open family
+    ("eof-after-lt", "a<", "<body>a&lt;</body>"),
+    ("eof-after-lt-slash", "a</", "<body>a&lt;/</body>"),
+    ("eof-after-lt-bang", "a<!", "<body>a<!----></body>"),
+    ("lt-nonalpha-is-text", "a<3 b<=c", "<body>a&lt;3 b&lt;=c</body>"),
+    ("endtag-attrs-dropped", "<b>x</b id=q>y", "<body><b>x</b>y</body>"),
+    ("markup-in-attr", '<a title="<b>not</b>">x</a>',
+     '<body><a title="<b>not</b>">x</a></body>'),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES22,
+                         ids=[c[0] for c in CASES22])
+def test_tree_construction_batch22(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+def test_quirks_detection_edges():
+    """Quirks tri-state per the WHATWG doctype rules: missing doctype
+    → quirks; plain 4.01 public id (no Frameset/Transitional suffix)
+    is NOT in any quirks list → no-quirks; legacy-compat → no-quirks."""
+    from nipper_spark.html import Document
+    cases = [
+        ("<!DOCTYPE html>", "no-quirks"),
+        ("", "quirks"),
+        ("<!doctype HTML>", "no-quirks"),
+        ("<!DOCTYPE html PUBLIC '-//W3C//DTD HTML 4.01//EN'>",
+         "no-quirks"),
+        ("<!DOCTYPE html SYSTEM 'about:legacy-compat'>", "no-quirks"),
+    ]
+    for dt, want in cases:
+        assert Document.from_html(dt + "<p>x").quirks_mode == want, dt
