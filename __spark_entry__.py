@@ -1668,6 +1668,53 @@ FROM iv
 """
 
 
+def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (crawl/redirects.py): a redirect edge
+    set derived deterministically from the events table (user_id →
+    page node; last-digit classes give chains into a terminal, a
+    back-edge shortcut, and self-loops), resolved by pointer jumping
+    with max_hops=4 — chains of 6 hops correctly fail the cap, cycles
+    never resolve, everything else reports the exact final target and
+    hop count. Oracle: DuckDB recursive CTE over the same edges."""
+    from nipper_spark.crawl.redirects import resolve_redirects
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid = F.col("uid")
+    page = (lambda e: F.concat(F.lit("http://h"),
+                               (e % 20).cast("string"),
+                               F.lit(".test/p"), e.cast("string")))
+    edges = (ev.select((F.col("user_id").cast("long")).alias("uid"))
+             .distinct()
+             .withColumn("redirect_to", F.when(
+                 uid % 10 <= 5, page(uid + 1)).when(
+                 uid % 10 == 7, page(uid - 3)).when(
+                 uid % 10 == 8, page(uid)))
+             .filter(F.col("redirect_to").isNotNull())
+             .select(page(uid).alias("url"), "redirect_to"))
+    return resolve_redirects(edges, max_hops=4)
+
+
+# the DuckDB twin: identical edge derivation, recursive-CTE walk
+def _o_redirect_resolve() -> str:
+    from nipper_spark.crawl.redirects import redirect_oracle_sql
+    edges = """
+SELECT 'http://h' || CAST(uid % 20 AS VARCHAR) || '.test/p'
+         || CAST(uid AS VARCHAR) AS url,
+       CASE WHEN uid % 10 <= 5 THEN
+              'http://h' || CAST((uid + 1) % 20 AS VARCHAR) || '.test/p'
+                || CAST(uid + 1 AS VARCHAR)
+            WHEN uid % 10 = 7 THEN
+              'http://h' || CAST((uid - 3) % 20 AS VARCHAR) || '.test/p'
+                || CAST(uid - 3 AS VARCHAR)
+            WHEN uid % 10 = 8 THEN
+              'http://h' || CAST(uid % 20 AS VARCHAR) || '.test/p'
+                || CAST(uid AS VARCHAR)
+       END AS redirect_to
+FROM (SELECT DISTINCT CAST(user_id AS BIGINT) AS uid FROM events)
+WHERE uid % 10 <= 5 OR uid % 10 IN (7, 8)
+"""
+    return redirect_oracle_sql(edges, max_hops=4)
+
+
 def _o_sitemap_refresh() -> str:
     from nipper_spark.crawl.sitemaps import (
         harvest_sitemap_entries_py, sitemap_refresh_py,
@@ -1792,6 +1839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemap_seeds": _q_robots_sitemap_seeds,
         # change-rate-adaptive recrawl scheduling (pure Catalyst)
         "recrawl_scores": _q_recrawl_scores,
+        # redirect-chain resolution (pointer jumping, log2 rounds)
+        "redirect_resolve": _q_redirect_resolve,
     }
 
 
@@ -2365,4 +2414,5 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_refresh": _o_sitemap_refresh(),
         "robots_sitemap_seeds": _o_robots_sitemap_seeds(),
         "recrawl_scores": _O_RECRAWL,
+        "redirect_resolve": _o_redirect_resolve(),
     }
