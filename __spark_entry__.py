@@ -1668,6 +1668,48 @@ FROM iv
 """
 
 
+BPE = dict(num_merges=80, top_words=4000)
+
+
+def _q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE tokenization (functions/bpe.py): distributed
+    word-type counting (one explode+groupBy pass) → bounded driver
+    merge training over the top word types → broadcast merge-rank
+    apply. Per-doc token count + md5 of the token stream pin the exact
+    segmentation; the oracle retrains from the same parquet with the
+    identical kernel."""
+    from nipper_spark.functions.bpe import bpe_token_stats, bpe_train
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, num_merges=BPE["num_merges"],
+                       top_words=BPE["top_words"])
+    return bpe_token_stats(docs, merges)
+
+
+def _o_doc_bpe_tokens() -> str:
+    import hashlib as _hl
+    from collections import Counter
+    from nipper_spark.functions.bpe import (bpe_tokens,
+                                            bpe_train_from_counts,
+                                            merge_ranks)
+    ids, texts = _read_docs_sf001()
+    wc: Counter = Counter()
+    for t in texts:
+        if t:
+            wc.update(t.lower().split())
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = top[:BPE["top_words"]]
+    ranks = merge_ranks(bpe_train_from_counts(top, BPE["num_merges"]))
+    rows = []
+    cache: dict = {}
+    for i, t in zip(ids, texts):
+        toks = bpe_tokens(t or "", ranks, cache)
+        rows.append((i, len(toks),
+                     _hl.md5(" ".join(toks).encode()).hexdigest()))
+    return _values_sql(rows, [("doc_id", "BIGINT"),
+                              ("n_tokens", "BIGINT"),
+                              ("tok_hash", "VARCHAR")])
+
+
 def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (crawl/redirects.py): a redirect edge
     set derived deterministically from the events table (user_id →
@@ -1841,6 +1883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_scores": _q_recrawl_scores,
         # redirect-chain resolution (pointer jumping, log2 rounds)
         "redirect_resolve": _q_redirect_resolve,
+        # corpus-trained BPE subword tokenization
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
     }
 
 
@@ -2415,4 +2459,5 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemap_seeds": _o_robots_sitemap_seeds(),
         "recrawl_scores": _O_RECRAWL,
         "redirect_resolve": _o_redirect_resolve(),
+        "doc_bpe_tokens": _o_doc_bpe_tokens(),
     }
