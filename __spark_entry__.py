@@ -1710,6 +1710,45 @@ def _o_doc_bpe_tokens() -> str:
                               ("tok_hash", "VARCHAR")])
 
 
+LM = dict(top_vocab=2000, top_bigrams=20000, alpha=0.5)
+
+
+def _q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality gate (functions/lm.py): interpolated bigram
+    LM trained distributed on the lang='en' reference slice (bounded
+    vocab/bigram collects), every document scored with the shared
+    lm_logloss kernel, exact head/middle/tail tertiles via the
+    two-phase global row sequence. Oracle retrains + rescores
+    single-threaded from the same parquet."""
+    from nipper_spark.functions.lm import (lm_score, lm_train,
+                                           perplexity_buckets)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = lm_train(docs.filter(F.col("lang") == "en"),
+                     top_vocab=LM["top_vocab"],
+                     top_bigrams=LM["top_bigrams"])
+    return perplexity_buckets(lm_score(docs, model, alpha=LM["alpha"]))
+
+
+def _o_doc_lm_perplexity() -> str:
+    import pyarrow.parquet as pq
+    from nipper_spark.functions.lm import (lm_train_py,
+                                           perplexity_buckets_py)
+    t = pq.read_table(f"{ORACLE_SF}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+    model = lm_train_py([x for x, lg in zip(texts, langs) if lg == "en"],
+                        top_vocab=LM["top_vocab"],
+                        top_bigrams=LM["top_bigrams"])
+    rows = perplexity_buckets_py(list(zip(ids, texts)), model,
+                                 alpha=LM["alpha"])
+    return _values_sql(rows, [("doc_id", "BIGINT"),
+                              ("n_tokens", "BIGINT"),
+                              ("logloss", "DOUBLE"),
+                              ("bucket", "VARCHAR")])
+
+
 def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (crawl/redirects.py): a redirect edge
     set derived deterministically from the events table (user_id →
@@ -1885,6 +1924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": _q_redirect_resolve,
         # corpus-trained BPE subword tokenization
         "doc_bpe_tokens": _q_doc_bpe_tokens,
+        # CCNet-style LM perplexity scoring + tertile bucketing
+        "doc_lm_perplexity": _q_doc_lm_perplexity,
     }
 
 
@@ -2460,4 +2501,5 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_scores": _O_RECRAWL,
         "redirect_resolve": _o_redirect_resolve(),
         "doc_bpe_tokens": _o_doc_bpe_tokens(),
+        "doc_lm_perplexity": _o_doc_lm_perplexity(),
     }
