@@ -1700,3 +1700,105 @@ def test_quirks_detection_edges():
     ]
     for dt, want in cases:
         assert Document.from_html(dt + "<p>x").quirks_mode == want, dt
+
+
+# batch 23: adversarial probe sweep — C1/degenerate charrefs, foreign
+# integration points (desc/foreignObject/annotation-xml, font
+# breakout, mglyph, attribute adjustment), scope markers
+# (applet/marquee/caption), nobr AAA, nested select/button, implied
+# closes (dt/dd, optgroup, td-without-tr, col), foster-parented
+# img/nobr, CR normalization, after-body reprocessing. NO divergences
+# found — every case matched the spec on first run (the probe log
+# initially mislabeled font size= as a stays-foreign case; size is a
+# breakout attribute and the engine was right).
+CASES23 = [
+    ("c1-charref", "a&#128;b&#x93;c",
+     "<body>a€b“c</body>"),
+    ("charref-no-semi", "x&#65y", "<body>xAy</body>"),
+    ("charref-zero", "a&#0;b", "<body>a�b</body>"),
+    ("charref-overrange", "a&#x110000;b", "<body>a�b</body>"),
+    ("charref-surrogate", "a&#xD800;b", "<body>a�b</body>"),
+    ("select-in-select", "<select><option>a<select><option>b",
+     "<body><select><option>a</option></select><option>b</option></body>"),
+    ("dt-dd-close", "<dl><dt>a<dd>b<dt>c</dl>",
+     "<body><dl><dt>a</dt><dd>b</dd><dt>c</dt></dl></body>"),
+    ("button-button", "<button>a<button>b",
+     "<body><button>a</button><button>b</button></body>"),
+    ("nobr-aaa", "<nobr>a<b>x<nobr>y",
+     "<body><nobr>a<b>x</b></nobr><b><nobr>y</nobr></b></body>"),
+    ("applet-scope", "<b><applet><i>x</applet>y",
+     "<body><b><applet><i>x</i></applet>y</b></body>"),
+    ("marquee-scope", "<b>1<marquee>2<b>3</marquee>4",
+     "<body><b>1<marquee>2<b>3</b></marquee>4</b></body>"),
+    ("cr-normalize", "<p>a\rb\r\nc</p>", "<body><p>a\nb\nc</p></body>"),
+    ("cr-attr", '<p title="a\rb\r\nc">x',
+     '<body><p title="a\nb\nc">x</p></body>'),
+    ("svg-foreignobject",
+     "<svg><foreignObject><p>x</p></foreignObject></svg>",
+     "<body><svg><foreignObject><p>x</p></foreignObject></svg></body>"),
+    ("font-color-breakout", "<svg><font color=red>x</font></svg>",
+     '<body><svg></svg><font color="red">x</font></body>'),
+    ("font-size-breakout", "<svg><font size=1>x</font></svg>",
+     '<body><svg></svg><font size="1">x</font></body>'),
+    ("font-noattr-stays", "<svg><font id=q>x</font></svg>",
+     '<body><svg><font id="q">x</font></svg></body>'),
+    ("mglyph-in-mi", "<math><mi><mglyph>x</mi></math>",
+     "<body><math><mi><mglyph>x</mglyph></mi></math></body>"),
+    ("svg-attr-adjust", '<svg viewbox="0 0 1 1" attributename="x"></svg>',
+     '<body><svg viewBox="0 0 1 1" attributeName="x"></svg></body>'),
+    ("math-definitionurl", '<math definitionurl="u"></math>',
+     '<body><math definitionURL="u"></math></body>'),
+    ("annotation-xml-html",
+     '<math><annotation-xml encoding="text/html"><p>x</p>'
+     "</annotation-xml></math>",
+     '<body><math><annotation-xml encoding="text/html"><p>x</p>'
+     "</annotation-xml></math></body>"),
+    ("annotation-xml-other",
+     '<math><annotation-xml encoding="application/xml"><p>x</p>'
+     "</annotation-xml></math>",
+     '<body><math><annotation-xml encoding="application/xml">'
+     "</annotation-xml></math><p>x</p></body>"),
+    ("td-no-tr", "<table><td>x</td></table>",
+     "<body><table><tbody><tr><td>x</td></tr></tbody></table></body>"),
+    ("caption-scope", "<table><caption><b>x</caption></table>",
+     "<body><table><caption><b>x</b></caption></table></body>"),
+    ("col-implied", "<table><col span=2><tr><td>a</table>",
+     '<body><table><colgroup><col span="2"></colgroup><tbody><tr>'
+     "<td>a</td></tr></tbody></table></body>"),
+    # keygen: void, as in the reference's html5ever vintage (the
+    # element was spec-void until its removal from WHATWG; parity with
+    # the reference wins over spec-currency for a dead element)
+    ("keygen-void-vintage", "<p><keygen>x",
+     "<body><p><keygen>x</p></body>"),
+    ("textarea-charref", "<textarea>&amp;\n&notit;</textarea>",
+     "<body><textarea>&amp;\n¬it;</textarea></body>"),
+    ("plaintext", "<plaintext><b>x</b>",
+     "<body><plaintext><b>x</b></plaintext></body>"),
+    ("nobr-table-foster", "<table><nobr>x<tr><td>y</td></tr></table>",
+     "<body><nobr>x</nobr><table><tbody><tr><td>y</td></tr></tbody>"
+     "</table></body>"),
+    ("frameset-after-text", "hello<frameset><frame>",
+     "<body>hello</body>"),
+    ("li-nested-ul", "<ul><li>a<ul><li>b</ul>c</ul>",
+     "<body><ul><li>a<ul><li>b</li></ul>c</li></ul></body>"),
+    ("form-in-form", "<form><input name=a><form><input name=b></form>",
+     '<body><form><input name="a"><input name="b"></form></body>'),
+    ("image-in-table", "<table><image src=x></table>",
+     '<body><img src="x"><table></table></body>'),
+    ("text-after-html-end", "<p>a</html>b", "<body><p>ab</p></body>"),
+    ("space-after-body-end", "<p>a</body> \n<!--c-->",
+     "<body><p>a \n</p></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES23,
+                         ids=[c[0] for c in CASES23])
+def test_tree_construction_batch23(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+def test_title_in_before_head_goes_to_head():
+    from nipper_spark.html import Document
+    d = Document.from_html("<!DOCTYPE html><title>a&lt;b</title><p>x")
+    assert d.select("head title").text() == "a<b"
+    assert d.select("body title").size() == 0
