@@ -434,6 +434,155 @@ def _q_doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(paged)
 
 
+_GOPHER_LONG = " pneumonoultramicroscopicsilicovolcanoconiosis"
+_GOPHER_BULLETS = ("\n- one\n- two\n- three\n- four\n- five"
+                   "\n- six\n- seven\n- eight\n- nine\n- ten")
+_GOPHER_ELLIPSIS = "\nwait...\nhmm...\nmore..."
+
+
+def _gopher_page_expr():
+    """Deterministic page synthesis for the Gopher-rules gate: the
+    word-soup documents (10–99 words, so the 50-word floor fires
+    naturally) get per-doc_id pathologies so every rule trips —
+    stop-word suffix (d%2, the PASS enabler), bullet flood (d%5),
+    ellipsis lines (d%7), '#' symbol spam (d%11), mean-word-length
+    blowout (d%13), numeric-word flood (d%17). `_gopher_page_py` is
+    the exact twin; TestGopherFilter pins their equality."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 2 == 0, F.lit(" to of and that have with"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(_GOPHER_BULLETS)).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(_GOPHER_ELLIPSIS)).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.repeat(F.lit(" ###"), 12))
+        .otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.repeat(F.lit(_GOPHER_LONG), 20))
+        .otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.repeat(F.lit(" 12345"), 30))
+        .otherwise(F.lit("")))
+
+
+def _gopher_page_py(doc_id: int, text: str) -> str:
+    page = text
+    if doc_id % 2 == 0:
+        page += " to of and that have with"
+    if doc_id % 5 == 0:
+        page += _GOPHER_BULLETS
+    if doc_id % 7 == 0:
+        page += _GOPHER_ELLIPSIS
+    if doc_id % 11 == 0:
+        page += " ###" * 12
+    if doc_id % 13 == 0:
+        page += _GOPHER_LONG * 20
+    if doc_id % 17 == 0:
+        page += " 12345" * 30
+    return page
+
+
+def _q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style page-shape quality rules (functions/filtering.py
+    gopher_quality): pure Catalyst, every published ratio restated as
+    an integer cross-multiplication so the twin is hash-exact."""
+    from nipper_spark.functions.filtering import gopher_quality
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    paged = docs.select("doc_id", _gopher_page_expr().alias("text"))
+    return gopher_quality(paged)
+
+
+def _para_page_expr():
+    """Page synthesis for paragraph dedup: every doc carries shared
+    boilerplate paragraphs (cookie banner; one of two footers; a promo
+    on d%3) around two doc-specific body slices — the banner/footer
+    paragraphs dedup to their first global occurrence."""
+    d = F.col("doc_id")
+    return F.concat_ws(
+        "\n",
+        F.lit("ACCEPT OUR COOKIES TO CONTINUE"),
+        F.substring(F.col("text"), 1, 60),
+        F.when(d % 2 == 0, F.lit("COPYRIGHT 2026 EXAMPLE INC"))
+        .otherwise(F.lit("POWERED BY NIPPER SPARK")),
+        F.substring(F.col("text"), 31, 60),
+        F.when(d % 3 == 0, F.lit("SUBSCRIBE TO OUR NEWSLETTER")))
+
+
+def _para_page_py(doc_id: int, text: str) -> str:
+    parts = ["ACCEPT OUR COOKIES TO CONTINUE", text[:60],
+             ("COPYRIGHT 2026 EXAMPLE INC" if doc_id % 2 == 0
+              else "POWERED BY NIPPER SPARK"),
+             text[30:90]]
+    if doc_id % 3 == 0:
+        parts.append("SUBSCRIBE TO OUR NEWSLETTER")
+    return "\n".join(parts)
+
+
+def _q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup (functions/dedup.py
+    dedup_paragraphs): first global (doc_id, position) occurrence of
+    each paragraph hash survives; paragraph text never shuffles."""
+    from nipper_spark.functions.dedup import dedup_paragraphs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    paged = docs.select("doc_id", _para_page_expr().alias("text"))
+    return dedup_paragraphs(paged)
+
+
+URLFILTER_BLOCKED = ("tracker.com", "assets.org")
+_UF_HOSTS = ("news.example.com", "ads.tracker.com", "cdn.assets.org",
+             "a.b.deep.net", "[2001:db8::1]", "blog.sample.io",
+             "shop.example.com")
+
+
+def _urlfilter_url_expr():
+    """Deterministic candidate-URL synthesis: host by d%7 (two of the
+    seven land in blocked registered domains; one is an IPv6 literal),
+    path shape by d%5 (clean page / banned image extension / deep
+    directory trap / long-query trap / root)."""
+    d = F.col("doc_id")
+    host = F.element_at(F.array(*[F.lit(h) for h in _UF_HOSTS]),
+                        (d % 7 + 1).cast("int"))
+    ds = d.cast("string")
+    path = (
+        F.when(d % 5 == 0, F.lit("/"))
+        .when(d % 5 == 1, F.concat(F.lit("/a/b/c/page"), ds,
+                                   F.lit(".html")))
+        .when(d % 5 == 2, F.concat(F.lit("/img/pic"), ds,
+                                   F.lit(".png")))
+        .when(d % 5 == 3, F.concat(F.repeat(F.lit("/sub"), 10),
+                                   F.lit("/leaf"), ds))
+        .otherwise(F.concat(F.lit("/search?q="),
+                            F.repeat(F.lit("x"),
+                                     (d % 120).cast("int")))))
+    return F.concat(F.lit("https://"), host, path)
+
+
+def _urlfilter_url_py(doc_id: int) -> str:
+    host = _UF_HOSTS[doc_id % 7]
+    m = doc_id % 5
+    if m == 0:
+        path = "/"
+    elif m == 1:
+        path = f"/a/b/c/page{doc_id}.html"
+    elif m == 2:
+        path = f"/img/pic{doc_id}.png"
+    elif m == 3:
+        path = "/sub" * 10 + f"/leaf{doc_id}"
+    else:
+        path = "/search?q=" + "x" * (doc_id % 120)
+    return "https://" + host + path
+
+
+def _q_url_frontier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier URL hygiene filter (crawl/urlfilter.py): blocklist as
+    a broadcast join on the derived registered domain, extension/
+    query/depth rules as pure Catalyst string arithmetic — zero
+    Python, candidates never shuffle."""
+    from nipper_spark.crawl.urlfilter import url_frontier_filter
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = docs.select(_urlfilter_url_expr().alias("url"))
+    return url_frontier_filter(cands,
+                               blocked_domains=list(URLFILTER_BLOCKED))
+
+
 DECON = dict(width=8, min_hits=1)
 
 
@@ -1886,6 +2035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_repeated_spans": _q_doc_repeated_spans,
         "doc_c4_clean": _q_doc_c4_clean,
+        "doc_gopher_quality": _q_doc_gopher_quality,
+        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
+        "url_frontier_filter": _q_url_frontier_filter,
         "doc_decontam": _q_doc_decontam,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
@@ -2010,6 +2162,54 @@ def _o_doc_c4_clean() -> str:
                               ("n_lines", "INTEGER"),
                               ("n_kept", "INTEGER"),
                               ("n_sentences", "INTEGER")])
+
+
+def _o_doc_gopher_quality() -> str:
+    import duckdb
+    from nipper_spark.functions.filtering import gopher_quality_doc
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+    rows = [(d,) + gopher_quality_doc(_gopher_page_py(d, t))
+            for d, t in docs]
+    return _values_sql(rows, [
+        ("doc_id", "BIGINT"), ("kept", "BOOLEAN"),
+        ("n_words", "INTEGER"), ("sum_word_len", "INTEGER"),
+        ("n_symbols", "INTEGER"), ("n_bullet_lines", "INTEGER"),
+        ("n_ellipsis_lines", "INTEGER"), ("n_alpha_words", "INTEGER"),
+        ("n_stop_hits", "INTEGER"), ("n_lines", "INTEGER")])
+
+
+def _o_doc_paragraph_dedup() -> str:
+    import duckdb
+    from nipper_spark.functions.dedup import dedup_paragraphs_oracle
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+    rows = dedup_paragraphs_oracle(
+        [(d, _para_page_py(d, t)) for d, t in docs])
+    return _values_sql(rows, [
+        ("doc_id", "BIGINT"), ("n_paras", "INTEGER"),
+        ("n_kept", "INTEGER"), ("clean_md5", "VARCHAR")])
+
+
+def _o_url_frontier_filter() -> str:
+    import duckdb
+    from nipper_spark.crawl.urlfilter import url_filter_oracle
+    con = duckdb.connect()
+    ids = con.sql(
+        f"SELECT doc_id FROM '{ORACLE_SF}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+    rows = url_filter_oracle([_urlfilter_url_py(d) for (d,) in ids],
+                             blocked_domains=URLFILTER_BLOCKED)
+    return _values_sql(rows, [
+        ("url", "VARCHAR"), ("host", "VARCHAR"),
+        ("allowed", "BOOLEAN"), ("reason", "VARCHAR")])
 
 
 def _o_anchor_text_index() -> str:
@@ -2472,6 +2672,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": _o_doc_pii_scrub(),
         "doc_repeated_spans": _o_doc_repeated_spans(),
         "doc_c4_clean": _o_doc_c4_clean(),
+        "doc_gopher_quality": _o_doc_gopher_quality(),
+        "doc_paragraph_dedup": _o_doc_paragraph_dedup(),
+        "url_frontier_filter": _o_url_frontier_filter(),
         "doc_decontam": _o_doc_decontam(),
         "ann_brute_topk": _o_ann_brute(),
         "ann_lsh_topk": _o_ann_lsh(),

@@ -71,6 +71,131 @@ def c4_clean(docs: DataFrame, id_col: str = "doc_id",
         n_sent.cast("int").alias("n_sentences"))
 
 
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and",
+                     "that", "have", "with")
+_ASCII_ALPHA = ("abcdefghijklmnopqrstuvwxyz"
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, App. A) —
+    the page-level repetition/shape gate run next to the C4 line gate.
+
+    Rules (each restated as INTEGER comparisons so the Spark plan and
+    the Python twin cannot drift through float rounding — the ratios
+    Gopher publishes become cross-multiplied inequalities):
+
+    - word count in [min_words, max_words];
+    - mean word length in [3, 10]       → 3·n ≤ Σlen ≤ 10·n;
+    - symbol-to-word ratio ≤ 0.1        → 10·(#'#' + #'...') ≤ n;
+    - bullet-start line fraction ≤ 0.9  → 10·bullets ≤ 9·lines;
+    - ellipsis-end line fraction ≤ 0.3  → 10·ell ≤ 3·lines;
+    - alphabetic-word fraction ≥ 0.8    → 5·alpha ≥ 4·n;
+    - ≥ min_stop_hits distinct Gopher stop words present as tokens.
+
+    Scale shape: pure Catalyst like :func:`c4_clean` — split/filter/
+    aggregate higher-order functions + translate/replace, zero Python,
+    zero shuffle, codegen'd over the scan. Words are the space-split
+    non-empty tokens of text with \\n and \\t flattened to spaces
+    (identical ops in :func:`gopher_quality_doc`); "alphabetic" means
+    contains an ASCII letter (translate-based, no regex engine in the
+    comparison path); '...' counts are non-overlapping occurrences via
+    the replace-length formula both sides share."""
+    text = F.col(text_col)
+    # staged selects, not one mega-projection: the words/lines arrays
+    # are non-cheap expressions referenced by several counters, and
+    # CollapseProject keeps them materialized once per row instead of
+    # inlining one split per output column
+    flat = F.translate(text, "\n\t", "  ")
+    words = F.filter(F.split(flat, " ", -1), lambda w: w != F.lit(""))
+    lines = F.split(text, "\n", -1)
+    staged = docs.select(
+        F.col(id_col), text.alias("_t"),
+        words.alias("_words"), lines.alias("_lines"))
+    w = F.col("_words")
+    ln = F.col("_lines")
+    t = F.col("_t")
+    n_hash = F.length(t) - F.length(F.translate(t, "#", ""))
+    n_ellipsis = ((F.length(t)
+                   - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+                  / 3).cast("int")
+    counters = staged.select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        F.aggregate(w, F.lit(0),
+                    lambda acc, x: acc + F.length(x))
+        .alias("sum_word_len"),
+        (n_hash + n_ellipsis).cast("int").alias("n_symbols"),
+        F.size(F.filter(
+            ln, lambda x: x.startswith("- ") | x.startswith("* ")
+            | x.startswith("• "))).alias("n_bullet_lines"),
+        F.size(F.filter(ln, lambda x: x.endswith("...")))
+        .alias("n_ellipsis_lines"),
+        F.size(F.filter(
+            w, lambda x: F.length(x) != F.length(
+                F.translate(x, _ASCII_ALPHA, ""))))
+        .alias("n_alpha_words"),
+        F.size(F.array_intersect(
+            F.transform(w, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])))
+        .alias("n_stop_hits"),
+        F.size(ln).alias("n_lines"))
+    n_words = F.col("n_words")
+    sum_len = F.col("sum_word_len")
+    kept = ((n_words >= min_words) & (n_words <= max_words)
+            & (3 * n_words <= sum_len) & (sum_len <= 10 * n_words)
+            & (10 * F.col("n_symbols") <= n_words)
+            & (10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines"))
+            & (10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines"))
+            & (5 * F.col("n_alpha_words") >= 4 * n_words)
+            & (F.col("n_stop_hits") >= min_stop_hits))
+    return counters.select(
+        F.col(id_col), kept.alias("kept"),
+        *[F.col(c).cast("int").alias(c)
+          for c in ("n_words", "sum_word_len", "n_symbols",
+                    "n_bullet_lines", "n_ellipsis_lines",
+                    "n_alpha_words", "n_stop_hits", "n_lines")])
+
+
+def gopher_quality_doc(text: str, min_words: int = 50,
+                       max_words: int = 100_000,
+                       min_stop_hits: int = 2) -> tuple:
+    """Single-threaded twin of :func:`gopher_quality` — identical
+    primitive ops (flatten-then-space-split, translate deletions,
+    replace-length ellipsis count), so any Spark/twin divergence is a
+    bug, not a semantics gap. Returns (kept, n_words, sum_word_len,
+    n_symbols, n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+    n_stop_hits, n_lines)."""
+    flat = text.replace("\n", " ").replace("\t", " ")
+    words = [w for w in flat.split(" ") if w != ""]
+    n_words = len(words)
+    sum_len = sum(len(w) for w in words)
+    n_hash = len(text) - len(text.replace("#", ""))
+    n_ellipsis = (len(text) - len(text.replace("...", ""))) // 3
+    n_symbols = n_hash + n_ellipsis
+    lines = text.split("\n")
+    n_lines = len(lines)
+    n_bullet = sum(1 for ln in lines
+                   if ln.startswith(("- ", "* ", "• ")))
+    n_ell_lines = sum(1 for ln in lines if ln.endswith("..."))
+    alpha = set(_ASCII_ALPHA)
+    n_alpha = sum(1 for w in words if any(c in alpha for c in w))
+    low_words = set(w.lower() for w in words)
+    n_stop = sum(1 for sw in GOPHER_STOP_WORDS if sw in low_words)
+    kept = (min_words <= n_words <= max_words
+            and 3 * n_words <= sum_len <= 10 * n_words
+            and 10 * n_symbols <= n_words
+            and 10 * n_bullet <= 9 * n_lines
+            and 10 * n_ell_lines <= 3 * n_lines
+            and 5 * n_alpha >= 4 * n_words
+            and n_stop >= min_stop_hits)
+    return (kept, n_words, sum_len, n_symbols, n_bullet, n_ell_lines,
+            n_alpha, n_stop, n_lines)
+
+
 def c4_clean_doc(text: str, bad_words: tuple = DEFAULT_BAD_WORDS,
                  min_words: int = MIN_WORDS,
                  min_sentences: int = MIN_SENTENCES) -> tuple:

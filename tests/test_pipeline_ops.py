@@ -1175,3 +1175,173 @@ class TestC4FilterProperty:
                 assert got[i] == c4_clean_doc(t), repr(t)
 
         prop()
+
+
+class TestGopherFilter:
+    """Gopher page-shape rules: pure Catalyst == Python twin, every
+    rule trips on a targeted case, integer-exact arithmetic."""
+
+    CASES = [
+        # kept: 60 words, sane shape, stop words present
+        "the cat sat to of and that have with " + "word " * 60,
+        "tiny.",                                     # word-count floor
+        "the to of and " + "w " * 70,                # mean length < 3
+        "the to of and " + "pneumonoultramicroscopics " * 60,  # mean>10
+        "the to of and that " + "### " * 20 + "word " * 50,    # symbols
+        ("the to of and " + "tok " * 80
+         + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"
+         + "\n- k\n- l\n- m\n- n\n- o\n- p\n- q\n- r\n- s"),   # bullets
+        ("the to of and " + "tok " * 60
+         + "\nwait...\nhmm...\nmore...\nyes..."),    # ellipsis lines
+        "the to of and " + "12345 " * 40 + "word " * 50,  # alpha < 0.8
+        "zzz " * 80,                                 # no stop words
+        "",                                          # degenerate
+        "\t the\tbe to\nof and that have with " + "mix " * 55,
+    ]
+
+    def test_matches_twin(self, spark):
+        from nipper_spark.functions.filtering import (gopher_quality,
+                                                      gopher_quality_doc)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.CASES)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: tuple(r)[1:]
+               for r in gopher_quality(df).collect()}
+        for i, t in enumerate(self.CASES):
+            assert got[i] == gopher_quality_doc(t), (i, t[:60])
+
+    def test_each_rule_trips(self):
+        from nipper_spark.functions.filtering import gopher_quality_doc
+        verdicts = [gopher_quality_doc(t)[0] for t in self.CASES]
+        assert verdicts[0] is True
+        assert verdicts[1:10] == [False] * 9
+        assert verdicts[10] is True  # whitespace flattening still keeps
+
+    def test_driver_fixture_has_both_verdicts(self, spark, docs):
+        import __spark_entry__ as entry
+        out = entry.queries()["doc_gopher_quality"](spark, SF_DIR)
+        counts = dict(out.groupBy("kept").count().collect())
+        assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+
+
+class TestGopherFilterProperty:
+    def test_catalyst_equals_twin_on_arbitrary_text(self, spark):
+        """Hypothesis: gopher_quality == twin on arbitrary text built
+        from rule-adjacent pieces (bullets, ellipses, hashes, long
+        words, tabs/newlines, unicode)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from nipper_spark.functions.filtering import (gopher_quality,
+                                                      gopher_quality_doc)
+
+        pieces = ["the ", "be to of ", "word ", "### ", "...", "- x\n",
+                  "* y\n", "• z\n", "\n", "\t", "12345 ", "é中 ",
+                  "pneumonoultramicroscopics ", "a ", "  "]
+        texts_strategy = st.lists(
+            st.lists(st.sampled_from(pieces), max_size=40)
+            .map("".join), min_size=1, max_size=30)
+
+        @given(texts=texts_strategy)
+        @settings(max_examples=15, deadline=None)
+        def check(texts):
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)],
+                "doc_id long, text string")
+            got = {r["doc_id"]: tuple(r)[1:]
+                   for r in gopher_quality(df).collect()}
+            for i, t in enumerate(texts):
+                assert got[i] == gopher_quality_doc(t), (i, repr(t))
+
+        check()
+
+
+class TestParagraphDedup:
+    def test_matches_twin_and_dedups_boilerplate(self, spark):
+        from nipper_spark.functions.dedup import (dedup_paragraphs,
+                                                  dedup_paragraphs_oracle)
+        docs = [(i, f"BANNER\nbody {i} alpha\nFOOTER\nbody {i} beta"
+                 + ("\nPROMO" if i % 2 else ""))
+                for i in range(8)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = sorted(tuple(r) for r in dedup_paragraphs(df).collect())
+        assert got == sorted(dedup_paragraphs_oracle(docs))
+        by_id = {r[0]: r for r in got}
+        # doc 0 keeps everything (first occurrence of BANNER/FOOTER)
+        assert by_id[0][1] == by_id[0][2] == 4
+        # doc 1 first carries PROMO; doc 3 loses it too
+        assert by_id[1][2] == 3 and by_id[3][2] == 2
+
+    def test_winner_is_global_min_not_partition_order(self, spark):
+        """The same paragraph in many docs survives exactly once, in
+        the LOWEST doc — regardless of partitioning."""
+        from nipper_spark.functions.dedup import dedup_paragraphs
+        docs = [(i, "SHARED\nunique %d" % i) for i in range(20)]
+        df = (spark.createDataFrame(docs, "doc_id long, text string")
+              .repartition(7))
+        rows = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+        assert rows[0]["n_kept"] == 2
+        assert all(rows[i]["n_kept"] == 1 for i in range(1, 20))
+
+    def test_all_unique_is_identity(self, spark):
+        from nipper_spark.functions.dedup import dedup_paragraphs
+        import hashlib
+        docs = [(i, f"para a{i}\npara b{i}") for i in range(5)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for r in dedup_paragraphs(df).collect():
+            want = hashlib.md5(
+                f"para a{r['doc_id']}\npara b{r['doc_id']}"
+                .encode()).hexdigest()
+            assert (r["n_paras"], r["n_kept"]) == (2, 2)
+            assert r["clean_md5"] == want
+
+
+class TestUrlFilter:
+    URLS = [
+        "https://ok.example.com/a/b/page.html",
+        "http://ads.tracker.com/anything",       # blocked domain
+        "https://sub.deep.assets.org/x",         # blocked via subdomain
+        "https://ok.com/image.PNG",              # extension, case-folded
+        "https://ok.com/archive.tar.gz",         # last extension wins
+        "http://ok.com/search?" + "q" * 100,     # query trap
+        "https://trap.com" + "/d" * 12,          # depth trap
+        "ftp://nope.com/x",                      # scheme
+        "https://[2001:db8::1]/ipv6",            # bracket host kept
+        "https://ok.com",                        # no path at all
+        "https://ok.com/file.html?x=1",          # query under limit
+    ]
+    BLOCKED = ("tracker.com", "assets.org")
+
+    def test_matches_twin(self, spark):
+        from nipper_spark.crawl.urlfilter import (url_frontier_filter,
+                                                  url_filter_oracle)
+        df = spark.createDataFrame([(u,) for u in self.URLS],
+                                   "url string")
+        got = sorted(tuple(r) for r in url_frontier_filter(
+            df, blocked_domains=list(self.BLOCKED)).collect())
+        want = sorted(url_filter_oracle(self.URLS,
+                                        blocked_domains=self.BLOCKED))
+        assert got == want
+
+    def test_reasons(self):
+        from nipper_spark.crawl.urlfilter import url_filter_oracle
+        by_url = {r[0]: r for r in url_filter_oracle(
+            self.URLS, blocked_domains=self.BLOCKED)}
+        assert by_url[self.URLS[0]][2] is True
+        assert by_url[self.URLS[1]][3] == "host_blocked"
+        assert by_url[self.URLS[2]][3] == "host_blocked"
+        assert by_url[self.URLS[3]][3] == "extension"
+        assert by_url[self.URLS[4]][3] == "extension"
+        assert by_url[self.URLS[5]][3] == "query_too_long"
+        assert by_url[self.URLS[6]][3] == "too_deep"
+        assert by_url[self.URLS[7]][3] == "scheme"
+        assert by_url[self.URLS[8]][2] is True
+        assert by_url[self.URLS[9]][2] is True
+        assert by_url[self.URLS[10]][2] is True
+
+    def test_empty_blocklist(self, spark):
+        from nipper_spark.crawl.urlfilter import url_frontier_filter
+        df = spark.createDataFrame([(u,) for u in self.URLS],
+                                   "url string")
+        out = url_frontier_filter(df)
+        assert out.filter("reason = 'host_blocked'").count() == 0

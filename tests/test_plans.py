@@ -217,6 +217,24 @@ class TestCandidateShuffleVolume:
         for cols in blocked:
             assert "text" not in cols, cols
 
+    def test_paragraph_dedup_exchanges_carry_no_text(self, spark,
+                                                     docs_parquet,
+                                                     no_broadcast):
+        """dedup_paragraphs: the winner-per-hash and kept-index
+        shuffles move only (id, p_idx, md5) — the paragraph text never
+        enters an Exchange except the final co-partitioned join back
+        to the docs table by id."""
+        from nipper_spark.functions.dedup import dedup_paragraphs
+        docs = spark.read.parquet(docs_parquet)
+        out = dedup_paragraphs(docs)
+        exchanges = exchange_input_columns(out)
+        assert exchanges, "expected shuffles in the paragraph-dedup plan"
+        narrow = [cols for cols in exchanges
+                  if "ph" in cols or "p_idx" in cols]
+        assert narrow, exchanges
+        for cols in narrow:
+            assert "para" not in cols and "text" not in cols, cols
+
     def test_embedding_buckets_carry_no_vectors(self, spark,
                                                 tmp_path_factory,
                                                 no_broadcast):
