@@ -1802,3 +1802,148 @@ def test_title_in_before_head_goes_to_head():
     d = Document.from_html("<!DOCTYPE html><title>a&lt;b</title><p>x")
     assert d.select("head title").text() == "a<b"
     assert d.select("body title").size() == 0
+
+
+# batch 24: adversarial probe sweep — in-body optgroup/option end tags,
+# second-body/html attribute merges, head re-entry after </head>,
+# charref range/surrogate/C1 edges, legacy no-semicolon charrefs in
+# text vs attributes, rawtext end-tag attr/solidus forms, select
+# breakouts, isindex/menuitem as ordinary unknowns (modern spec), the
+# a-in-a table-foster AAA early-return case, form-pointer nesting,
+# foreign integration points, table text partitioning. All verified
+# spec-by-hand; no engine divergences found this sweep.
+CASES24 = [
+    ("isindex-modern", "<isindex prompt=p name=n>",
+     '<body><isindex prompt="p" name="n"></isindex></body>'),
+    ("menuitem-modern", "<menuitem>a</menuitem>b",
+     "<body><menuitem>a</menuitem>b</body>"),
+    ("optgroup-end-in-body", "<optgroup><option>a</optgroup>b",
+     "<body><optgroup><option>a</option></optgroup>b</body>"),
+    ("option-siblings-body", "<option>a<option>b",
+     "<body><option>a</option><option>b</option></body>"),
+    ("listing-leading-lf", "<listing>\nx</listing>",
+     "<body><listing>x</listing></body>"),
+    ("pre-charref-lf", "<pre>&#x0a;x</pre>",
+     "<body><pre>x</pre></body>"),
+    ("charref-out-of-range", "<p>&#x110000;",
+     "<body><p>\N{REPLACEMENT CHARACTER}</p></body>"),
+    ("charref-surrogate", "<p>&#xD800;",
+     "<body><p>\N{REPLACEMENT CHARACTER}</p></body>"),
+    ("charref-c1-remap", "<p>&#x80;&#x9F;",
+     "<body><p>€Ÿ</p></body>"),
+    ("charref-null", "<p>&#0;",
+     "<body><p>\N{REPLACEMENT CHARACTER}</p></body>"),
+    ("legacy-charref-text", "<p>&notin x; &ampx; &amp x",
+     "<body><p>¬in x; &amp;x; &amp; x</p></body>"),
+    ("legacy-charref-attr", '<p title="&notin x &amp=1 &ampx">y',
+     '<body><p title="&amp;notin x &amp;amp=1 &amp;ampx">y</p></body>'),
+    ("title-end-tag-attrs", "<title>t</title foo=bar><p>x",
+     "<body><p>x</p></body>"),
+    ("style-end-tag-solidus", "<style>s</style/><p>x",
+     "<body><p>x</p></body>"),
+    ("select-input-breakout", "<select><option>a<input name=q>b",
+     '<body><select><option>a</option></select><input name="q">b'
+     "</body>"),
+    ("select-textarea-breakout", "<select><option>a<textarea>t"
+     "</textarea>",
+     "<body><select><option>a</option></select><textarea>t</textarea>"
+     "</body>"),
+    ("table-in-td-nested", "<table><tr><td><table><tr><td>i</table>o"
+     "</table>",
+     "<body><table><tbody><tr><td><table><tbody><tr><td>i</td></tr>"
+     "</tbody></table>o</td></tr></tbody></table></body>"),
+    ("table-in-caption", "<table><caption>c<table><tr><td>x</table>"
+     "</caption></table>",
+     "<body><table><caption>c<table><tbody><tr><td>x</td></tr>"
+     "</tbody></table></caption></table></body>"),
+    ("dt-dd-interleave", "<dl><dt>a<dd>b<dt>c</dl>",
+     "<body><dl><dt>a</dt><dd>b</dd><dt>c</dt></dl></body>"),
+    ("dt-formatting-reconstruct", "<dl><dt><b>a<dd>b</dl>c",
+     "<body><dl><dt><b>a</b></dt><dd><b>b</b></dd></dl><b>c</b>"
+     "</body>"),
+    # a-in-a via table foster: AAA returns early (a1 not in table
+    # scope), in-body <a> then removes a1 from stack+list; a2 fosters
+    # into a1's TREE position; after </table> reconstruction clones a2
+    # as a sibling (html5lib tests1.dat shape)
+    ("a-table-foster-aaa",
+     "<a href=1>x<table><a href=2>y<tr><td>z</table>w",
+     '<body><a href="1">x<a href="2">y</a><table><tbody><tr><td>z'
+     '</td></tr></tbody></table></a><a href="2">w</a></body>'),
+    ("p-end-in-button-scope", "<p>a<button></p>b",
+     "<body><p>a<button><p></p>b</button></p></body>"),
+    ("form-child-of-table", "<table><form><tr><td>x</table>",
+     "<body><table><form></form><tbody><tr><td>x</td></tr></tbody>"
+     "</table></body>"),
+    ("br-end-tag-attrs", "a</br foo=1>b", "<body>a<br>b</body>"),
+    ("head-in-body-ignored", "<p>a<head><meta x=1></head>b",
+     '<body><p>a<meta x="1">b</p></body>'),
+    ("col-outside-table", "<col span=1>x", "<body>x</body>"),
+    ("tbody-tfoot-tbody", "<table><tbody><tr><td>a<tfoot><tr><td>b"
+     "<tbody><tr><td>c</table>",
+     "<body><table><tbody><tr><td>a</td></tr></tbody><tfoot><tr>"
+     "<td>b</td></tr></tfoot><tbody><tr><td>c</td></tr></tbody>"
+     "</table></body>"),
+    ("input-hidden-case-fold", "<table><input type=HIDden name=q>"
+     "<tr><td>x</table>",
+     '<body><table><input type="HIDden" name="q"><tbody><tr><td>x'
+     "</td></tr></tbody></table></body>"),
+    ("cdata-outside-foreign", "a<![CDATA[x]]>b",
+     "<body>a<!--[CDATA[x]]-->b</body>"),
+    ("svg-desc-integration", "<svg><desc><p>x</p></desc></svg>",
+     "<body><svg><desc><p>x</p></desc></svg></body>"),
+    ("math-mtext-integration", "<math><mtext><p>x</p></mtext></math>",
+     "<body><math><mtext><p>x</p></mtext></math></body>"),
+    ("svg-cdata-text", "<svg><![CDATA[<b>&amp;]]></svg>",
+     "<body><svg>&lt;b&gt;&amp;amp;</svg></body>"),
+    ("comment-null-replace", "a<!-- x\x00y -->b",
+     "<body>a<!-- x\N{REPLACEMENT CHARACTER}y -->b</body>"),
+    ("attr-duplicate-dropped", "<p id=a id=b class=c>x",
+     '<body><p id="a" class="c">x</p></body>'),
+    ("end-tag-self-closing", "<p>a</p/>b", "<body><p>a</p>b</body>"),
+    ("lt-bang-eof", "a<!", "<body>a<!----></body>"),
+    ("processing-instruction-bogus", "a<?php x?>b",
+     "<body>a<!--?php x?-->b</body>"),
+    ("table-ws-text-stays", "<table>  <tr> <td>a</td> </tr>  </table>",
+     "<body><table>  <tbody><tr> <td>a</td> </tr>  </tbody></table>"
+     "</body>"),
+    ("table-mixed-text-fosters", "<table> x <tr><td>a</table>",
+     "<body> x <table><tbody><tr><td>a</td></tr></tbody></table>"
+     "</body>"),
+    ("hr-closes-p", "<p>a<hr>b", "<body><p>a</p><hr>b</body>"),
+    ("heading-closes-heading", "<h1>a<h2>b</h2>",
+     "<body><h1>a</h1><h2>b</h2></body>"),
+    ("form-pointer-blocks-td-form",
+     "<form><table><tr><td><form><input></table>",
+     "<body><form><table><tbody><tr><td><input></td></tr></tbody>"
+     "</table></form></body>"),
+    ("button-end-implies-p", "<button><p>a</button>b",
+     "<body><button><p>a</p></button>b</body>"),
+    ("object-param-nests", "<object><param name=a value=b><p>x"
+     "</object>y",
+     '<body><object><param name="a" value="b"><p>x</p></object>y'
+     "</body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES24,
+                         ids=[c[0] for c in CASES24])
+def test_tree_construction_batch24(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+def test_second_html_body_merge_attrs():
+    from nipper_spark.html import Document
+    d = Document.from_html("<!DOCTYPE html><html lang=a>"
+                           "<body class=a><body id=b onload=x>t"
+                           "<html dir=b>")
+    assert d.html() == ('<!DOCTYPE html><html lang="a" dir="b">'
+                        '<head></head><body class="a" id="b" '
+                        'onload="x">t</body></html>')
+
+
+def test_meta_after_head_end_reenters_head():
+    from nipper_spark.html import Document
+    d = Document.from_html("<!DOCTYPE html></head><meta charset=x>"
+                           "<p>y")
+    assert d.select("head meta").attr("charset") == "x"
+    assert d.select("body meta").size() == 0
