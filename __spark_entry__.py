@@ -490,6 +490,42 @@ def _q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(paged)
 
 
+_GOPHER_DUPLINE = "\nCLICK HERE TO WIN\nCLICK HERE TO WIN" \
+                  "\nCLICK HERE TO WIN"
+
+
+def _gopher_rep_page_expr():
+    """Page synthesis for the repetition gate: duplicate-line floods
+    (d%3) and a repeated-bigram spam tail (d%5) over the one-line
+    word-soup base."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit(_GOPHER_DUPLINE)).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.repeat(F.lit(" buy now"), 40))
+        .otherwise(F.lit("")))
+
+
+def _gopher_rep_page_py(doc_id: int, text: str) -> str:
+    page = text
+    if doc_id % 3 == 0:
+        page += _GOPHER_DUPLINE
+    if doc_id % 5 == 0:
+        page += " buy now" * 40
+    return page
+
+
+def _q_doc_gopher_repetition(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (functions/filtering.py
+    gopher_repetition): duplicate-line and top-bigram shares computed
+    in-row over sorted arrays — zero Python, zero shuffle."""
+    from nipper_spark.functions.filtering import gopher_repetition
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    paged = docs.select("doc_id", _gopher_rep_page_expr().alias("text"))
+    return gopher_repetition(paged)
+
+
 def _para_page_expr():
     """Page synthesis for paragraph dedup: every doc carries shared
     boilerplate paragraphs (cookie banner; one of two footers; a promo
@@ -2036,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repeated_spans": _q_doc_repeated_spans,
         "doc_c4_clean": _q_doc_c4_clean,
         "doc_gopher_quality": _q_doc_gopher_quality,
+        "doc_gopher_repetition": _q_doc_gopher_repetition,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "url_frontier_filter": _q_url_frontier_filter,
         "doc_decontam": _q_doc_decontam,
@@ -2180,6 +2217,24 @@ def _o_doc_gopher_quality() -> str:
         ("n_symbols", "INTEGER"), ("n_bullet_lines", "INTEGER"),
         ("n_ellipsis_lines", "INTEGER"), ("n_alpha_words", "INTEGER"),
         ("n_stop_hits", "INTEGER"), ("n_lines", "INTEGER")])
+
+
+def _o_doc_gopher_repetition() -> str:
+    import duckdb
+    from nipper_spark.functions.filtering import gopher_repetition_doc
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+    rows = [(d,) + gopher_repetition_doc(_gopher_rep_page_py(d, t))
+            for d, t in docs]
+    return _values_sql(rows, [
+        ("doc_id", "BIGINT"), ("kept", "BOOLEAN"),
+        ("n_lines", "INTEGER"), ("n_dup_lines", "INTEGER"),
+        ("dup_line_chars", "INTEGER"), ("top_bigram", "VARCHAR"),
+        ("top_bigram_count", "INTEGER"), ("top_bigram_chars", "INTEGER"),
+        ("text_chars", "INTEGER")])
 
 
 def _o_doc_paragraph_dedup() -> str:
@@ -2673,6 +2728,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repeated_spans": _o_doc_repeated_spans(),
         "doc_c4_clean": _o_doc_c4_clean(),
         "doc_gopher_quality": _o_doc_gopher_quality(),
+        "doc_gopher_repetition": _o_doc_gopher_repetition(),
         "doc_paragraph_dedup": _o_doc_paragraph_dedup(),
         "url_frontier_filter": _o_url_frontier_filter(),
         "doc_decontam": _o_doc_decontam(),

@@ -218,3 +218,107 @@ def c4_clean_doc(text: str, bad_words: tuple = DEFAULT_BAD_WORDS,
     kept = n_sent >= min_sentences and not bad
     return (kept, hashlib.md5(clean.encode("utf-8")).hexdigest(),
             len(lines), len(kept_lines), n_sent)
+
+
+def gopher_repetition(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021, App. A "repetition
+    filters"): pages dominated by repeated lines or one repeated
+    word-bigram are dropped. Thresholds as integer cross-products:
+
+    - duplicate-line fraction ≤ 0.30        → 10·dup ≤ 3·lines;
+    - duplicate-line CHARACTER fraction ≤ 0.20 → 5·dupchars ≤ chars;
+    - top word-2-gram character share ≤ 0.20   → 5·topchars ≤ chars.
+
+    A line instance is "duplicate" when its text occurs ≥2 times in
+    the document; the top bigram is the most frequent space-joined
+    word pair (ties → lexicographically smallest). Everything is
+    computed IN-ROW over sorted arrays — sort_array + neighbor
+    comparison for duplicate lines (O(L log L), no L² self-filter),
+    one aggregate() run-length pass for the top bigram — so the plan
+    is zero-Python, zero-shuffle, codegen'd over the scan like
+    :func:`gopher_quality`.
+
+    Output: (id_col, kept, n_lines, n_dup_lines, dup_line_chars,
+    top_bigram, top_bigram_count, top_bigram_chars, text_chars).
+    """
+    text = F.col(text_col)
+    flat = F.translate(text, "\n\t", "  ")
+    words = F.filter(F.split(flat, " ", -1), lambda w: w != F.lit(""))
+    grams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    staged = docs.select(
+        F.col(id_col),
+        F.length(text).alias("text_chars"),
+        F.sort_array(F.split(text, "\n", -1)).alias("_lines"),
+        F.sort_array(grams).alias("_grams"))
+    ls = F.col("_lines")
+    dup = F.filter(
+        ls, lambda x, i: (x.eqNullSafe(F.get(ls, i - 1))
+                          | x.eqNullSafe(F.get(ls, i + 1))))
+    # run-length scan over the sorted grams: strict > keeps the FIRST
+    # (lexicographically smallest) maximal run as the winner
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"), F.lit("").alias("bg"))
+    def _merge(acc, g):
+        newrun = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1))
+        better = newrun > acc["best"]
+        return F.struct(
+            g.alias("prev"), newrun.alias("run"),
+            F.when(better, newrun).otherwise(acc["best"]).alias("best"),
+            F.when(better, g).otherwise(acc["bg"]).alias("bg"))
+    top = F.aggregate(F.col("_grams"), init, _merge)
+    counters = staged.select(
+        F.col(id_col), F.col("text_chars"),
+        F.size(ls).alias("n_lines"),
+        F.size(dup).alias("n_dup_lines"),
+        F.aggregate(dup, F.lit(0), lambda acc, x: acc + F.length(x))
+        .alias("dup_line_chars"),
+        top["bg"].alias("top_bigram"),
+        top["best"].alias("top_bigram_count"),
+        (top["best"] * F.length(top["bg"])).alias("top_bigram_chars"))
+    kept = ((10 * F.col("n_dup_lines") <= 3 * F.col("n_lines"))
+            & (5 * F.col("dup_line_chars") <= F.col("text_chars"))
+            & (5 * F.col("top_bigram_chars") <= F.col("text_chars")))
+    return counters.select(
+        F.col(id_col), kept.alias("kept"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_dup_lines").cast("int").alias("n_dup_lines"),
+        F.col("dup_line_chars").cast("int").alias("dup_line_chars"),
+        "top_bigram",
+        F.col("top_bigram_count").cast("int").alias("top_bigram_count"),
+        F.col("top_bigram_chars").cast("int").alias("top_bigram_chars"),
+        F.col("text_chars").cast("int").alias("text_chars"))
+
+
+def gopher_repetition_doc(text: str) -> tuple:
+    """Single-threaded twin of :func:`gopher_repetition` — identical
+    sorted-adjacency and run-length logic. Returns (kept, n_lines,
+    n_dup_lines, dup_line_chars, top_bigram, top_bigram_count,
+    top_bigram_chars, text_chars)."""
+    flat = text.replace("\n", " ").replace("\t", " ")
+    words = [w for w in flat.split(" ") if w != ""]
+    grams = sorted(words[i] + " " + words[i + 1]
+                   for i in range(len(words) - 1))
+    lines = sorted(text.split("\n"))
+    dup = [x for i, x in enumerate(lines)
+           if (i > 0 and lines[i - 1] == x)
+           or (i + 1 < len(lines) and lines[i + 1] == x)]
+    prev, run, best, bg = "", 0, 0, ""
+    for g in grams:
+        run = run + 1 if g == prev else 1
+        prev = g
+        if run > best:
+            best, bg = run, g
+    text_chars = len(text)
+    n_lines, n_dup = len(lines), len(dup)
+    dup_chars = sum(len(x) for x in dup)
+    top_chars = best * len(bg)
+    kept = (10 * n_dup <= 3 * n_lines
+            and 5 * dup_chars <= text_chars
+            and 5 * top_chars <= text_chars)
+    return (kept, n_lines, n_dup, dup_chars, bg, best, top_chars,
+            text_chars)

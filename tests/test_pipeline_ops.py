@@ -1345,3 +1345,70 @@ class TestUrlFilter:
                                    "url string")
         out = url_frontier_filter(df)
         assert out.filter("reason = 'host_blocked'").count() == 0
+
+
+class TestGopherRepetition:
+    CASES = [
+        "clean line one\nanother line\nthird thing here entirely",
+        "same line\nsame line\nsame line\nother",       # dup lines
+        "buy now " * 30 + "\nunique tail",              # bigram spam
+        "",                                              # degenerate
+        "a\nb\na\nc\nb\nd\ne\nf\ng\nh\ni\nj\nk\nl",     # dup under 0.3
+        "one two three four five six seven eight nine ten " * 3,
+        "x y\tx y\nx y",                                 # tab flatten
+        "z\n" * 10 + "tail",                             # dup char frac
+    ]
+
+    def test_matches_twin(self, spark):
+        from nipper_spark.functions.filtering import (
+            gopher_repetition, gopher_repetition_doc)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.CASES)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: tuple(r)[1:]
+               for r in gopher_repetition(df).collect()}
+        for i, t in enumerate(self.CASES):
+            assert got[i] == gopher_repetition_doc(t), (i, repr(t)[:60])
+
+    def test_rules(self):
+        from nipper_spark.functions.filtering import gopher_repetition_doc
+        r = gopher_repetition_doc(self.CASES[1])
+        assert not r[0] and r[2] == 3            # 3 duplicate lines
+        r = gopher_repetition_doc(self.CASES[2])
+        assert not r[0] and r[4] == "buy now" and r[5] == 30
+        r = gopher_repetition_doc(self.CASES[4])
+        assert r[0] and r[2] == 4                # 4/14 dup lines kept
+        r = gopher_repetition_doc(self.CASES[7])
+        assert not r[0]                          # 10 dup 'z' lines
+
+    def test_tie_breaks_lexicographic(self):
+        from nipper_spark.functions.filtering import gopher_repetition_doc
+        # "b c" and "a b" both occur twice in a long-enough text: the
+        # smaller gram wins the tie
+        filler = " ".join(f"w{i}" for i in range(80))
+        r = gopher_repetition_doc("a b c d a b c e " + filler)
+        assert r[4] == "a b" and r[5] == 2
+
+    def test_property_vs_twin(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from nipper_spark.functions.filtering import (
+            gopher_repetition, gopher_repetition_doc)
+        pieces = ["aa ", "bb ", "cc ", "\n", "aa bb ", "\t",
+                  "same\n", "x ", "  ", "é中 "]
+        texts_strategy = st.lists(
+            st.lists(st.sampled_from(pieces), max_size=40)
+            .map("".join), min_size=1, max_size=30)
+
+        @given(texts=texts_strategy)
+        @settings(max_examples=15, deadline=None)
+        def check(texts):
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)],
+                "doc_id long, text string")
+            got = {r["doc_id"]: tuple(r)[1:]
+                   for r in gopher_repetition(df).collect()}
+            for i, t in enumerate(texts):
+                assert got[i] == gopher_repetition_doc(t), (i, repr(t))
+
+        check()
