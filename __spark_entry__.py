@@ -562,6 +562,67 @@ def _q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(paged)
 
 
+_WEB_L1 = "ACCEPT ALL COOKIES TO CONTINUE BROWSING TODAY."
+_WEB_L3A = "COPYRIGHT 2026 BY EXAMPLE INC OF RECORD."
+_WEB_L3B = "POWERED BY THE NIPPER SPARK ENGINE TEAM."
+_WEB_JS = "\nenable javascript to continue."
+_WEB_REP = "\nCLICK NOW TO WIN\nCLICK NOW TO WIN\nCLICK NOW TO WIN"
+_WEB_SYM = "\n### ### ### ### ### ### ### ### ### ### ### ###."
+_WEB_LOREM = "\nlorem ipsum dolor sit amet consectetur."
+CURATE_WEB = dict(token_budget=8_000)
+
+
+def _web_page_expr():
+    """Page synthesis for the full web-curation composite: shared
+    boilerplate lines (cookie banner, two footer variants) around two
+    doc-specific body slices, plus per-doc_id pathologies — a
+    javascript line (d%7, C4 drops the LINE only), a repetition flood
+    (d%11, Gopher repetition drops the PAGE), symbol spam (d%13,
+    Gopher shape drops the PAGE), a lorem-ipsum line (d%17, C4 drops
+    the PAGE). Word-soup length spans the 50-word Gopher floor."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit(_WEB_L1 + "\n"),
+        F.substring(F.col("text"), 1, 80),
+        F.lit(" and the words continue to flow here.\n"),
+        F.when(d % 2 == 0, F.lit(_WEB_L3A)).otherwise(F.lit(_WEB_L3B)),
+        F.lit("\n"),
+        F.substring(F.col("text"), 41, 80),
+        F.lit(" more of that good tail. closing words end here."),
+        F.when(d % 7 == 0, F.lit(_WEB_JS)).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(_WEB_REP)).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit(_WEB_SYM)).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.lit(_WEB_LOREM)).otherwise(F.lit("")))
+
+
+def _web_page_py(doc_id: int, text: str) -> str:
+    page = (_WEB_L1 + "\n"
+            + text[:80] + " and the words continue to flow here.\n"
+            + (_WEB_L3A if doc_id % 2 == 0 else _WEB_L3B) + "\n"
+            + text[40:120]
+            + " more of that good tail. closing words end here.")
+    if doc_id % 7 == 0:
+        page += _WEB_JS
+    if doc_id % 11 == 0:
+        page += _WEB_REP
+    if doc_id % 13 == 0:
+        page += _WEB_SYM
+    if doc_id % 17 == 0:
+        page += _WEB_LOREM
+    return page
+
+
+def _q_curate_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full web-corpus curation composite (functions/curate.py
+    curate_web_corpus): C4 gate → Gopher shape gate → Gopher
+    repetition gate → corpus-wide paragraph dedup → deterministic
+    token budget via the two-phase running sum."""
+    from nipper_spark.functions.curate import curate_web_corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    paged = docs.select("doc_id", _web_page_expr().alias("text"))
+    return curate_web_corpus(paged, **CURATE_WEB)
+
+
 URLFILTER_BLOCKED = ("tracker.com", "assets.org")
 _UF_HOSTS = ("news.example.com", "ads.tracker.com", "cdn.assets.org",
              "a.b.deep.net", "[2001:db8::1]", "blog.sample.io",
@@ -2089,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composite training-set curation (filter→dedup→budget)
         "curate_training_set": _q_curate,
         "curate_neardup_training_set": _q_curate_neardup,
+        "curate_web_corpus": _q_curate_web_corpus,
         # relational primitives the frontier is built from
         "topk_per_group": _q_topk_per_group,
         "anti_join_dedup": _q_anti_join,
@@ -2250,6 +2312,22 @@ def _o_doc_paragraph_dedup() -> str:
     return _values_sql(rows, [
         ("doc_id", "BIGINT"), ("n_paras", "INTEGER"),
         ("n_kept", "INTEGER"), ("clean_md5", "VARCHAR")])
+
+
+def _o_curate_web_corpus() -> str:
+    import duckdb
+    from nipper_spark.functions.curate import curate_web_corpus_oracle
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+    rows = curate_web_corpus_oracle(
+        [(d, _web_page_py(d, t)) for d, t in docs], **CURATE_WEB)
+    return _values_sql(rows, [
+        ("doc_id", "BIGINT"), ("n_paras", "INTEGER"),
+        ("n_kept_paras", "INTEGER"), ("tokens", "INTEGER"),
+        ("running_tokens", "BIGINT"), ("clean_md5", "VARCHAR")])
 
 
 def _o_url_frontier_filter() -> str:
@@ -2742,6 +2820,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _o_readability(),
         "curate_training_set": _o_curate(),
         "curate_neardup_training_set": _o_curate_neardup(),
+        "curate_web_corpus": _o_curate_web_corpus(),
         "topk_per_group": _O_TOPK,
         "anti_join_dedup": _O_ANTI,
         "round_counters": _O_COUNTERS,

@@ -103,3 +103,85 @@ def curate_training_set_neardup(docs: DataFrame,
     survivors = near_dup_survivors(deduped, pairs, id_col="doc_id")
     return _score_and_budget(survivors, min_quality, token_budget,
                              text_col)
+
+
+def curate_web_corpus(docs: DataFrame, token_budget: int = 20_000,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """The modern web-corpus curation shape (C4 → Gopher → CCNet):
+
+        pages
+          │ C4 line+page gate          (c4_clean.kept)
+          │ Gopher shape gate          (gopher_quality.kept)
+          │ Gopher repetition gate     (gopher_repetition.kept)
+          │ corpus-wide paragraph dedup (dedup_paragraphs, text kept)
+          ▼ deterministic token budget over the PARA-CLEANED text,
+            ordered by doc_id (two-phase running sum — no
+            single-partition window)
+
+    Every stage is a verified operator from this package; the three
+    gates are pure-Catalyst projections of the same scan joined back
+    by id (flag columns only — the text enters a shuffle exactly once,
+    in the paragraph-dedup join), and the whole composite has a
+    single-threaded twin (`curate_web_corpus_oracle`) so the driver
+    gate is hash-exact end-to-end.
+
+    → (doc_id, n_paras, n_kept_paras, tokens, running_tokens,
+    clean_md5).
+    """
+    from nipper_spark.functions.dedup import dedup_paragraphs
+    from nipper_spark.functions.filtering import (
+        c4_clean, gopher_quality, gopher_repetition)
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    gate = (c4_clean(base).select("doc_id", F.col("kept").alias("_c4"))
+            .join(gopher_quality(base)
+                  .select("doc_id", F.col("kept").alias("_gq")),
+                  "doc_id")
+            .join(gopher_repetition(base)
+                  .select("doc_id", F.col("kept").alias("_gr")),
+                  "doc_id")
+            .filter(F.col("_c4") & F.col("_gq") & F.col("_gr"))
+            .select("doc_id"))
+    kept_docs = base.join(gate, "doc_id")
+    para = dedup_paragraphs(kept_docs, id_col="doc_id",
+                            text_col=text_col, with_text=True)
+    flat = F.translate(F.col("clean_text"), "\n\t", "  ")
+    words = F.filter(F.split(flat, " ", -1), lambda w: w != F.lit(""))
+    scored = para.select(
+        "doc_id", "n_paras",
+        F.col("n_kept").alias("n_kept_paras"),
+        F.size(words).cast("int").alias("tokens"),
+        "clean_md5")
+    budgeted = running_sum(scored, [("doc_id", "asc")], "tokens",
+                           "running_tokens")
+    return (budgeted
+            .filter(F.col("running_tokens").cast("bigint")
+                    <= token_budget)
+            .select("doc_id", "n_paras", "n_kept_paras", "tokens",
+                    F.col("running_tokens").cast("bigint")
+                    .alias("running_tokens"), "clean_md5"))
+
+
+def curate_web_corpus_oracle(docs: list,
+                             token_budget: int = 20_000) -> list:
+    """Single-threaded twin of :func:`curate_web_corpus`: chains the
+    per-operator twins in the same order. ``docs`` is [(doc_id, text)];
+    returns the selected rows as (doc_id, n_paras, n_kept_paras,
+    tokens, running_tokens, clean_md5)."""
+    from nipper_spark.functions.dedup import dedup_paragraphs_oracle
+    from nipper_spark.functions.filtering import (
+        c4_clean_doc, gopher_quality_doc, gopher_repetition_doc)
+    gated = [(d, t) for d, t in sorted(docs)
+             if c4_clean_doc(t)[0] and gopher_quality_doc(t)[0]
+             and gopher_repetition_doc(t)[0]]
+    out = []
+    running = 0
+    for d, n_paras, n_kept, md5, clean in dedup_paragraphs_oracle(
+            gated, with_text=True):
+        flat = clean.replace("\n", " ").replace("\t", " ")
+        tokens = len([w for w in flat.split(" ") if w != ""])
+        running += tokens
+        if running > token_budget:
+            break
+        out.append((d, n_paras, n_kept, tokens, running, md5))
+    return out

@@ -540,7 +540,8 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
 # ----------------------------------------------------------------------
 
 def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     with_text: bool = False) -> DataFrame:
     """Corpus-wide paragraph dedup (CCNet, Wenzek et al. 2020 §3.2):
     every paragraph (newline-split span) is kept only at its FIRST
     occurrence — the global min (doc_id, position) over its md5 — and
@@ -558,7 +559,9 @@ def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
     corpus is bucketed by id.
 
     Output: (id_col, n_paras, n_kept, clean_md5) where clean_md5
-    hashes the surviving paragraphs rejoined by newline.
+    hashes the surviving paragraphs rejoined by newline;
+    ``with_text=True`` appends the surviving text itself as
+    ``clean_text`` (for composites that keep processing the text).
     """
     paras = docs.select(
         F.col(id_col).alias("_did"),
@@ -578,20 +581,23 @@ def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
     arr = F.split(F.col(text_col), "\n", -1)
     kept = F.filter(arr, lambda p, i: F.array_contains(
         F.coalesce(F.col("kept_idx"), F.array()), i))
-    return joined.select(
-        F.col(id_col),
-        F.size(arr).cast("int").alias("n_paras"),
-        F.size(kept).cast("int").alias("n_kept"),
-        F.md5(F.array_join(kept, "\n")).alias("clean_md5"))
+    cols = [F.col(id_col),
+            F.size(arr).cast("int").alias("n_paras"),
+            F.size(kept).cast("int").alias("n_kept"),
+            F.md5(F.array_join(kept, "\n")).alias("clean_md5")]
+    if with_text:
+        cols.append(F.array_join(kept, "\n").alias("clean_text"))
+    return joined.select(*cols)
 
 
-def dedup_paragraphs_oracle(docs: list) -> list:
+def dedup_paragraphs_oracle(docs: list, with_text: bool = False) -> list:
     """Single-threaded twin of :func:`dedup_paragraphs`.
 
     ``docs`` is [(doc_id, text)]; iterating in ascending doc_id order
     with in-document position order makes first-seen == global
     min (doc_id, p_idx), the same winner rule as the distributed min-
-    struct. Returns [(doc_id, n_paras, n_kept, clean_md5)].
+    struct. Returns [(doc_id, n_paras, n_kept, clean_md5)], with the
+    surviving text appended when ``with_text``.
     """
     seen: set = set()
     out = []
@@ -605,6 +611,7 @@ def dedup_paragraphs_oracle(docs: list) -> list:
             seen.add(h)
             kept.append(p)
         clean = "\n".join(kept)
-        out.append((doc_id, len(paras), len(kept),
-                    hashlib.md5(clean.encode("utf-8")).hexdigest()))
+        row = (doc_id, len(paras), len(kept),
+               hashlib.md5(clean.encode("utf-8")).hexdigest())
+        out.append(row + (clean,) if with_text else row)
     return out

@@ -1412,3 +1412,60 @@ class TestGopherRepetition:
                 assert got[i] == gopher_repetition_doc(t), (i, repr(t))
 
         check()
+
+
+class TestCurateWebCorpus:
+    def _pages(self):
+        # 12 pages: clean pass / repetition flood / lorem drop / short;
+        # shared banner+footer paragraphs dedupe, bodies are unique
+        def good(i):
+            return ("COOKIE BANNER LINE FOR EVERY PAGE TODAY.\n"
+                    f"the quick brown fox number {i} jumps to and over "
+                    "the lazy dog again and again with more of that "
+                    "good text flowing while the words keep coming "
+                    "along nicely here today so that fifty words of "
+                    "body are easily reached in this paragraph of "
+                    f"filler prose for the gate of page {i} here.\n"
+                    "SHARED FOOTER OF RECORD FOR THE CORPUS.\n"
+                    f"closing thoughts end page {i}. final words here.")
+        rep = good(0) + "\nWIN NOW\nWIN NOW\nWIN NOW\nWIN NOW\nWIN NOW"
+        lorem = good(8) + "\nlorem ipsum dolor sit amet."
+        short = "tiny page. it ends fast. one. two. five words here."
+        return ([(i, good(i) if i % 4 else rep) for i in range(8)]
+                + [(8, lorem), (9, short), (10, good(10)),
+                   (11, good(11))])
+
+    def test_matches_twin(self, spark):
+        from nipper_spark.functions.curate import (curate_web_corpus,
+                                                   curate_web_corpus_oracle)
+        pages = self._pages()
+        df = spark.createDataFrame(pages, "doc_id long, text string")
+        got = sorted(tuple(r) for r in
+                     curate_web_corpus(df, token_budget=500).collect())
+        want = sorted(curate_web_corpus_oracle(pages, token_budget=500))
+        assert got == want
+        assert got, "composite selected nothing"
+
+    def test_gates_and_dedup_compose(self):
+        from nipper_spark.functions.curate import curate_web_corpus_oracle
+        pages = self._pages()
+        out = curate_web_corpus_oracle(pages, token_budget=10_000)
+        ids = [r[0] for r in out]
+        assert 0 not in ids and 4 not in ids      # repetition flood
+        assert 8 not in ids and 9 not in ids      # lorem / short
+        assert 1 in ids
+        first = next(r for r in out if r[0] == 1)
+        later = next(r for r in out if r[0] == 2)
+        # doc 1 keeps all 4 paragraphs (first surviving occurrence of
+        # banner+footer); doc 2 keeps only its 2 unique body lines
+        assert first[2] == 4 and later[2] == 2
+        # budget is a monotone running sum
+        runs = [r[4] for r in out]
+        assert runs == sorted(runs) and runs[-1] <= 10_000
+
+    def test_budget_cuts(self):
+        from nipper_spark.functions.curate import curate_web_corpus_oracle
+        pages = self._pages()
+        all_rows = curate_web_corpus_oracle(pages, token_budget=10_000)
+        cut = curate_web_corpus_oracle(pages, token_budget=200)
+        assert 0 < len(cut) < len(all_rows)
