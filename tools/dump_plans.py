@@ -266,6 +266,50 @@ def main() -> int:
         "scan, like the PII scrubber.",
         formatted_plan(c4_clean(docs))))
 
+    # 9f. Gopher gates — staged projections, still zero shuffle
+    from nipper_spark.functions.filtering import (gopher_quality,
+                                                  gopher_repetition)
+    sections.append((
+        "Gopher quality + repetition gates (`functions/filtering.py`)",
+        "Every published ratio restated as an integer cross-product; "
+        "the words/lines arrays are materialized ONCE per row by "
+        "staged selects (CollapseProject keeps non-cheap expressions "
+        "shared instead of inlining one split per counter); duplicate "
+        "lines and the top bigram come from in-row sorted-array scans "
+        "(`sort_array` + neighbor compare, one `aggregate` run-length "
+        "pass). ZERO Python, ZERO Exchange.",
+        formatted_plan(gopher_quality(docs)) + "\n\n"
+        + formatted_plan(gopher_repetition(docs))))
+
+    # 9g. paragraph dedup — narrow hash shuffles, positional rebuild
+    from nipper_spark.functions.dedup import dedup_paragraphs
+    sections.append((
+        "Paragraph-level exact dedup (`dedup_paragraphs`)",
+        "The winner-per-hash groupBy and the kept-index regroup "
+        "exchange ONLY `(doc_id, p_idx, md5)` (~40 bytes/paragraph); "
+        "the text enters exactly ONE join — back to the docs table by "
+        "id, co-partitioned if the corpus is bucketed by id — and the "
+        "surviving text is rebuilt positionally with an indexed "
+        "higher-order filter, never re-shuffled.",
+        formatted_plan(dedup_paragraphs(docs))))
+
+    # 9h. frontier URL filter — broadcast blocklist over the scan
+    from nipper_spark.crawl.urlfilter import url_frontier_filter
+    cand_urls = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 50)
+                 .cast("string"), F.lit(".example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    sections.append((
+        "Frontier URL hygiene filter (`crawl/urlfilter.py`)",
+        "Blocklist joins as `BroadcastHashJoin` on the derived "
+        "registered domain (O(1) per row in blocklist size, asked for "
+        "explicitly — the broadcast survives the dump's disabled "
+        "auto-threshold); extension/query/depth rules are substring "
+        "arithmetic in the same projection. The candidate table never "
+        "shuffles.",
+        formatted_plan(url_frontier_filter(
+            cand_urls, blocked_domains=["tracker.com"]))))
+
     # 10. sitemap harvest: scan-filtered mapInPandas + one host-keyed agg
     from nipper_spark.crawl.sitemaps import (
         harvest_sitemap_tables, synth_sitemap_rows)
