@@ -668,6 +668,54 @@ def _urlfilter_url_py(doc_id: int) -> str:
     return "https://" + host + path
 
 
+_TRAP_URLS_CTE = """
+SELECT 'https://' ||
+  CASE WHEN doc_id % 5 < 2
+       THEN 'trap' || CAST(doc_id % 2 AS VARCHAR) || '.example.com'
+       ELSE 'ok' || CAST(doc_id % 23 AS VARCHAR) || '.example.net' END ||
+  CASE WHEN doc_id % 5 < 2
+       THEN '/cal/' || CAST(doc_id AS VARCHAR)
+            || '/day' || CAST((doc_id * 7) % 1000 AS VARCHAR)
+       WHEN doc_id % 3 = 0 THEN '/about'
+       WHEN doc_id % 3 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR)
+       ELSE '/tag/x' || CAST(doc_id % 7 AS VARCHAR) END AS url
+FROM documents
+""".strip()
+
+
+def _trap_url_expr():
+    """Candidate-URL synthesis for the trap detector: two 'trap' hosts
+    absorb 40% of the corpus behind a single digit-varying calendar
+    template; 23 'ok' hosts share the rest across real templates.
+    `_TRAP_URLS_CTE` is the same synthesis in ANSI SQL — this query's
+    oracle is genuine SQL end-to-end, not a VALUES twin."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = F.when(d % 5 < 2,
+                  F.concat(F.lit("trap"), (d % 2).cast("string"),
+                           F.lit(".example.com"))).otherwise(
+        F.concat(F.lit("ok"), (d % 23).cast("string"),
+                 F.lit(".example.net")))
+    path = (F.when(d % 5 < 2,
+                   F.concat(F.lit("/cal/"), ds, F.lit("/day"),
+                            ((d * 7) % 1000).cast("string")))
+            .when(d % 3 == 0, F.lit("/about"))
+            .when(d % 3 == 1, F.concat(F.lit("/p/"), ds))
+            .otherwise(F.concat(F.lit("/tag/x"),
+                                (d % 7).cast("string"))))
+    return F.concat(F.lit("https://"), host, path)
+
+
+def _q_host_trap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (crawl/traps.py): digit-run URL
+    templates, one two-phase count-distinct agg on host — the hotter
+    the trap, the cheaper its shuffle."""
+    from nipper_spark.crawl.traps import host_trap_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = docs.select(_trap_url_expr().alias("url"))
+    return host_trap_stats(cands)
+
+
 def _q_url_frontier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier URL hygiene filter (crawl/urlfilter.py): blocklist as
     a broadcast join on the derived registered domain, extension/
@@ -2136,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_repetition": _q_doc_gopher_repetition,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "url_frontier_filter": _q_url_frontier_filter,
+        "host_trap_stats": _q_host_trap_stats,
         "doc_decontam": _q_doc_decontam,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
@@ -2328,6 +2377,11 @@ def _o_curate_web_corpus() -> str:
         ("doc_id", "BIGINT"), ("n_paras", "INTEGER"),
         ("n_kept_paras", "INTEGER"), ("tokens", "INTEGER"),
         ("running_tokens", "BIGINT"), ("clean_md5", "VARCHAR")])
+
+
+def _o_host_trap_stats() -> str:
+    from nipper_spark.crawl.traps import host_trap_stats_sql
+    return host_trap_stats_sql(_TRAP_URLS_CTE)
 
 
 def _o_url_frontier_filter() -> str:
@@ -2809,6 +2863,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_repetition": _o_doc_gopher_repetition(),
         "doc_paragraph_dedup": _o_doc_paragraph_dedup(),
         "url_frontier_filter": _o_url_frontier_filter(),
+        "host_trap_stats": _o_host_trap_stats(),
         "doc_decontam": _o_doc_decontam(),
         "ann_brute_topk": _o_ann_brute(),
         "ann_lsh_topk": _o_ann_lsh(),

@@ -1469,3 +1469,57 @@ class TestCurateWebCorpus:
         all_rows = curate_web_corpus_oracle(pages, token_budget=10_000)
         cut = curate_web_corpus_oracle(pages, token_budget=200)
         assert 0 < len(cut) < len(all_rows)
+
+
+class TestHostTrapStats:
+    def test_trap_detection(self, spark):
+        from nipper_spark.crawl.traps import host_trap_stats
+        urls = ([(f"https://cal.trap.com/d/{i}/x{i*3}",) for i in range(120)]
+                + [(f"https://ok.site.net/{p}",) for p in
+                   ("about", "contact", "blog/post-one", "blog/post-two",
+                    "pricing")]
+                + [(f"https://big.ok.org/{w}/{i}",)
+                   for i in range(15)
+                   for w in ("news", "sport", "tech", "arts", "food",
+                             "travel", "codes", "maps", "jobs",
+                             "autos", "homes", "books")])
+        df = spark.createDataFrame(urls, "url string")
+        got = {r["host"]: r for r in host_trap_stats(df).collect()}
+        assert got["cal.trap.com"]["trap"] is True
+        assert got["cal.trap.com"]["n_templates"] == 1
+        # big.ok.org: 180 urls across 12 section templates
+        # (20*12 > 180 -> diverse enough)
+        assert got["big.ok.org"]["trap"] is False
+        assert got["big.ok.org"]["n_templates"] == 12
+        # ok.site.net: diverse but under min_urls
+        assert got["ok.site.net"]["trap"] is False
+
+    def test_spark_equals_sql(self, spark):
+        """The Spark plan and the DuckDB SQL body agree row-for-row on
+        the driver fixture — the oracle is genuine shared SQL."""
+        import duckdb
+        import __spark_entry__ as entry
+        got = sorted(tuple(r) for r in entry.queries()
+                     ["host_trap_stats"](spark, SF_DIR).collect())
+        con = duckdb.connect()
+        con.sql("CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF_DIR}/documents.parquet'")
+        want = sorted(tuple(r) for r in con.sql(
+            entry.oracle_sql()["host_trap_stats"]).fetchall())
+        con.close()
+        assert got == want
+
+    def test_partial_agg_collapses_before_exchange(self, spark):
+        """The count-distinct plans as a two-phase aggregate keyed
+        (host, template): a hot trap host collapses map-side, so the
+        exchange carries template keys, not raw URLs."""
+        from nipper_spark.crawl.traps import host_trap_stats
+        from nipper_spark.plans.inspect import (exchange_input_columns,
+                                                plan_string)
+        df = spark.createDataFrame([("https://h.com/a/1",)],
+                                   "url string")
+        out = host_trap_stats(df)
+        plan = plan_string(out)
+        assert "partial" in plan.lower(), plan
+        for cols in exchange_input_columns(out):
+            assert "url" not in cols, cols
