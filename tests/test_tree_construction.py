@@ -1947,3 +1947,91 @@ def test_meta_after_head_end_reenters_head():
                            "<p>y")
     assert d.select("head meta").attr("charset") == "x"
     assert d.select("body meta").size() == 0
+
+
+# batch 25: tokenizer-edge probe sweep — RCDATA/RAWTEXT/script-data
+# partial end-tag matches, the script escape/double-escape matrix,
+# charrefs in RCDATA, unquoted-attribute parse-error characters (kept),
+# NUL per-state handling (ignored in body text, U+FFFD in tag/attr
+# names, RCDATA, script data, foreign content), comment -- and --!
+# continuations, CR normalization inside comments, numeric charref
+# noncharacters/controls kept as-is. Verified spec-by-hand; no engine
+# divergences found this sweep.
+CASES25 = [
+    ("textarea-partial-end", "<textarea>a<b></textarea>c",
+     "<body><textarea>a&lt;b&gt;</textarea>c</body>"),
+    ("script-lt-slash-stays", "<script>if(a</b)x</script>y",
+     "<body>y</body>"),
+    ("textarea-rcdata-charrefs",
+     "<textarea>&#65;&notit;&unknown;</textarea>",
+     "<body><textarea>A¬it;&amp;unknown;</textarea></body>"),
+    ("attr-unquoted-error-chars", "<p a=b<c d=e`f g=h'i>x",
+     "<body><p a=\"b<c\" d=\"e`f\" g=\"h'i\">x</p></body>"),
+    ("attr-slash-ends-empty", "<p a/ b=1>x",
+     '<body><p a="" b="1">x</p></body>'),
+    ("attr-eq-starts-name", "<p =x>y",
+     '<body><p =x="">y</p></body>'),
+    ("attr-quote-in-name", '<p a"b=1>x',
+     '<body><p a"b="1">x</p></body>'),
+    ("cr-in-comment", "a<!-- x\ry -->b",
+     "<body>a<!-- x\ny -->b</body>"),
+    ("nul-in-body-text-ignored", "a\x00b", "<body>ab</body>"),
+    ("nul-in-tag-name", "<p\x00q>x",
+     "<body><p\N{REPLACEMENT CHARACTER}q>x"
+     "</p\N{REPLACEMENT CHARACTER}q></body>"),
+    ("nul-in-attr-name", "<p a\x00b=1>x",
+     '<body><p a\N{REPLACEMENT CHARACTER}b="1">x</p></body>'),
+    ("nul-in-rcdata", "<textarea>a\x00b</textarea>",
+     "<body><textarea>a\N{REPLACEMENT CHARACTER}b</textarea></body>"),
+    ("nul-in-foreign", "<svg>a\x00b</svg>",
+     "<body><svg>a\N{REPLACEMENT CHARACTER}b</svg></body>"),
+    ("self-closing-nonvoid-open", "<p/>x", "<body><p>x</p></body>"),
+    ("comment-double-dash-inside", "a<!-- x -- y -->b",
+     "<body>a<!-- x -- y -->b</body>"),
+    ("comment-bang-continues", "a<!--x--!extra-->b",
+     "<body>a<!--x--!extra-->b</body>"),
+    ("charref-dec-overflow", "<p>&#99999999999999999999;",
+     "<body><p>\N{REPLACEMENT CHARACTER}</p></body>"),
+    ("charref-noncharacters-kept", "<p>&#xFDD0;&#x10FFFF;",
+     "<body><p>﷐\U0010ffff</p></body>"),
+    ("charref-controls-kept", "<p>&#x01;&#x0D;",
+     "<body><p>\x01\r</p></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES25,
+                         ids=[c[0] for c in CASES25])
+def test_tree_construction_batch25(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+def test_rawtext_partial_end_tags_stay_in_head():
+    from nipper_spark.html import Document
+    d = Document.from_html(
+        "<!DOCTYPE html><head><title>a</tit</title>"
+        "<style>x</styl</style></head><p>q")
+    assert d.select("head title").text() == "a</tit"
+    assert d.select("head style").text() == "x</styl"
+    assert d.select("body").text() == "q"
+
+
+def test_script_escape_matrix_contents():
+    from nipper_spark.html import Document
+    cases = [
+        ("<script><!--x--></script>t", "<!--x-->"),
+        ("<script><!--<script>a</script>b--></script>t",
+         "<!--<script>a</script>b-->"),
+        ("<script><!--<script>a--></script>t", "<!--<script>a-->"),
+        ("<script>a<!--b</script>t", "a<!--b"),
+        ("<script>a\x00b</script>t", "a\N{REPLACEMENT CHARACTER}b"),
+    ]
+    for html, content in cases:
+        d = Document.from_html("<!DOCTYPE html>" + html)
+        assert d.select("script").text() == content, html
+        assert d.select("body").text() == "t", html
+
+
+def test_title_amp_at_eof():
+    from nipper_spark.html import Document
+    d = Document.from_html("<!DOCTYPE html><head><title>a&")
+    assert d.select("title").text() == "a&"
