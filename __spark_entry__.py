@@ -668,6 +668,52 @@ def _urlfilter_url_py(doc_id: int) -> str:
     return "https://" + host + path
 
 
+_MOJI_SUFFIX = " café déjà naïve ok."
+
+
+def _moji_times(doc_id: int) -> int:
+    return (1 if doc_id % 2 == 0 else 0) + (1 if doc_id % 4 == 0 else 0)
+
+
+def _moji_page_py(doc_id: int, text: str) -> str:
+    from nipper_spark.functions.mojibake import corrupt_utf8_as_cp1252
+    return corrupt_utf8_as_cp1252(text[:60] + _MOJI_SUFFIX,
+                                  _moji_times(doc_id))
+
+
+def _q_doc_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (functions/mojibake.py): strict cp1252→utf-8
+    roundtrip behind marker detection, one Arrow boundary, shared
+    kernel with the oracle. Fixture: accented suffix corrupted 0/1/2
+    times per doc_id parity."""
+    from nipper_spark.functions.mojibake import fix_mojibake
+
+    @F.pandas_udf("string")
+    def _corrupt(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series([_moji_page_py(d, t)
+                          for d, t in zip(doc_id, text)])
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    paged = docs.select(
+        "doc_id", _corrupt(F.col("doc_id"), F.col("text")).alias("text"))
+    return fix_mojibake(paged)
+
+
+def _o_doc_fix_mojibake() -> str:
+    import duckdb
+    from nipper_spark.functions.mojibake import fix_mojibake_oracle
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+    rows = fix_mojibake_oracle(
+        [(d, _moji_page_py(d, t)) for d, t in docs])
+    return _values_sql(rows, [
+        ("doc_id", "BIGINT"), ("changed", "BOOLEAN"),
+        ("n_iters", "INTEGER"), ("fixed_md5", "VARCHAR")])
+
+
 _TRAP_URLS_CTE = """
 SELECT 'https://' ||
   CASE WHEN doc_id % 5 < 2
@@ -2185,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "url_frontier_filter": _q_url_frontier_filter,
         "host_trap_stats": _q_host_trap_stats,
+        "doc_fix_mojibake": _q_doc_fix_mojibake,
         "doc_decontam": _q_doc_decontam,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
@@ -2864,6 +2911,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_paragraph_dedup": _o_doc_paragraph_dedup(),
         "url_frontier_filter": _o_url_frontier_filter(),
         "host_trap_stats": _o_host_trap_stats(),
+        "doc_fix_mojibake": _o_doc_fix_mojibake(),
         "doc_decontam": _o_doc_decontam(),
         "ann_brute_topk": _o_ann_brute(),
         "ann_lsh_topk": _o_ann_lsh(),

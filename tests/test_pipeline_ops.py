@@ -1523,3 +1523,46 @@ class TestHostTrapStats:
         assert "partial" in plan.lower(), plan
         for cols in exchange_input_columns(out):
             assert "url" not in cols, cols
+
+
+class TestMojibake:
+    def test_kernel_repairs(self):
+        from nipper_spark.functions.mojibake import (
+            corrupt_utf8_as_cp1252, fix_mojibake_text)
+        clean = "café déjà vu — naïve résumé"
+        once = corrupt_utf8_as_cp1252(clean)
+        assert "Ã©" in once
+        assert fix_mojibake_text(once) == (clean, 1)
+        twice = corrupt_utf8_as_cp1252("café naïve", 2)
+        assert fix_mojibake_text(twice) == ("café naïve", 2)
+
+    def test_kernel_leaves_clean_text_alone(self):
+        from nipper_spark.functions.mojibake import fix_mojibake_text
+        for t in ("plain ascii only", "café déjà vu", "中文テキスト",
+                  "", "mixed 中 café"):
+            assert fix_mojibake_text(t) == (t, 0), t
+
+    def test_kernel_never_raises_on_undecodable(self):
+        from nipper_spark.functions.mojibake import fix_mojibake_text
+        # markers present but roundtrip fails (cp1252 can't encode 中)
+        t = "Ã© 中"
+        assert fix_mojibake_text(t) == (t, 0)
+        # marker present, cp1252-encodable, but bytes aren't UTF-8
+        t2 = "Ã plain"
+        fixed, iters = fix_mojibake_text(t2)
+        assert (fixed, iters) == (t2, 0)
+
+    def test_spark_matches_kernel(self, spark):
+        from nipper_spark.functions.mojibake import (
+            corrupt_utf8_as_cp1252, fix_mojibake, fix_mojibake_oracle)
+        rows = [(0, "plain text stays"),
+                (1, corrupt_utf8_as_cp1252("café déjà")),
+                (2, corrupt_utf8_as_cp1252("naïve résumé", 2)),
+                (3, "clean café"), (4, "Ã© 中 unfixable")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(tuple(r) for r in fix_mojibake(df).collect())
+        assert got == fix_mojibake_oracle(rows)
+        by_id = {r[0]: r for r in got}
+        assert by_id[1][1] is True and by_id[1][2] == 1
+        assert by_id[2][1] is True and by_id[2][2] == 2
+        assert by_id[0][1] is False and by_id[4][1] is False
