@@ -2035,3 +2035,80 @@ def test_title_amp_at_eof():
     from nipper_spark.html import Document
     d = Document.from_html("<!DOCTYPE html><head><title>a&")
     assert d.select("title").text() == "a&"
+
+
+# batch 26: insertion-mode edge sweep — colgroup/caption/tbody token
+# rerouting, select-in-table breakouts, foreign breakout tags and case
+# adjustment, math text-integration points, after-body/after-frameset
+# reprocessing, li scope walks. Verified spec-by-hand; no divergences.
+CASES26 = [
+    ("colgroup-text-fosters", "<table><colgroup>x<col><tr><td>a</table>",
+     "<body>x<table><colgroup></colgroup><colgroup><col></colgroup>"
+     "<tbody><tr><td>a</td></tr></tbody></table></body>"),
+    ("colgroup-closed-by-tr",
+     "<table><colgroup><col></colgroup><tr><td>a</table>",
+     "<body><table><colgroup><col></colgroup><tbody><tr><td>a</td>"
+     "</tr></tbody></table></body>"),
+    ("col-pops-tbody", "<table><tbody><col><tr><td>a</table>",
+     "<body><table><tbody></tbody><colgroup><col></colgroup><tbody>"
+     "<tr><td>a</td></tr></tbody></table></body>"),
+    ("caption-implied-end-by-tr", "<table><caption>c<tr><td>x</table>",
+     "<body><table><caption>c</caption><tbody><tr><td>x</td></tr>"
+     "</tbody></table></body>"),
+    ("caption-implied-end-by-table-end",
+     "<table><caption>c</table>d",
+     "<body><table><caption>c</caption></table>d</body>"),
+    ("select-in-td-tr-breakout",
+     "<table><tr><td><select><option>a<tr><td>b</table>",
+     "<body><table><tbody><tr><td><select><option>a</option></select>"
+     "</td></tr><tr><td>b</td></tr></tbody></table></body>"),
+    ("select-in-select-closes", "<select><select>x",
+     "<body><select></select>x</body>"),
+    ("svg-fosters-from-table",
+     "<table><svg><circle r=1></svg><tr><td>x</table>",
+     '<body><svg><circle r="1"></circle></svg><table><tbody><tr>'
+     "<td>x</td></tr></tbody></table></body>"),
+    ("math-ignored-in-select", "<select><math><mi>x</mi></math>y",
+     "<body><select>xy</select></body>"),
+    ("svg-end-tag-case-folds", "<svg><PATH d=z></PATH></svg>a",
+     '<body><svg><path d="z"></path></svg>a</body>'),
+    ("svg-clippath-adjusted", "<svg><clipPath id=c></clipPath></svg>",
+     '<body><svg><clipPath id="c"></clipPath></svg></body>'),
+    ("svg-textpath-adjusted", "<svg><textpath href=h>t</textpath></svg>",
+     '<body><svg><textPath href="h">t</textPath></svg></body>'),
+    ("svg-body-breaks-out", "<svg><g><body>x",
+     "<body><svg><g></g></svg>x</body>"),
+    ("svg-p-breaks-out", "<svg><g><p>x</p></svg>tail",
+     "<body><svg><g></g></svg><p>x</p>tail</body>"),
+    ("svg-hr-breaks-out", "<svg><hr></svg>x",
+     "<body><svg></svg><hr>x</body>"),
+    ("math-ms-text-integration", "<math><ms><p>a</p></ms></math>",
+     "<body><math><ms><p>a</p></ms></math></body>"),
+    ("template-end-without-open", "</template>x", "<body>x</body>"),
+    ("p-after-body-end-reopens", "<p>a</body><p>b",
+     "<body><p>a</p><p>b</p></body>"),
+    ("ws-after-html-end-into-p", "<p>a</html>  b",
+     "<body><p>a  b</p></body>"),
+    ("li-closes-through-div", "<ul><li><div>a<li>b</ul>",
+     "<body><ul><li><div>a</div></li><li>b</li></ul></body>"),
+    ("li-in-td-scoped", "<ul><li>a<table><tr><td><li>b</table>c</ul>",
+     "<body><ul><li>a<table><tbody><tr><td><li>b</li></td></tr>"
+     "</tbody></table>c</li></ul></body>"),
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", CASES26,
+                         ids=[c[0] for c in CASES26])
+def test_tree_construction_batch26(name, inp, expected):
+    assert body_html("<!DOCTYPE html>" + inp) == expected
+
+
+def test_after_frameset_modes():
+    from nipper_spark.html import Document
+    d = Document.from_html("<!DOCTYPE html><frameset></frameset>"
+                           "<noframes>x</noframes>y")
+    assert d.html() == ("<!DOCTYPE html><html><head></head><frameset>"
+                        "</frameset><noframes>x</noframes></html>")
+    d2 = Document.from_html("<!DOCTYPE html><frameset></frameset>abc")
+    assert d2.html() == ("<!DOCTYPE html><html><head></head>"
+                         "<frameset></frameset></html>")
