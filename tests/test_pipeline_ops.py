@@ -1566,3 +1566,43 @@ class TestMojibake:
         assert by_id[1][1] is True and by_id[1][2] == 1
         assert by_id[2][1] is True and by_id[2][2] == 2
         assert by_id[0][1] is False and by_id[4][1] is False
+
+
+class TestUrlFilterProperty:
+    def test_spark_equals_twin_on_arbitrary_urls(self, spark):
+        """Hypothesis: url_frontier_filter == the row twin on URLs
+        assembled from adversarial parts (IPv6 brackets, dots in odd
+        places, multiple ?, deep paths, uppercase extensions, empty
+        hosts, scheme-less strings)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from nipper_spark.crawl.urlfilter import (url_frontier_filter,
+                                                  url_filter_oracle)
+
+        scheme = st.sampled_from(["https://", "http://", "ftp://", ""])
+        host = st.sampled_from(
+            ["a.com", "x.tracker.com", "assets.org", "[::1]", "h",
+             "deep.a.b.c.net", "UPPER.CoM", ""])
+        path = st.lists(
+            st.sampled_from(["/p", "/img.png", "/a.TAR.GZ", "/?q=1",
+                             "/x" * 5, "/?" + "y" * 70, "/.", "/..",
+                             "/file.html", "?loose", "/:"]),
+            max_size=4).map("".join)
+        url = st.builds(lambda s, h, p: s + h + p, scheme, host, path)
+        urls_strategy = st.lists(url, min_size=1, max_size=30)
+
+        @given(urls=urls_strategy)
+        @settings(max_examples=15, deadline=None)
+        def check(urls):
+            df = spark.createDataFrame([(u,) for u in urls],
+                                       "url string").distinct()
+            uniq = sorted(set(urls))
+            got = sorted(tuple(r) for r in url_frontier_filter(
+                df, blocked_domains=["tracker.com", "assets.org"])
+                .collect())
+            want = sorted(url_filter_oracle(
+                uniq, blocked_domains=("tracker.com", "assets.org")))
+            assert got == want
+
+        check()
