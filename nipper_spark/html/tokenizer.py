@@ -165,15 +165,24 @@ class TokenizerFeedback:
         self.cdata_ok = False
 
 
-def tokenize(html: str, feedback: TokenizerFeedback | None = None):
-    """Yield tokens for one document. Input newline-normalized here."""
+def tokenize(html: str, feedback: TokenizerFeedback | None = None,
+             initial_raw: str | None = None,
+             initial_plaintext: bool = False):
+    """Yield tokens for one document. Input newline-normalized here.
+
+    ``initial_raw``/``initial_plaintext`` implement the fragment-
+    parsing tokenizer-state rule (WHATWG 13.4 step 2): a fragment
+    whose context element is title/textarea starts in RCDATA, style/
+    xmp/iframe/noembed/noframes/noscript in RAWTEXT, script in script
+    data, plaintext in PLAINTEXT — the context name doubles as the
+    "appropriate end tag" that exits the state."""
     s = html.replace("\r\n", "\n").replace("\r", "\n")
     n = len(s)
     pos = 0
     # rawtext mode set after emitting certain start tags
-    pending_raw: str | None = None  # tag name
-    pending_rcdata = False
-    plaintext = False
+    pending_raw: str | None = initial_raw  # tag name
+    pending_rcdata = initial_raw in ("title", "textarea")
+    plaintext = initial_plaintext
 
     while pos < n:
         if plaintext:

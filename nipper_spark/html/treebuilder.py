@@ -166,7 +166,18 @@ class TreeBuilder:
         dispatch = _MODE_DISPATCH
         fb = TokenizerFeedback()
         ns = self.arena.ns
-        for tok in tokenize(html, fb):
+        # fragment tokenizer-state rule (WHATWG 13.4 step 2): rawtext/
+        # RCDATA/script-data/PLAINTEXT context elements start the
+        # tokenizer in their text state. (The reference's parse_html!
+        # always passes context name "" — src/manipulation.rs:13-33 —
+        # so this branch only fires for engine callers that opt into a
+        # specific context.)
+        ctx = self.frag_context
+        initial_raw = ctx if self.frag and (
+            ctx in RAWTEXT_TAGS or ctx in RCDATA_TAGS) else None
+        for tok in tokenize(html, fb, initial_raw=initial_raw,
+                            initial_plaintext=self.frag
+                            and ctx == "plaintext"):
             kind = tok[0]
             if ns and self._use_foreign_rules(tok):
                 # a start tag consumed by the foreign rules must not

@@ -2112,3 +2112,31 @@ def test_after_frameset_modes():
     d2 = Document.from_html("<!DOCTYPE html><frameset></frameset>abc")
     assert d2.html() == ("<!DOCTYPE html><html><head></head>"
                          "<frameset></frameset></html>")
+
+
+def test_fragment_context_tokenizer_states():
+    """WHATWG 13.4 step 2 (engine extension beyond the reference's
+    context-'' parse_html!): rawtext/RCDATA/script-data/PLAINTEXT
+    context elements start the fragment tokenizer in their text state;
+    the context name is the appropriate end tag that exits it."""
+    from nipper_spark.html.serializer import serialize
+    from nipper_spark.html.treebuilder import parse_fragment
+
+    def frag(h, ctx):
+        return serialize(parse_fragment(h, context=ctx), 1,
+                         include_node=False)
+
+    assert frag("<b>x</b>", "title") == "&lt;b&gt;x&lt;/b&gt;"
+    assert frag("x</title><b>y</b>", "title") == "x<b>y</b>"
+    assert frag("&amp;<b>", "textarea") == "&amp;&lt;b&gt;"
+    assert frag("a<!--b", "script") == "a&lt;!--b"
+    assert frag("a</script><p>q", "script") == "a<p>q</p>"
+    assert frag("x</p>", "style") == "x&lt;/p&gt;"
+    assert frag("<p>never</p>", "noframes") == "&lt;p&gt;never&lt;/p&gt;"
+    assert frag("a</plaintext><b>", "plaintext") == \
+        "a&lt;/plaintext&gt;&lt;b&gt;"
+    assert frag("1<2", "xmp") == "1&lt;2"
+    # non-text contexts keep building trees
+    assert frag("<p>still works</p>", "body") == "<p>still works</p>"
+    assert frag("<tr><td>a", "table") == \
+        "<tbody><tr><td>a</td></tr></tbody>"
