@@ -685,6 +685,13 @@ class TreeBuilder:
             return "in_table"
         if ctx == "head":
             return "in_head"
+        if ctx == "frameset":
+            return "in_frameset"
+        if ctx == "html":
+            # reset step for html: head pointer is null in a fresh
+            # fragment → "before head" (the parsed <head>/<body>
+            # materialize under the fragment root like a document's)
+            return "before_head"
         return "in_body"
 
     def _finish(self) -> None:

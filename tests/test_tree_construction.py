@@ -2140,3 +2140,23 @@ def test_fragment_context_tokenizer_states():
     assert frag("<p>still works</p>", "body") == "<p>still works</p>"
     assert frag("<tr><td>a", "table") == \
         "<tbody><tr><td>a</td></tr></tbody>"
+
+
+def test_fragment_context_mode_resets_html_frameset():
+    """Reset-the-insertion-mode steps 14/15 for the engine's context=
+    extension: frameset context parses in 'in frameset' (non-frame
+    content ignored); html context starts 'before head' and
+    materializes the head/body chain under the fragment root."""
+    from nipper_spark.html.serializer import serialize
+    from nipper_spark.html.treebuilder import parse_fragment
+
+    def frag(h, ctx):
+        return serialize(parse_fragment(h, context=ctx), 1,
+                         include_node=False)
+
+    assert frag("<frame src=a><p>x", "frameset") == '<frame src="a">'
+    assert frag("<frameset cols=2><frame></frameset>", "frameset") == \
+        '<frameset cols="2"><frame></frameset>'
+    assert frag("<head><title>t</title></head><body>b</body>",
+                "html") == "<head><title>t</title></head><body>b</body>"
+    assert frag("x", "html") == "<head></head><body>x</body>"
