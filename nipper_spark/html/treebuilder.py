@@ -134,6 +134,13 @@ class TreeBuilder:
         self.form_id: int | None = None
         self.frag = fragment_context is not None
         self.frag_context = fragment_context or ""
+        # foreign fragment contexts (svg/math innerHTML): with only
+        # the synthetic root on the stack, the spec's ADJUSTED current
+        # node is the context element — emulate it so children parse
+        # as foreign content (case adjustment, namespaces, breakouts)
+        self._frag_ns = (self.frag_context
+                         if self.frag_context in ("svg", "math")
+                         else None)
         self.skip_next_lf = False
         self.foster = False
         self.frameset_ok = True
@@ -175,11 +182,13 @@ class TreeBuilder:
         ctx = self.frag_context
         initial_raw = ctx if self.frag and (
             ctx in RAWTEXT_TAGS or ctx in RCDATA_TAGS) else None
+        frag_ns = self._frag_ns
+        fb.cdata_ok = frag_ns is not None  # root of a foreign fragment
         for tok in tokenize(html, fb, initial_raw=initial_raw,
                             initial_plaintext=self.frag
                             and ctx == "plaintext"):
             kind = tok[0]
-            if ns and self._use_foreign_rules(tok):
+            if (ns or frag_ns) and self._use_foreign_rules(tok):
                 # a start tag consumed by the foreign rules must not
                 # switch the tokenizer into rawtext/rcdata (svg:title,
                 # svg:style, ... children stay in the data state);
@@ -196,8 +205,9 @@ class TreeBuilder:
             # foreign (spec markup-declaration-open: adjusted current
             # node not in the HTML namespace); ns is empty for pure-HTML
             # documents so this is one falsy check on the hot path
-            fb.cdata_ok = bool(ns) and bool(self.stack) \
-                and self.stack[-1] in ns
+            fb.cdata_ok = (bool(ns) and bool(self.stack)
+                           and self.stack[-1] in ns) or (
+                frag_ns is not None and len(self.stack) == 1)
             if self.done:
                 break
         self._finish()
@@ -524,6 +534,11 @@ class TreeBuilder:
         cur = self.stack[-1]
         ns = self.arena.ns.get(cur)
         if ns is None:
+            if self._frag_ns is not None and len(self.stack) == 1:
+                # fragment case: the adjusted current node is the
+                # context element (svg/math — not an integration
+                # point, so no exemptions apply)
+                return True
             return False
         k = tok[0]
         nm = (self.arena.name[cur] or "").lower()
@@ -585,7 +600,7 @@ class TreeBuilder:
                     self.stack.pop()
                 _MODE_DISPATCH[self.mode](self, tok)
                 return
-            cur_ns = a.ns.get(self.stack[-1], "svg")
+            cur_ns = a.ns.get(self.stack[-1]) or self._frag_ns or "svg"
             if cur_ns == "svg":
                 name = adjust_svg_tag(name)
             adjust_foreign_attrs(attrs, cur_ns)

@@ -2160,3 +2160,27 @@ def test_fragment_context_mode_resets_html_frameset():
     assert frag("<head><title>t</title></head><body>b</body>",
                 "html") == "<head><title>t</title></head><body>b</body>"
     assert frag("x", "html") == "<head></head><body>x</body>"
+
+
+def test_fragment_context_foreign_svg_math():
+    """Foreign fragment contexts (svg/math innerHTML): with only the
+    synthetic root on the stack the ADJUSTED current node is the
+    context element, so children case-adjust, self-close, take CDATA
+    sections, and HTML breakout tags escape to HTML content."""
+    from nipper_spark.html.serializer import serialize
+    from nipper_spark.html.treebuilder import parse_fragment
+
+    def frag(h, ctx):
+        return serialize(parse_fragment(h, context=ctx), 1,
+                         include_node=False)
+
+    assert frag("<foreignobject><p>a</p></foreignobject>", "svg") == \
+        "<foreignObject><p>a</p></foreignObject>"
+    assert frag("<clippath id=c>x</clippath>", "svg") == \
+        '<clipPath id="c">x</clipPath>'
+    assert frag("<circle/><rect/>", "svg") == \
+        "<circle></circle><rect></rect>"
+    assert frag("<![CDATA[<b>]]>", "svg") == "&lt;b&gt;"
+    assert frag("<p>breaks out</p>", "svg") == "<p>breaks out</p>"
+    assert frag("<mi>x</mi>", "math") == "<mi>x</mi>"
+    assert frag("<p>html stays</p>", "body") == "<p>html stays</p>"
