@@ -205,9 +205,13 @@ class TreeBuilder:
             # foreign (spec markup-declaration-open: adjusted current
             # node not in the HTML namespace); ns is empty for pure-HTML
             # documents so this is one falsy check on the hot path
-            fb.cdata_ok = (bool(ns) and bool(self.stack)
-                           and self.stack[-1] in ns) or (
-                frag_ns is not None and len(self.stack) == 1)
+            if frag_ns is None:
+                fb.cdata_ok = bool(ns) and bool(self.stack) \
+                    and self.stack[-1] in ns
+            else:
+                fb.cdata_ok = (bool(self.stack)
+                               and self.stack[-1] in ns) \
+                    or len(self.stack) == 1
             if self.done:
                 break
         self._finish()
