@@ -668,6 +668,62 @@ def _urlfilter_url_py(doc_id: int) -> str:
     return "https://" + host + path
 
 
+INCR_SPLIT = 300
+INCR = dict(threshold=0.9, max_bucket=64)
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup (functions/dedup.py
+    minhash_lsh_incremental): the rolling-crawl shape — a new batch's
+    signatures joined against a persisted (id, sig) store through the
+    shared capped-bucket kernel; store-vs-store pairs skipped, MinHash
+    estimate verification (the store holds no text). Fixture: docs
+    ≥ INCR_SPLIT form the new batch, every third one a near-copy of
+    the store doc INCR_SPLIT below it."""
+    from nipper_spark.functions.dedup import (minhash_lsh_incremental,
+                                              minhash_store)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") < INCR_SPLIT) \
+              .select("doc_id", "text")
+    new_raw = docs.filter(F.col("doc_id") >= INCR_SPLIT) \
+                  .select("doc_id", "text")
+    src = old.select((F.col("doc_id") + INCR_SPLIT).alias("doc_id"),
+                     F.col("text").alias("_old_text"))
+    new = (new_raw.join(src, "doc_id", "left")
+           .select("doc_id",
+                   F.when((F.col("doc_id") % 3 == 0)
+                          & F.col("_old_text").isNotNull(),
+                          F.concat(F.col("_old_text"),
+                                   F.lit(" fresh crawl tail")))
+                   .otherwise(F.col("text")).alias("text")))
+    store = minhash_store(old)
+    return minhash_lsh_incremental(new, store, **INCR)
+
+
+def _o_dedup_incremental() -> str:
+    import duckdb
+    from nipper_spark.functions.dedup import (
+        minhash_lsh_incremental_oracle)
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+    old = [(d, t) for d, t in docs if d < INCR_SPLIT]
+    old_by_id = dict(old)
+    new = []
+    for d, t in docs:
+        if d < INCR_SPLIT:
+            continue
+        if d % 3 == 0 and (d - INCR_SPLIT) in old_by_id:
+            t = old_by_id[d - INCR_SPLIT] + " fresh crawl tail"
+        new.append((d, t))
+    rows = minhash_lsh_incremental_oracle(new, old, **INCR)
+    return _values_sql(rows, [
+        ("id_a", "BIGINT"), ("id_b", "BIGINT"),
+        ("n_sig_matches", "INTEGER")])
+
+
 _MOJI_SUFFIX = " café déjà naïve ok."
 
 
@@ -2214,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash": _q_simhash,
         "dedup_cluster_survivors": _q_cluster_survivors,
+        "dedup_incremental": _q_dedup_incremental,
         "embedding_near_dup": _q_embedding_neardup,
         # text analysis
         "doc_token_counts": _q_doc_tokens,
@@ -2895,6 +2952,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _o_ngram_jaccard(),
         "dedup_simhash": _o_simhash(),
         "dedup_cluster_survivors": _o_cluster_survivors(),
+        "dedup_incremental": _o_dedup_incremental(),
         "embedding_near_dup": _o_embedding_neardup(),
         "doc_token_counts": _O_TOKENS,
         "doc_quality": _O_QUALITY,

@@ -615,3 +615,107 @@ def dedup_paragraphs_oracle(docs: list, with_text: bool = False) -> list:
                hashlib.md5(clean.encode("utf-8")).hexdigest())
         out.append(row + (clean,) if with_text else row)
     return out
+
+
+# ----------------------------------------------------------------------
+# incremental near-dup dedup — new batch vs a persisted signature store
+# ----------------------------------------------------------------------
+
+def minhash_store(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", num_perm: int = 64,
+                  ngram: int = 3, seed: int = 42) -> DataFrame:
+    """(id, sig) MinHash signature store — the state a rolling crawl
+    persists between batches (a few hundred bytes per document; the
+    text itself never needs to be retained for near-dup purposes)."""
+    return docs.select(F.col(id_col).alias("id"),
+                       minhash_udf(num_perm, ngram, seed)(
+                           F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_incremental(new_docs: DataFrame, store: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text", num_perm: int = 64,
+                            bands: int = 16, ngram: int = 3,
+                            threshold: float = 0.5, seed: int = 42,
+                            max_bucket: int = 64) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL batch: each pair touches at
+    least one new document (new-vs-store and new-vs-new; store-vs-
+    store pairs were already emitted by earlier runs and are skipped).
+    Verification is the MinHash ESTIMATE — matching signature
+    positions — because the store deliberately holds no text; the
+    integer rule ``10·matches ≥ round(10·threshold)·num_perm`` keeps
+    the twin hash-exact.
+
+    Scale shape: the production daily-crawl pattern. Band rows of
+    (id, band, band_sig, is_new, sig) from the new batch UNION the
+    store go through the SAME capped-bucket kernel as the full-corpus
+    path (star edges above ``max_bucket``), so a boilerplate flood in
+    the store cannot go quadratic against a new batch; the store's
+    text is never touched, and candidate volume is O(new ∩ buckets),
+    not O(|store|²).
+
+    Output: (id_a, id_b, n_sig_matches), id_a < id_b.
+    """
+    new_sig = (minhash_store(new_docs, id_col, text_col, num_perm,
+                             ngram, seed)
+               .select("id", "sig", F.lit(True).alias("is_new")))
+    old_sig = store.select("id", "sig", F.lit(False).alias("is_new"))
+    rows_per_band = num_perm // bands
+    banded = new_sig.unionByName(old_sig).select(
+        "id", "sig", "is_new",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.slice("sig", b * rows_per_band + 1,
+                              rows_per_band))).alias("band", "band_sig"))
+    cand = _capped_candidates(banded, ["band", "band_sig"], max_bucket,
+                              payload_cols=["sig", "is_new"])
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    min_tenths = int(round(threshold * 10))
+    return (cand.filter(F.col("is_new_a") | F.col("is_new_b"))
+            .withColumn("n_sig_matches", matches)
+            .filter(10 * F.col("n_sig_matches")
+                    >= min_tenths * num_perm)
+            .select("id_a", "id_b", "n_sig_matches"))
+
+
+def minhash_lsh_incremental_oracle(new_docs: list, store_docs: list,
+                                   num_perm: int = 64, bands: int = 16,
+                                   ngram: int = 3,
+                                   threshold: float = 0.5,
+                                   seed: int = 42,
+                                   max_bucket: int = 64) -> list:
+    """Single-threaded twin: same signature kernel
+    (`minhash_signature`), same bucket kernel
+    (`bucket_candidate_pairs`), same integer estimate rule. Inputs are
+    [(doc_id, text)] for the new batch and the store."""
+    rows_per_band = num_perm // bands
+    params = _minhash_params(num_perm, seed)
+    sigs = {}
+    is_new = {}
+    cache: dict = {}
+    for flag, docs in ((True, new_docs), (False, store_docs)):
+        for doc_id, text in docs:
+            sigs[doc_id] = minhash_signature(text, num_perm, ngram,
+                                             params, cache)
+            is_new[doc_id] = flag
+    buckets: dict = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            key = (b, tuple(sig[b * rows_per_band:
+                            (b + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        pairs.update(bucket_candidate_pairs(members, max_bucket))
+    min_tenths = int(round(threshold * 10))
+    out = []
+    for a, b in sorted(pairs):
+        if not (is_new[a] or is_new[b]):
+            continue
+        m = int(sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y))
+        if 10 * m >= min_tenths * num_perm:
+            out.append((a, b, m))
+    return out

@@ -1606,3 +1606,63 @@ class TestUrlFilterProperty:
             assert got == want
 
         check()
+
+
+class TestIncrementalDedup:
+    BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+
+    def _data(self):
+        store = [(i, self.BASE + f"old doc {i} " + "x " * i)
+                 for i in range(10)]
+        new = [(100, self.BASE + "old doc 3 " + "x " * 3),
+               (101, "completely different new content words here " * 5),
+               (102, self.BASE + "old doc 7 " + "x " * 7),
+               (103, self.BASE + "old doc 3 " + "x " * 3)]
+        return store, new
+
+    def test_matches_twin_and_skips_store_pairs(self, spark):
+        from nipper_spark.functions.dedup import (
+            minhash_lsh_incremental, minhash_lsh_incremental_oracle,
+            minhash_store)
+        store_docs, new_docs = self._data()
+        sdf = spark.createDataFrame(store_docs,
+                                    "doc_id long, text string")
+        ndf = spark.createDataFrame(new_docs, "doc_id long, text string")
+        got = sorted(tuple(r) for r in minhash_lsh_incremental(
+            ndf, minhash_store(sdf), threshold=0.9).collect())
+        want = minhash_lsh_incremental_oracle(new_docs, store_docs,
+                                              threshold=0.9)
+        assert got == want
+        pair_ids = {(a, b) for a, b, _ in got}
+        assert (3, 100) in pair_ids and (7, 102) in pair_ids
+        assert (100, 103) in pair_ids            # new-vs-new
+        # store-vs-store near-dups never re-emitted
+        assert all(a >= 100 or b >= 100 for a, b in pair_ids)
+        assert not any(a < 100 and b < 100 for a, b in pair_ids)
+
+    def test_unique_new_batch_is_empty(self, spark):
+        from nipper_spark.functions.dedup import (
+            minhash_lsh_incremental, minhash_store)
+        store_docs, _ = self._data()
+        sdf = spark.createDataFrame(store_docs,
+                                    "doc_id long, text string")
+        ndf = spark.createDataFrame(
+            [(200, "nothing like the store at all " + "q " * 30)],
+            "doc_id long, text string")
+        assert minhash_lsh_incremental(
+            ndf, minhash_store(sdf), threshold=0.9).count() == 0
+
+    def test_banded_exchange_carries_no_text(self, spark):
+        from nipper_spark.functions.dedup import (
+            minhash_lsh_incremental, minhash_store)
+        from nipper_spark.plans.inspect import exchange_input_columns
+        store_docs, new_docs = self._data()
+        sdf = spark.createDataFrame(store_docs,
+                                    "doc_id long, text string")
+        ndf = spark.createDataFrame(new_docs, "doc_id long, text string")
+        out = minhash_lsh_incremental(ndf, minhash_store(sdf))
+        banded = [cols for cols in exchange_input_columns(out)
+                  if "band_sig" in cols]
+        assert banded
+        for cols in banded:
+            assert "text" not in cols, cols
