@@ -293,6 +293,21 @@ def main() -> int:
         "higher-order filter, never re-shuffled.",
         formatted_plan(dedup_paragraphs(docs))))
 
+    # 9g2. incremental near-dup — new batch vs signature store
+    from nipper_spark.functions.dedup import (minhash_lsh_incremental,
+                                              minhash_store)
+    store = minhash_store(docs.filter(F.col("doc_id") < 250))
+    newb = docs.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+    sections.append((
+        "Incremental near-dup dedup (`minhash_lsh_incremental`)",
+        "The rolling-crawl shape: the persisted store contributes "
+        "(id, sig) rows ONLY (no text anywhere in its lineage); the "
+        "new batch signatures union in, band through the same "
+        "capped-bucket kernel, and verification is the in-row MinHash "
+        "estimate — no join back to any text column, so a 100-TB "
+        "store costs its signature bytes, never its documents.",
+        formatted_plan(minhash_lsh_incremental(newb, store))))
+
     # 9h. frontier URL filter — broadcast blocklist over the scan
     from nipper_spark.crawl.urlfilter import url_frontier_filter
     cand_urls = docs.select(
