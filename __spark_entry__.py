@@ -724,6 +724,61 @@ def _o_dedup_incremental() -> str:
         ("n_sig_matches", "INTEGER")])
 
 
+def _q_dedup_exact_incremental(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup (functions/dedup.py
+    dedup_exact_incremental): new batch hashes vs the persisted
+    16-byte-per-class store; survives iff unseen AND batch min-id.
+    Fixture: docs ≥ INCR_SPLIT are the batch — every fourth is an
+    exact copy of a store doc (seen), every doc with d%4==1 shares a
+    batch-local synthetic text with its 20-block (intra-batch dup
+    groups), the rest are unique. Oracle is genuine SQL (same md5/
+    normalization expressions the exact-dedup oracles already use)."""
+    from nipper_spark.functions.dedup import (dedup_exact_incremental,
+                                              seen_text_hashes)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") < INCR_SPLIT) \
+              .select("doc_id", "text")
+    new_raw = docs.filter(F.col("doc_id") >= INCR_SPLIT) \
+                  .select("doc_id", "text")
+    src = old.select((F.col("doc_id") + INCR_SPLIT).alias("doc_id"),
+                     F.col("text").alias("_old_text"))
+    d = F.col("doc_id")
+    new = (new_raw.join(src, "doc_id", "left")
+           .select("doc_id",
+                   F.when((d % 4 == 0) & F.col("_old_text").isNotNull(),
+                          F.col("_old_text"))
+                   .when(d % 4 == 1,
+                         F.concat(F.lit("shared batch text "),
+                                  (d - d % 20).cast("string")))
+                   .otherwise(F.col("text")).alias("text")))
+    return dedup_exact_incremental(new, seen_text_hashes(old))
+
+
+def _o_dedup_exact_incremental() -> str:
+    return f"""
+WITH old AS (
+  SELECT DISTINCT md5({_NORM}) AS text_hash
+  FROM documents WHERE doc_id < {INCR_SPLIT}),
+newb AS (
+  SELECT n.doc_id,
+         CASE WHEN n.doc_id % 4 = 0 AND o.text IS NOT NULL THEN o.text
+              WHEN n.doc_id % 4 = 1 THEN 'shared batch text ' ||
+                   CAST(n.doc_id - n.doc_id % 20 AS VARCHAR)
+              ELSE n.text END AS text
+  FROM documents n
+  LEFT JOIN documents o ON o.doc_id = n.doc_id - {INCR_SPLIT}
+  WHERE n.doc_id >= {INCR_SPLIT}),
+h AS (
+  SELECT doc_id, md5({_NORM}) AS text_hash FROM newb)
+SELECT h.doc_id, h.text_hash,
+       (old.text_hash IS NULL
+        AND h.doc_id = min(h.doc_id) OVER (PARTITION BY h.text_hash))
+           AS is_new
+FROM h LEFT JOIN old ON h.text_hash = old.text_hash
+""".strip()
+
+
 _MOJI_SUFFIX = " café déjà naïve ok."
 
 
@@ -2271,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "dedup_cluster_survivors": _q_cluster_survivors,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_exact_incremental": _q_dedup_exact_incremental,
         "embedding_near_dup": _q_embedding_neardup,
         # text analysis
         "doc_token_counts": _q_doc_tokens,
@@ -2953,6 +3009,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _o_simhash(),
         "dedup_cluster_survivors": _o_cluster_survivors(),
         "dedup_incremental": _o_dedup_incremental(),
+        "dedup_exact_incremental": _o_dedup_exact_incremental(),
         "embedding_near_dup": _o_embedding_neardup(),
         "doc_token_counts": _O_TOKENS,
         "doc_quality": _O_QUALITY,

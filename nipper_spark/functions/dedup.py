@@ -719,3 +719,39 @@ def minhash_lsh_incremental_oracle(new_docs: list, store_docs: list,
         if 10 * m >= min_tenths * num_perm:
             out.append((a, b, m))
     return out
+
+
+def seen_text_hashes(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(text_hash) store for incremental EXACT dedup — md5 of the
+    normalized text, distinct; 16 bytes/class is the whole state."""
+    return docs.select(
+        F.md5(normalized_text(text_col)).alias("text_hash")).distinct()
+
+
+def dedup_exact_incremental(new_docs: DataFrame, seen: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Exact dedup of an incremental batch against a persisted hash
+    store: → (id_col, text_hash, is_new) where ``is_new`` means the
+    document survives — its class is absent from the store AND it is
+    the min-id representative within the batch.
+
+    Scale shape: the text never shuffles (hashes + ids only); the
+    store join is an equi-join on the 16-byte hash — co-partitioned
+    with the batch-min aggregation's shuffle, so AQE runs both off one
+    exchange of the batch side.
+    """
+    h = new_docs.select(F.col(id_col),
+                        F.md5(normalized_text(text_col))
+                        .alias("text_hash"))
+    batch_min = h.groupBy("text_hash").agg(
+        F.min(id_col).alias("_min"))
+    store = seen.select(F.col("text_hash"),
+                        F.lit(True).alias("_seen")).distinct()
+    return (h.join(batch_min, "text_hash")
+            .join(store, "text_hash", "left")
+            .select(F.col(id_col), F.col("text_hash"),
+                    (F.col("_seen").isNull()
+                     & (F.col(id_col) == F.col("_min")))
+                    .alias("is_new")))

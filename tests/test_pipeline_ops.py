@@ -1666,3 +1666,34 @@ class TestIncrementalDedup:
         assert banded
         for cols in banded:
             assert "text" not in cols, cols
+
+
+class TestIncrementalExactDedup:
+    def test_semantics(self, spark):
+        from nipper_spark.functions.dedup import (dedup_exact_incremental,
+                                                  seen_text_hashes)
+        old = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "gamma delta")],
+            "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(10, "ALPHA   beta"),     # seen (normalization folds)
+             (11, "fresh text one"),   # new
+             (12, "batch dup"), (13, "batch dup"),  # intra-batch pair
+             (14, "gamma delta")],     # seen
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["is_new"] for r in dedup_exact_incremental(
+            new, seen_text_hashes(old)).collect()}
+        assert got == {10: False, 11: True, 12: True, 13: False,
+                       14: False}
+
+    def test_no_text_in_exchanges(self, spark):
+        from nipper_spark.functions.dedup import (dedup_exact_incremental,
+                                                  seen_text_hashes)
+        from nipper_spark.plans.inspect import exchange_input_columns
+        old = spark.createDataFrame([(0, "a b")],
+                                    "doc_id long, text string")
+        new = spark.createDataFrame([(1, "c d")],
+                                    "doc_id long, text string")
+        out = dedup_exact_incremental(new, seen_text_hashes(old))
+        for cols in exchange_input_columns(out):
+            assert "text" not in cols, cols
