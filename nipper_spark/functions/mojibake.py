@@ -62,7 +62,8 @@ def fix_mojibake(docs: DataFrame, id_col: str = "doc_id",
 
     @F.pandas_udf("struct<fixed:string, n_iters:int>")
     def _fix(texts: pd.Series) -> pd.DataFrame:
-        rows = [fix_mojibake_text(t, max_iters) for t in texts]
+        rows = [fix_mojibake_text(t if isinstance(t, str) else "",
+                                  max_iters) for t in texts]
         return pd.DataFrame(rows, columns=["fixed", "n_iters"])
 
     out = docs.select(F.col(id_col), F.col(text_col).alias("_t"),
