@@ -779,6 +779,75 @@ FROM h LEFT JOIN old ON h.text_hash = old.text_hash
 """.strip()
 
 
+DSTORE = dict(threshold=0.8)
+
+
+def _dstore_batches_py(docs: list) -> list:
+    """Batch synthesis for the rolling-dedup-store gate. Batch 0 =
+    docs [300,400) with an intra-batch shared-text group per 20-block
+    (d%10==1); batch 1 = docs [400,500) where d%5==0 is an exact copy
+    of the batch-0 doc 100 below, d%5==1 a near-copy of it, the rest
+    unique. ``docs`` is the sorted [(doc_id, text)] table."""
+    by_id = dict(docs)
+
+    def b0_text(d):
+        if d % 10 == 1:
+            return "batch zero shared text " + str(d - d % 20)
+        return by_id[d]
+
+    batch0 = [(d, b0_text(d)) for d in range(300, 400)]
+    b0_by_id = dict(batch0)
+
+    def b1_text(d):
+        if d % 5 == 0:
+            return b0_by_id[d - 100]
+        if d % 5 == 1:
+            return b0_by_id[d - 100] + " extra trailing words here"
+        return by_id[d]
+
+    batch1 = [(d, b1_text(d)) for d in range(400, 500)]
+    return [batch0, batch1]
+
+
+def _q_dedup_rolling_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned rolling dedup state (functions/dedup_store.py): two
+    batches ingested through exact→near-dup incremental dedup with
+    atomic per-batch commits; returns every document's disposition.
+    The state dir is a fresh tempdir per run — the result depends only
+    on the corpus."""
+    from nipper_spark.functions.dedup_store import DedupStore
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text") \
+        .filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 500))
+    # bounded fixture collect: exactly 200 rows, pushdown-pruned —
+    # batch synthesis is shared verbatim with the oracle twin
+    rows = sorted((r["doc_id"], r["text"]) for r in docs.collect())
+    batch0, batch1 = _dstore_batches_py(rows)
+    store = DedupStore(spark, tempfile.mkdtemp(prefix="nipper_dstore_"),
+                       **DSTORE)
+    d1 = store.ingest_batch(
+        1, spark.createDataFrame(batch0, "doc_id long, text string"))
+    d2 = store.ingest_batch(
+        2, spark.createDataFrame(batch1, "doc_id long, text string"))
+    return (d1.select("doc_id", F.lit(0).alias("batch"), "disposition")
+            .unionByName(d2.select("doc_id", F.lit(1).alias("batch"),
+                                   "disposition")))
+
+
+def _o_dedup_rolling_store() -> str:
+    import duckdb
+    from nipper_spark.functions.dedup_store import dedup_store_oracle
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF}/documents.parquet' "
+        "WHERE doc_id >= 300 ORDER BY doc_id").fetchall()
+    con.close()
+    rows = dedup_store_oracle(_dstore_batches_py(docs), **DSTORE)
+    return _values_sql(rows, [
+        ("doc_id", "BIGINT"), ("batch", "INTEGER"),
+        ("disposition", "VARCHAR")])
+
+
 _MOJI_SUFFIX = " café déjà naïve ok."
 
 
@@ -2327,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_survivors": _q_cluster_survivors,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_exact_incremental": _q_dedup_exact_incremental,
+        "dedup_rolling_store": _q_dedup_rolling_store,
         "embedding_near_dup": _q_embedding_neardup,
         # text analysis
         "doc_token_counts": _q_doc_tokens,
@@ -3010,6 +3080,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_survivors": _o_cluster_survivors(),
         "dedup_incremental": _o_dedup_incremental(),
         "dedup_exact_incremental": _o_dedup_exact_incremental(),
+        "dedup_rolling_store": _o_dedup_rolling_store(),
         "embedding_near_dup": _o_embedding_neardup(),
         "doc_token_counts": _O_TOKENS,
         "doc_quality": _O_QUALITY,

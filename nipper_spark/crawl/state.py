@@ -148,12 +148,12 @@ class CrawlState:
                                   ignore_errors=True)
         os.replace(staging, final)
 
-    def recover_compaction(self) -> None:
+    def recover_compaction(self, tables=TABLES) -> None:
         """Complete any compaction a crash interrupted. A ``.new`` dir
         is only authoritative once its ``_SUCCESS`` marker exists; a
         partial staging write (crash mid-``merged.write``) is deleted
         and the round deltas remain the source of truth."""
-        for table in TABLES:
+        for table in tables:
             base = os.path.join(self.dir, table)
             if not os.path.isdir(base):
                 continue

@@ -1697,3 +1697,81 @@ class TestIncrementalExactDedup:
         out = dedup_exact_incremental(new, seen_text_hashes(old))
         for cols in exchange_input_columns(out):
             assert "text" not in cols, cols
+
+
+class TestDedupStore:
+    B0 = [(10, "the quick brown fox body of doc ten unique tail"),
+          (11, "the quick brown fox body of doc eleven unique tail"),
+          (12, "shared batch zero text"), (13, "shared batch zero text"),
+          (14, "the quick brown fox body of doc fourteen here")]
+    B1 = [(20, "the quick brown fox body of doc ten unique tail"),
+          (21, "the quick brown fox body of doc eleven unique tail plus"),
+          (22, "totally different fresh content entirely here"),
+          (23, "SHARED  batch ZERO text")]
+
+    def _store(self, spark, tmp_path_factory):
+        from nipper_spark.functions.dedup_store import DedupStore
+        return DedupStore(spark,
+                          str(tmp_path_factory.mktemp("dstore")),
+                          threshold=0.8)
+
+    def test_two_batches_match_oracle(self, spark, tmp_path_factory):
+        from nipper_spark.functions.dedup_store import dedup_store_oracle
+        store = self._store(spark, tmp_path_factory)
+        d1 = store.ingest_batch(1, spark.createDataFrame(
+            self.B0, "doc_id long, text string"))
+        d2 = store.ingest_batch(2, spark.createDataFrame(
+            self.B1, "doc_id long, text string"))
+        got = sorted(
+            [(r["doc_id"], 0, r["disposition"]) for r in d1.collect()]
+            + [(r["doc_id"], 1, r["disposition"]) for r in d2.collect()])
+        assert got == dedup_store_oracle([self.B0, self.B1],
+                                         threshold=0.8)
+        by = {d: disp for d, _, disp in got}
+        assert by[13] == "exact_dup" and by[20] == "exact_dup"
+        assert by[21] == "near_dup" and by[22] == "kept"
+        assert by[23] == "exact_dup"   # normalization folds case/ws
+
+    def test_crash_before_commit_replays_exactly(self, spark,
+                                                 tmp_path_factory):
+        """A batch whose state writes landed but whose commit did not
+        must replay to an identical final state after resume()."""
+        from nipper_spark.functions.dedup_store import (EXACT_SCHEMA,
+                                                        SIG_SCHEMA)
+        store = self._store(spark, tmp_path_factory)
+        b0 = spark.createDataFrame(self.B0, "doc_id long, text string")
+        b1 = spark.createDataFrame(self.B1, "doc_id long, text string")
+        store.ingest_batch(1, b0)
+        store.ingest_batch(2, b1)
+        # simulate the crash: roll the manifest back to batch 1 (the
+        # batch-2 deltas are on disk but uncommitted)
+        store.state.commit_round(1)
+        replay_from = store.resume()
+        assert replay_from == 2
+        # uncommitted deltas were truncated
+        assert store.seen_hashes(2).count() == \
+            store.seen_hashes(1).count()
+        d2 = store.ingest_batch(2, b1)
+        by = {r["doc_id"]: r["disposition"] for r in d2.collect()}
+        assert by == {20: "exact_dup", 21: "near_dup", 22: "kept",
+                      23: "exact_dup"}
+        # final state identical to the uninterrupted run
+        assert sorted(r["text_hash"] for r in
+                      store.seen_hashes(2).collect()) == sorted(
+            r["text_hash"] for r in store.seen_hashes(2).collect())
+        assert store.sig_store(2).count() == 5  # 4 kept b0 + 1 kept b1
+
+    def test_compaction_preserves_state(self, spark, tmp_path_factory):
+        store = self._store(spark, tmp_path_factory)
+        store.ingest_batch(1, spark.createDataFrame(
+            self.B0, "doc_id long, text string"))
+        store.ingest_batch(2, spark.createDataFrame(
+            self.B1, "doc_id long, text string"))
+        before_h = sorted(r["text_hash"]
+                          for r in store.seen_hashes(2).collect())
+        before_s = sorted(r["id"] for r in store.sig_store(2).collect())
+        store.compact()
+        assert sorted(r["text_hash"] for r in
+                      store.seen_hashes(2).collect()) == before_h
+        assert sorted(r["id"] for r in
+                      store.sig_store(2).collect()) == before_s
