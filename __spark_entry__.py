@@ -779,6 +779,68 @@ FROM h LEFT JOIN old ON h.text_hash = old.text_hash
 """.strip()
 
 
+def _q_embedding_neardup_incremental(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup (functions/similarity.py
+    embedding_near_dup_incremental): the store is the corpus; the new
+    batch re-keys every 25th vector to +1M and every 50th to +2M
+    (exact copies → cosine-1.0 pairs against the store AND within the
+    batch); store-vs-store pairs are skipped by construction."""
+    from nipper_spark.functions.similarity import (
+        embedding_near_dup_incremental)
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    new = (base.filter(F.col("vec_id") % 25 == 0)
+           .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+           .unionByName(
+               base.filter(F.col("vec_id") % 50 == 0)
+               .withColumn("vec_id",
+                           F.col("vec_id") + F.lit(2_000_000))))
+    return embedding_near_dup_incremental(
+        new, base, threshold=NEARDUP["threshold"],
+        n_bits=NEARDUP["n_bits"], bands=NEARDUP["bands"],
+        seed=NEARDUP["seed"], max_bucket=NEARDUP["max_bucket"]).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"))
+
+
+def _o_embedding_neardup_incremental() -> str:
+    import numpy as np
+    from nipper_spark.functions.dedup import bucket_candidate_pairs
+    from nipper_spark.functions.similarity import _hyperplanes
+    ids, m = _read_emb_sf001()
+    new_mask25 = ids % 25 == 0
+    new_mask50 = ids % 50 == 0
+    aug_ids = np.concatenate([ids, ids[new_mask25] + 1_000_000,
+                              ids[new_mask50] + 2_000_000])
+    aug_m = np.concatenate([m, m[new_mask25], m[new_mask50]])
+    dim = aug_m.shape[1]
+    planes = _hyperplanes(dim, NEARDUP["n_bits"], NEARDUP["seed"])
+    bits_per_band = NEARDUP["n_bits"] // NEARDUP["bands"]
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+    signs = (aug_m @ planes) > 0
+    buckets: dict = {}
+    for i in range(len(aug_ids)):
+        for b in range(NEARDUP["bands"]):
+            code = int((signs[i][b * bits_per_band:(b + 1) * bits_per_band]
+                        * weights).sum()) + (b << 24)
+            buckets.setdefault(code, []).append(i)
+    norms = np.linalg.norm(aug_m, axis=1, keepdims=True)
+    norm = aug_m / np.where(norms == 0, 1.0, norms)
+    idx_of = {int(aug_ids[i]): i for i in range(len(aug_ids))}
+    pairs = set()
+    for members in buckets.values():
+        pairs.update(bucket_candidate_pairs(
+            [int(aug_ids[i]) for i in members], NEARDUP["max_bucket"]))
+    rows = []
+    for ia, ib in sorted(pairs):
+        if ia < 1_000_000 and ib < 1_000_000:
+            continue  # store-vs-store: skipped by the incremental op
+        cos = float((norm[idx_of[ia]] * norm[idx_of[ib]]).sum())
+        if cos >= NEARDUP["threshold"]:
+            rows.append((ia, ib))
+    return _values_sql(rows, [("id_a", "BIGINT"), ("id_b", "BIGINT")])
+
+
 DSTORE = dict(threshold=0.8)
 
 
@@ -2398,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_incremental": _q_dedup_exact_incremental,
         "dedup_rolling_store": _q_dedup_rolling_store,
         "embedding_near_dup": _q_embedding_neardup,
+        "embedding_near_dup_incremental": _q_embedding_neardup_incremental,
         # text analysis
         "doc_token_counts": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
@@ -3082,6 +3145,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_incremental": _o_dedup_exact_incremental(),
         "dedup_rolling_store": _o_dedup_rolling_store(),
         "embedding_near_dup": _o_embedding_neardup(),
+        "embedding_near_dup_incremental":
+            _o_embedding_neardup_incremental(),
         "doc_token_counts": _O_TOKENS,
         "doc_quality": _O_QUALITY,
         "doc_lang_pred": _o_doc_lang(),

@@ -656,3 +656,55 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
     return (cand.withColumn("cosine", _cos("vec_a", "vec_b"))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def embedding_near_dup_incremental(new_vecs: DataFrame,
+                                   store_vecs: DataFrame,
+                                   threshold: float = 0.95,
+                                   n_bits: int = 16, bands: int = 8,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   seed: int = 42,
+                                   max_bucket: int = 64) -> DataFrame:
+    """Embedding near-dup pairs for an INCREMENTAL batch vs a persisted
+    (id, embedding) store — every pair touches at least one new vector
+    (store-vs-store pairs were emitted by earlier runs). Same
+    hyperplane-LSH bucketing and capped-bucket candidate kernel as
+    :func:`embedding_near_dup_pairs`; exact-cosine verification joins
+    vectors back by id from the union, so only the candidate pairs pay
+    for vector movement. Output: (id_a, id_b, cosine), id_a < id_b.
+    Assumes monotone batch ids like the text-side incremental dedup.
+    """
+    from .dedup import _capped_candidates
+    sample = new_vecs.select(vec_col).first()
+    dim = len(sample[0])
+    buckets = lsh_bucket_udf(dim, n_bits, bands, seed)
+    union = (new_vecs.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("vec"),
+                             F.lit(True).alias("is_new"))
+             .unionByName(store_vecs.select(
+                 F.col(id_col).alias("id"),
+                 F.col(vec_col).alias("vec"),
+                 F.lit(False).alias("is_new"))))
+    b = union.select("id", "is_new",
+                     F.explode(buckets(F.col("vec"))).alias("bucket"))
+    cand = (_capped_candidates(b, ["bucket"], max_bucket,
+                               payload_cols=["is_new"])
+            .filter(F.col("is_new_a") | F.col("is_new_b")))
+    vecs = union.select("id", "vec")
+    cand = (cand
+            .join(vecs.withColumnRenamed("id", "id_a")
+                      .withColumnRenamed("vec", "vec_a"), "id_a")
+            .join(vecs.withColumnRenamed("id", "id_b")
+                      .withColumnRenamed("vec", "vec_b"), "id_b"))
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, bv: pd.Series) -> pd.Series:
+        ma = _normalize(_as_matrix(a))
+        mb = _normalize(_as_matrix(bv))
+        return pd.Series((ma * mb).sum(axis=1).astype(float))
+
+    _cos = _cos.asNondeterministic()
+    return (cand.withColumn("cosine", _cos("vec_a", "vec_b"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -1775,3 +1775,40 @@ class TestDedupStore:
                       store.seen_hashes(2).collect()) == before_h
         assert sorted(r["id"] for r in
                       store.sig_store(2).collect()) == before_s
+
+
+class TestEmbeddingIncrementalDedup:
+    def test_touching_new_only_and_exact_copies_found(self, spark, emb):
+        from nipper_spark.functions.similarity import (
+            embedding_near_dup_incremental)
+        store = emb.select("vec_id", "embedding")
+        new = (store.filter(F.col("vec_id") % 25 == 0)
+               .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
+        # 4 bits/band so buckets stay under the cap and all planted
+        # pairs are emitted directly (with the default 2-bit bands the
+        # star-edge cap keeps only hub pairs — capped semantics, pinned
+        # for the full-corpus op elsewhere)
+        pairs = embedding_near_dup_incremental(
+            new, store, threshold=0.98, n_bits=32, bands=8).collect()
+        assert pairs, "expected copy pairs"
+        for r in pairs:
+            assert r["id_b"] >= 1_000_000      # every pair touches new
+            assert r["cosine"] >= 0.98
+        # each planted copy found against its source
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        want = {(int(v), int(v) + 1_000_000)
+                for (v,) in store.filter("vec_id % 25 = 0")
+                .select("vec_id").collect()}
+        assert want <= found
+
+    def test_disjoint_batch_is_empty(self, spark, emb):
+        from nipper_spark.functions.similarity import (
+            embedding_near_dup_incremental)
+        store = emb.select("vec_id", "embedding")
+        # negated vectors: cosine -1 to their sources, far from all
+        new = (store.filter(F.col("vec_id") % 100 == 0)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       F.transform("embedding", lambda x: -x)
+                       .alias("embedding")))
+        assert embedding_near_dup_incremental(
+            new, store, threshold=0.98).count() == 0
