@@ -251,6 +251,23 @@ class TestCandidateShuffleVolume:
         for cols in bucketed:
             assert "vec" not in cols and "embedding" not in cols, cols
 
+    def test_embedding_incremental_buckets_carry_no_vectors(
+            self, spark, tmp_path_factory, no_broadcast):
+        from nipper_spark.functions.similarity import (
+            embedding_near_dup_incremental)
+        path = str(tmp_path_factory.mktemp("ei") / "embeddings.parquet")
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+            .write.mode("overwrite").parquet(path)
+        emb = spark.read.parquet(path)
+        new = (emb.filter(F.col("vec_id") % 25 == 0)
+               .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
+        pairs = embedding_near_dup_incremental(new, emb)
+        bucketed = [cols for cols in exchange_input_columns(pairs)
+                    if "bucket" in cols]
+        assert bucketed
+        for cols in bucketed:
+            assert "vec" not in cols and "embedding" not in cols, cols
+
     def test_ann_lsh_candidates_carry_no_vectors(self, spark,
                                                  tmp_path_factory,
                                                  no_broadcast):
@@ -341,3 +358,4 @@ class TestAdaptiveWaveTopk:
         big, _ = select_wave(f, b, pol)  # no bound -> salted
         assert {r["url"] for r in small.collect()} == \
             {r["url"] for r in big.collect()}
+
