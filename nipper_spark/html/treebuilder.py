@@ -245,6 +245,20 @@ class TreeBuilder:
                 return False
         return False
 
+    def _select_in_select_scope(self) -> bool:
+        """Spec 'has a select element in select scope': every element
+        type EXCEPT optgroup/option is a scope barrier. False exactly
+        in the select-fragment case (the context element is never on
+        the stack), where the in-select close/reprocess rules must
+        ignore their token instead of draining the stack."""
+        for nid in reversed(self.stack):
+            nm = self._name(nid)
+            if nm == "select":
+                return True
+            if nm not in ("optgroup", "option"):
+                return False
+        return False
+
     def _pop_until(self, names) -> None:
         if isinstance(names, str):
             names = (names,)
@@ -1733,8 +1747,11 @@ def _mode_in_select(tb: TreeBuilder, tok) -> None:
             tb._insert_element("optgroup", tok[2])
             return
         if name == "select":
-            tb._pop_until("select")
-            tb.mode = tb._reset_mode()
+            # parse error; fragment case: no select in select scope →
+            # ignore instead of draining the synthetic root
+            if tb._select_in_select_scope():
+                tb._pop_until("select")
+                tb.mode = tb._reset_mode()
             return
         if name == "hr":
             # current WHATWG (browsers ship it): <hr> is a separator
@@ -1747,6 +1764,8 @@ def _mode_in_select(tb: TreeBuilder, tok) -> None:
             tb._insert_element("hr", tok[2], push=False)
             return
         if name in ("input", "keygen", "textarea"):
+            if not tb._select_in_select_scope():
+                return  # parse error, fragment case
             tb._pop_until("select")
             tb.mode = tb._reset_mode()
             _MODE_DISPATCH[tb.mode](tb, tok)
@@ -1760,6 +1779,8 @@ def _mode_in_select(tb: TreeBuilder, tok) -> None:
             # tag closes the select and reprocesses (html5ever
             # InSelectInTable; the select was opened inside a table)
             tb.arena.errors.append("unexpected-start-tag-in-select")
+            if not tb._select_in_select_scope():
+                return
             tb._pop_until("select")
             tb.mode = tb._reset_mode()
             _MODE_DISPATCH[tb.mode](tb, tok)
@@ -1786,10 +1807,9 @@ def _mode_in_select(tb: TreeBuilder, tok) -> None:
                 tb.arena.errors.append("unexpected-end-tag")
             return
         if name == "select":
-            if tb._in_scope("select", frozenset(["optgroup", "option"])):
-                pass
-            tb._pop_until("select")
-            tb.mode = tb._reset_mode()
+            if tb._select_in_select_scope():
+                tb._pop_until("select")
+                tb.mode = tb._reset_mode()
             return
         if name == "template":
             tb._end_template()
@@ -1798,7 +1818,8 @@ def _mode_in_select(tb: TreeBuilder, tok) -> None:
                 tb._name(nid) == "table" for nid in tb.stack):
             # "in select in table" end-tag rule: close + reprocess only
             # when the named element is in table scope
-            if tb._in_scope(name, _TABLE_SCOPE):
+            if tb._in_scope(name, _TABLE_SCOPE) \
+                    and tb._select_in_select_scope():
                 tb._pop_until("select")
                 tb.mode = tb._reset_mode()
                 _MODE_DISPATCH[tb.mode](tb, tok)

@@ -2184,3 +2184,29 @@ def test_fragment_context_foreign_svg_math():
     assert frag("<p>breaks out</p>", "svg") == "<p>breaks out</p>"
     assert frag("<mi>x</mi>", "math") == "<mi>x</mi>"
     assert frag("<p>html stays</p>", "body") == "<p>html stays</p>"
+
+
+def test_select_fragment_scope_guards():
+    """In-select close/reprocess rules require 'select in select
+    scope'; in a select-context FRAGMENT the context element is never
+    on the stack, so <select>/</select>/<input>/<keygen>/<textarea>
+    must be ignored instead of draining the synthetic root (found by
+    the extended fuzz: empty-stack crash on <select><option> after a
+    stray <select>)."""
+    from nipper_spark.html.serializer import serialize
+    from nipper_spark.html.treebuilder import parse_fragment
+
+    def frag(h):
+        return serialize(parse_fragment(h, context="select"), 1,
+                         include_node=False)
+
+    assert frag("<select><option>x") == "<option>x</option>"
+    assert frag("</select><option>a<input><option>b") == \
+        "<option>a</option><option>b</option>"
+    assert frag("<option>a<textarea>t") == "<option>at</option>"
+    assert frag("<keygen><option>k") == "<option>k</option>"
+    # document parsing unchanged: input still breaks out of a REAL
+    # select (batch 24 pins the full form)
+    assert body_html("<!DOCTYPE html><select><option>a<input name=q>"
+                     ) == ('<body><select><option>a</option></select>'
+                           '<input name="q"></body>')
