@@ -33,7 +33,13 @@ _soup2 = st.lists(
          "</math>", "<foreignObject>", "</foreignObject>", "<mi>",
          "</mi>", "<script>", "</script>", "<!--", "-->", "<title>",
          "</title>", "<b>", "</b>", "text ", "viewbox=1 ", "<div>",
-         "</div>", '"</script>"']),
+         "</div>", '"</script>"',
+         # round-5 fuzz surface: select scope guards, plaintext
+         # roundtrip, CDATA, frameset/caption rerouting
+         "<select>", "</select>", "<option>", "<input>", "<keygen>",
+         "<textarea>", "<plaintext>", "<xmp>", "</xmp>", "<![CDATA[",
+         "]]>", "<frameset>", "<caption>", "<tr>", "<td>", "</td>",
+         "&notin", "&#x41;", "<nobr>", "<li>"]),
     max_size=14).map("".join)
 
 
@@ -71,8 +77,15 @@ def test_foreign_template_script_soup_stable(s):
     script text containing an unclosed ``<!--<script>`` serializes raw,
     and the REPARSE enters double-escaped state and swallows the
     following markup (measured: 31/30 000 adversarial interleavings,
-    all convergent at step 2)."""
+    all convergent at step 2).
+
+    An open <plaintext> in the output is excluded entirely: plaintext
+    swallows its own serialized end tag on re-parse, so its roundtrip
+    grows by construction (unserializable content per the HTML
+    serialization spec; html5ever behaves identically)."""
     out1 = serialize(parse_document(s), 0, include_node=True)
+    if "<plaintext" in out1:
+        return
     out2 = serialize(parse_document(out1), 0, include_node=True)
     if out1 != out2:
         out3 = serialize(parse_document(out2), 0, include_node=True)
@@ -290,3 +303,39 @@ def test_host_re_sql_matches_host_of():
         m = pat.match(u)
         assert m is not None, u
         assert m.group(1) == host_of(u), u
+
+
+_ctx_names = st.sampled_from(
+    ["body", "title", "textarea", "script", "style", "svg", "math",
+     "table", "tr", "td", "select", "template", "html", "frameset",
+     "plaintext", "colgroup", "caption", "head", "xmp", "noframes"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(_soup2, _ctx_names)
+def test_fragment_parse_never_crashes_any_context(s, ctx):
+    """Every fragment context (incl. the rawtext/foreign/select ones
+    whose tokenizer-state and scope-guard rules are round-5 additions)
+    must accept arbitrary token soup without crashing and serialize.
+    Regression net for the select-fragment empty-stack crash the
+    extended fuzz found."""
+    from nipper_spark.html.treebuilder import parse_fragment
+    arena = parse_fragment(s, context=ctx)
+    serialize(arena, 1, include_node=False)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_soup2)
+def test_fixpoint_excludes_only_plaintext(s):
+    """parse∘serialize converges within three rounds for everything
+    except documents that serialize an open <plaintext> — plaintext
+    swallows its own end tag on re-parse, so its roundtrip grows by
+    construction (html5ever behaves identically; the HTML serialization
+    spec calls such content unserializable)."""
+    h1 = Document.from_html(s).html()
+    if "<plaintext" in h1:
+        return
+    h2 = Document.from_html(h1).html()
+    h3 = Document.from_html(h2).html()
+    if h2 != h3:
+        assert h3 == Document.from_html(h3).html(), (s, h3)
