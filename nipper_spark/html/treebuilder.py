@@ -160,10 +160,12 @@ class TreeBuilder:
         # (html5ever src/tree_builder/mod.rs keeps the same stack)
         self.template_modes: list[str] = []
 
+        self._frag_root: int | None = None
         if self.frag:
             html = self.arena.new_element("html")
             self.arena.append_child(0, html)
             self.stack.append(html)
+            self._frag_root = html
             self.mode = self._reset_mode_for_fragment()
 
     # ==================================================================
@@ -201,6 +203,14 @@ class TreeBuilder:
                 fb.foreign = False
                 self.skip_next_lf = False
                 dispatch[self.mode](self, tok)
+            # fragment backstop: the synthetic root must survive every
+            # token — spec end-tag rules written for document flow
+            # ("pop the current node, which is the head element") can
+            # otherwise pop it in exotic contexts (head-context
+            # `</head>`), leaving later handlers an empty stack
+            if self._frag_root is not None and not self.stack:
+                self.stack.append(self._frag_root)
+                self.mode = self._reset_mode_for_fragment()
             # CDATA sections are legal only while the current node is
             # foreign (spec markup-declaration-open: adjusted current
             # node not in the HTML namespace); ns is empty for pure-HTML

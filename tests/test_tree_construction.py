@@ -2210,3 +2210,18 @@ def test_select_fragment_scope_guards():
     assert body_html("<!DOCTYPE html><select><option>a<input name=q>"
                      ) == ('<body><select><option>a</option></select>'
                            '<input name="q"></body>')
+
+
+def test_fragment_root_survives_head_end_tag():
+    """Fragment backstop: spec end-tag rules written for document flow
+    can pop the synthetic root in exotic contexts (head-context
+    `</head>`, found by the extended fuzz); the builder restores the
+    root + context mode so later tokens still have a tree to build."""
+    from nipper_spark.html.serializer import serialize
+    from nipper_spark.html.treebuilder import parse_fragment
+    a = parse_fragment("<base href=u></head><meta charset=x><p>t",
+                       context="head")
+    out = serialize(a, 1, include_node=False)
+    assert '<base href="u">' in out and 'charset="x"' in out
+    a2 = parse_fragment("</head></head><title>t</title>", context="head")
+    assert "<title>t</title>" in serialize(a2, 1, include_node=False)
