@@ -419,7 +419,18 @@ class FrontierEngine:
         seen = st.read_all_rounds("seen", r, SEEN_SCHEMA)
         confirmed_new = maybe_seen.join(
             seen.select("url"), "url", "left_anti")
-        fresh = definitely_new.unionByName(confirmed_new).cache()
+        # localCheckpoint, not cache: the four downstream consumers
+        # (frontier/seen/bloom writes + per-bucket counters) then
+        # analyze a LEAF plan instead of re-canonicalizing the whole
+        # fetch→extract→probe→anti-join tree once per query — per-round
+        # driver latency, the dominant q3 cost at bench scale (the
+        # round's real compute is ~0.5 s of extraction against ~3 s of
+        # orchestration). Eager: materializes the heavy chain exactly
+        # once and resolves the fetch/probe observations, same as the
+        # cache+count it replaces. The checkpointed table is
+        # fresh-delta-sized; blocks free with the reference.
+        fresh = definitely_new.unionByName(confirmed_new) \
+            .localCheckpoint(eager=True)
 
         obs_residual = Observation()
         residual = residual.observe(
@@ -434,17 +445,19 @@ class FrontierEngine:
             .repartition(pol.n_buckets, "host_bucket")
             .sortWithinPartitions("depth", F.desc("score"), "url"))
 
-        # ONE count materializes fetch→extract→candidates→probe→
-        # anti-join into the fresh cache (the heavy chain of the round;
-        # the fetch/probe observations resolve on it) — after which the
-        # frontier write, seen write, bloom merge+write, and per-bucket
-        # counters are FOUR independent consumers of that cache, run as
-        # concurrent jobs from driver threads: the frontier's
+        # ONE collect over the checkpointed fresh delta yields the
+        # per-bucket counters AND the total (their sum) — the separate
+        # fresh.count() job is folded away. The frontier write, seen
+        # write and bloom merge+write remain independent consumers run
+        # as concurrent jobs from driver threads: the frontier's
         # repartition+sort+write overlaps the bloom cogroup instead of
         # preceding it. commit_round only after every write joined — a
         # failed write raises out of result() and the uncommitted round
         # replays on resume.
-        stats.fresh = fresh.count()
+        per_bucket = [(row["host_bucket"], row["n"]) for row in
+                      fresh.groupBy("host_bucket").agg(
+                          F.count("*").alias("n")).collect()]
+        stats.fresh = sum(n for _, n in per_bucket)
         stats.fetched = _obs_long(obs_fetch, "n", ext.count)
         stats.candidates = _obs_long(obs_probe, "candidates", probed.count)
         stats.bloom_hits = _obs_long(
@@ -463,16 +476,11 @@ class FrontierEngine:
             "url", "host_bucket", "url_hash", F.lit(r + 1).alias("round"))
 
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        with ThreadPoolExecutor(max_workers=3) as ex:
             w_frontier = ex.submit(st.write, "frontier", r + 1,
                                    next_frontier)
             w_seen = ex.submit(st.write, "seen", r + 1, seen_delta)
             w_bloom = ex.submit(st.write, "bloom", r + 1, new_bloom)
-            pb = ex.submit(
-                lambda: [(row["host_bucket"], row["n"]) for row in
-                         fresh.groupBy("host_bucket").agg(
-                             F.count("*").alias("n")).collect()])
-            per_bucket = pb.result()
             w_frontier.result()  # residual observation resolves here
             stats.residual = _obs_long(obs_residual, "n", residual.count)
             stats.frontier_next = stats.residual + stats.fresh
@@ -489,7 +497,6 @@ class FrontierEngine:
 
         wave.unpersist()
         probed.unpersist()
-        fresh.unpersist()
         return stats
 
     # ------------------------------------------------------------------

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nipper_spark.operators.parallelism import ensure_min_parallelism
+
 # ----------------------------------------------------------------------
 # exact dedup — pure Catalyst
 # ----------------------------------------------------------------------
@@ -40,8 +42,9 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """→ (text_hash, n_dups, keep_id, dup_ids): groups with >1 member.
     Shuffles md5 keys + ids only — the text never moves."""
-    h = docs.select(F.col(id_col).alias("doc_id"),
-                    F.md5(normalized_text(text_col)).alias("text_hash"))
+    h = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalized_text(text_col)).alias("text_hash"))
     return (h.groupBy("text_hash")
             .agg(F.count("*").alias("n_dups"),
                  F.min("doc_id").alias("keep_id"),
@@ -54,8 +57,8 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
     """Keep min-id representative per equivalence class (deterministic,
     no dropDuplicates — its survivor choice is partition-order-dependent)."""
     w_hash = F.md5(normalized_text(text_col)).alias("_h")
-    ranked = docs.select("*", w_hash).groupBy("_h").agg(
-        F.min(F.col(id_col)).alias(id_col))
+    ranked = (ensure_min_parallelism(docs).select(F.col(id_col), w_hash)
+              .groupBy("_h").agg(F.min(F.col(id_col)).alias(id_col)))
     return docs.join(ranked, on=id_col, how="left_semi")
 
 
@@ -252,9 +255,11 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     and the bench can pin candidate VOLUME (the hot-bucket O(B) bound)
     separately from Jaccard verification."""
     rows_per_band = num_perm // bands
-    sig = docs.select(F.col(id_col).alias("id"),
-                      minhash_udf(num_perm, ngram, seed)(
-                          F.col(text_col)).alias("sig"))
+    # narrow scans (one row group) would run the signature UDF — the
+    # dominant CPU of this operator — on 1-2 cores (guide §2.5)
+    sig = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("id"),
+        minhash_udf(num_perm, ngram, seed)(F.col(text_col)).alias("sig"))
     # candidate generation carries (id, band, band_sig) ONLY — at corpus
     # scale the text must never ride the banded explode (it would put
     # bands× copies of the corpus through the shuffle)
@@ -517,8 +522,11 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     edges by ``max_bucket`` (see `bucket_candidate_pairs`).
     Output: (id_a, id_b, hamming).
     """
-    sh = docs.select(F.col(id_col).alias("id"),
-                     simhash_udf(ngram)(F.col(text_col)).alias("sim"))
+    # see minhash_lsh_candidates: the sketch UDF must not be bound to a
+    # narrow scan's task count
+    sh = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("id"),
+        simhash_udf(ngram)(F.col(text_col)).alias("sim"))
     chunks = sh.select(
         "id", "sim",
         F.posexplode(F.array(*[
@@ -627,9 +635,9 @@ def minhash_store(docs: DataFrame, id_col: str = "doc_id",
     """(id, sig) MinHash signature store — the state a rolling crawl
     persists between batches (a few hundred bytes per document; the
     text itself never needs to be retained for near-dup purposes)."""
-    return docs.select(F.col(id_col).alias("id"),
-                       minhash_udf(num_perm, ngram, seed)(
-                           F.col(text_col)).alias("sig"))
+    return ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("id"),
+        minhash_udf(num_perm, ngram, seed)(F.col(text_col)).alias("sig"))
 
 
 def minhash_lsh_incremental(new_docs: DataFrame, store: DataFrame,

@@ -428,8 +428,9 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """documents(text, …) → + token counts, quality features, lang_pred,
     fingerprint. One projection; native expressions stay fused in one
     codegen stage, the two UDF columns share one Arrow pass each."""
+    from nipper_spark.operators.parallelism import ensure_min_parallelism
     c = F.col(text_col)
-    return docs.select(
+    return ensure_min_parallelism(docs).select(
         "*",
         whitespace_token_count(c),
         bpe_ish_token_count(c),
