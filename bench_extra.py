@@ -31,6 +31,7 @@ def build():
         SparkSession.builder.appName("nipper-bench-extra")
         .master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.shuffle.sort.bypassMergeThreshold", "2")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
