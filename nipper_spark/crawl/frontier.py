@@ -287,7 +287,8 @@ class FrontierEngine:
             st.write("seen", r + 1,
                      self.spark.createDataFrame([], SEEN_SCHEMA))
             st.write("bloom", r + 1, st.read("bloom", r, BLOOM_SCHEMA))
-            st.write("round_log", r, self._log_df(r, stats, []))
+            st.write_rows("round_log", r, self._log_rows(r, stats, []),
+                          ROUND_LOG_SCHEMA)
             st.commit_round(r)
             return stats
 
@@ -344,7 +345,8 @@ class FrontierEngine:
             st.write("seen", r + 1,
                      self.spark.createDataFrame([], SEEN_SCHEMA))
             st.write("bloom", r + 1, st.read("bloom", r, BLOOM_SCHEMA))
-            st.write("round_log", r, self._log_df(r, stats, []))
+            st.write_rows("round_log", r, self._log_rows(r, stats, []),
+                          ROUND_LOG_SCHEMA)
             st.commit_round(r)
             wave.unpersist()
             return stats
@@ -359,9 +361,14 @@ class FrontierEngine:
 
         # "fetch" = join the wave against the big pages scan (broadcast
         # while the wave bound allows; shuffle join above the threshold
-        # so the driver never holds an unbounded wave)
-        fetched = self.pages.join(_wave_side(wave.select("url")), "url") \
-            .select("url", "html")
+        # so the driver never holds an unbounded wave). depth/score
+        # ride the fetch join and pass THROUGH the extraction UDF (two
+        # numeric columns in the Arrow batch), so the outlink explode
+        # needs no second wave join — one broadcast build and one join
+        # fewer per round, same rows out (pages ⋈ wave is 1:1 on url).
+        fetched = self.pages.join(
+            _wave_side(wave.select("url", "depth", "score")), "url") \
+            .select("url", "html", "depth", "score")
         obs_fetch = Observation()
         # one fused Python crossing: HTML pages → a[href] outlinks
         # (priority null); sitemap-pattern URLs → parse_sitemap entries
@@ -372,11 +379,11 @@ class FrontierEngine:
             fetched, respect_nofollow=pol.respect_nofollow).observe(
             obs_fetch, F.count(F.lit(1)).alias("n"))
 
-        links = (ext.select("url", F.explode("outlinks").alias("l"))
-                 .select("url", F.col("l.dst").alias("dst"),
-                         F.col("l.priority").alias("prio"))
-                 .join(_wave_side(wave.select("url", "depth", "score")),
-                       "url"))
+        links = (ext.select("depth", "score",
+                            F.explode("outlinks").alias("l"))
+                 .select(F.col("l.dst").alias("dst"),
+                         F.col("l.priority").alias("prio"),
+                         "depth", "score"))
         cand = (links
                 .select(F.col("dst").alias("url"),
                         (F.col("depth") + 1).alias("depth"),
@@ -484,7 +491,9 @@ class FrontierEngine:
             w_frontier.result()  # residual observation resolves here
             stats.residual = _obs_long(obs_residual, "n", residual.count)
             stats.frontier_next = stats.residual + stats.fresh
-            st.write("round_log", r, self._log_df(r, stats, per_bucket))
+            st.write_rows("round_log", r,
+                          self._log_rows(r, stats, per_bucket),
+                          ROUND_LOG_SCHEMA)
             w_seen.result()
             w_bloom.result()
         _sched_write.result()
@@ -517,8 +526,12 @@ class FrontierEngine:
         return out
 
     # ------------------------------------------------------------------
-    def _log_df(self, r: int, stats: RoundStats,
-                per_bucket: list[tuple[int, int]]) -> DataFrame:
+    def _log_rows(self, r: int, stats: RoundStats,
+                  per_bucket: list[tuple[int, int]]) -> list[tuple]:
+        """Round-log rows — n_buckets+1 by construction at ANY scale,
+        so the write goes through CrawlState.write_rows (driver-side
+        pyarrow, no Spark job: the parallelize(rows, 1) + single-task
+        parquet job it replaces cost a fixed ~0.15 s/round)."""
         from nipper_spark.crawl.state import bucket_skew
         max_fresh, p99_fresh, max_share = bucket_skew(
             n for _, n in per_bucket)
@@ -528,14 +541,7 @@ class FrontierEngine:
                      stats.fresh, stats.scheduled, stats.fetched,
                      stats.residual, float(max_share),
                      int(max_fresh), int(p99_fresh)))
-        # n_buckets+1 rows by construction at ANY scale: ONE slice from
-        # the start (one task, one file). NOT .coalesce(1) — that makes
-        # a single task compute all defaultParallelism python-parallelize
-        # slices sequentially (~150 ms of worker round-trip each;
-        # measured 5 s/round at local[32]).
-        return self.spark.createDataFrame(
-            self.spark.sparkContext.parallelize(rows, 1),
-            ROUND_LOG_SCHEMA)
+        return rows
 
 
 def round_metrics(round_log: DataFrame) -> DataFrame:
@@ -585,14 +591,20 @@ def round_metrics(round_log: DataFrame) -> DataFrame:
 
 _CRAWL_EXT_SCHEMA = ("url string, "
                      "outlinks array<struct<dst:string,priority:double>>")
+_CRAWL_EXT_DS_SCHEMA = _CRAWL_EXT_SCHEMA + ", depth int, score double"
 
 
 def _crawl_extract(fetched: DataFrame,
                    respect_nofollow: bool = False) -> DataFrame:
-    """(url, html) → (url, outlinks[(dst, priority)]) in ONE
-    ``mapInPandas`` crossing, dispatching per row on the sitemap URL
-    pattern via the shared pure kernel
-    :func:`~nipper_spark.crawl.sitemaps.crawl_extract_outlinks`."""
+    """(url, html[, depth, score]) → (url, outlinks[(dst, priority)]
+    [, depth, score]) in ONE ``mapInPandas`` crossing, dispatching per
+    row on the sitemap URL pattern via the shared pure kernel
+    :func:`~nipper_spark.crawl.sitemaps.crawl_extract_outlinks`.
+    ``depth``/``score``, when present, pass through the Arrow batch
+    untouched so the caller's outlink explode needs no join back to
+    the wave."""
+    passthrough = "depth" in fetched.columns
+
     def _ext(batches):
         for pdf in batches:
             urls, outs = [], []
@@ -602,9 +614,15 @@ def _crawl_extract(fetched: DataFrame,
                              for d, p in crawl_extract_outlinks(
                                  url, h,
                                  respect_nofollow=respect_nofollow)])
-            yield pd.DataFrame({"url": urls, "outlinks": outs})
+            out = pd.DataFrame({"url": urls, "outlinks": outs})
+            if passthrough:
+                out["depth"] = pdf["depth"].reset_index(drop=True)
+                out["score"] = pdf["score"].reset_index(drop=True)
+            yield out
 
-    return fetched.mapInPandas(_ext, schema=_CRAWL_EXT_SCHEMA)
+    return fetched.mapInPandas(
+        _ext, schema=_CRAWL_EXT_DS_SCHEMA if passthrough
+        else _CRAWL_EXT_SCHEMA)
 
 
 # ----------------------------------------------------------------------
