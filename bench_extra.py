@@ -249,7 +249,7 @@ def run_q3(repeats: int, stages: bool) -> None:
 def main():
     global SF_DIR
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["queries", "q3"])
+    ap.add_argument("mode", choices=["queries", "q3", "entry"])
     ap.add_argument("--sf", default=SF_DIR)
     ap.add_argument("--only", default=None)
     ap.add_argument("--repeats", type=int, default=3)
@@ -258,9 +258,35 @@ def main():
     SF_DIR = args.sf
     if args.mode == "queries":
         run_queries(args.only, args.repeats, not args.no_stages)
+    elif args.mode == "entry":
+        run_entry_queries(args.repeats)
     else:
         run_q3(args.repeats, not args.no_stages)
 
+
+
+
+def run_entry_queries(repeats: int) -> None:
+    """Time EVERY __spark_entry__ query at SF_DIR with the noop sink —
+    the optimization-round coverage sweep (guide §1.4)."""
+    import __spark_entry__ as e
+    spark = build()
+    times = {}
+    for name, fn in e.queries().items():
+        best = None
+        try:
+            for _ in range(repeats):
+                t0 = time.time()
+                noop(fn(spark, SF_DIR))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name}: ERROR {ex}")
+            continue
+        times[name] = round(best, 2)
+        print(f"{name}: {best:.2f}s", flush=True)
+    print(json.dumps(dict(sorted(times.items(), key=lambda kv: -kv[1]))))
+    spark.stop()
 
 if __name__ == "__main__":
     main()

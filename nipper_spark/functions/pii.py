@@ -40,8 +40,9 @@ def scrub_pii_col(text: str | Column) -> Column:
 def pii_count_cols(text: str | Column) -> list[Column]:
     """Per-category match counts on the original text."""
     c = F.col(text) if isinstance(text, str) else text
-    return [F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
-            .alias(f"n_{name}s")
+    # regexp_count: same non-overlapping match count as
+    # size(regexp_extract_all(.., 0)) without materializing the matches
+    return [F.regexp_count(c, F.lit(pattern)).alias(f"n_{name}s")
             for name, pattern, _ph in _CATEGORIES]
 
 

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nipper_spark.operators.parallelism import ensure_min_parallelism
+
 
 def _as_matrix(series: pd.Series) -> np.ndarray:
     return np.asarray([np.asarray(v, dtype=np.float32) for v in series])
@@ -46,8 +48,9 @@ def ann_brute_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]],
     q_mat = _normalize(np.asarray([v for _, v in queries],
                                   dtype=np.float32))
     bq = spark.sparkContext.broadcast((q_ids, q_mat))
-    src = corpus.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("embedding"))
+    # narrow scans must not cap the scoring UDF's task count (guide §2.5)
+    src = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, qm = bq.value
@@ -117,8 +120,9 @@ def ann_lsh_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]],
     # candidate generation on (vec_id, bucket) ONLY: the corpus vectors
     # must not ride the bands× bucket explode — the (query_id, vec_id)
     # dedup exchange would otherwise carry bands× embeddings
-    c = corpus.select(F.col(id_col).alias("vec_id"),
-                      F.explode(buckets(F.col(vec_col))).alias("bucket"))
+    c = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(buckets(F.col(vec_col))).alias("bucket"))
     qdf = spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in queries],
         "query_id long, q_embedding array<float>")
@@ -166,8 +170,9 @@ def ann_lsh_topk_df(corpus: DataFrame, queries: DataFrame, k: int = 10,
     order)."""
     dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     buckets = lsh_bucket_udf(dim, n_bits, bands, seed)
-    c = corpus.select(F.col(id_col).alias("vec_id"),
-                      F.explode(buckets(F.col(vec_col))).alias("bucket"))
+    c = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(buckets(F.col(vec_col))).alias("bucket"))
     qdf = queries.select(F.col(q_id_col).alias("query_id"),
                          F.col(q_vec_col).alias("q_embedding"))
     q = qdf.select("query_id",
@@ -227,8 +232,8 @@ def ann_ivf_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]],
     exact cosine inside the probed lists. Recall < 1 by design,
     verified ≥ threshold against brute force in tests."""
     spark = corpus.sparkSession
-    src = corpus.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("embedding"))
+    src = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     sample_rows = src.orderBy("vec_id").limit(sample_size).collect()
     sample = np.asarray([r["embedding"] for r in sample_rows],
                         dtype=np.float32)
@@ -289,8 +294,8 @@ def ann_ivf_topk_df(corpus: DataFrame, queries: DataFrame, k: int = 10,
     queries (shared centroid training + the same float32 op order in
     assignment and probing)."""
     spark = corpus.sparkSession
-    src = corpus.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("embedding"))
+    src = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     # bounded, deterministic training sample (same contract as
     # ann_ivf_topk: order by id, first sample_size rows)
     sample_rows = src.orderBy("vec_id").limit(sample_size).collect()
@@ -430,8 +435,8 @@ def ann_ivfpq_topk(corpus: DataFrame,
     shortlist is cheaper than probing more lists (the shortlist is
     rerank·k ids per query; a probed list is corpus/n_lists codes)."""
     spark = corpus.sparkSession
-    src = corpus.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("embedding"))
+    src = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     sample_rows = src.orderBy("vec_id").limit(sample_size).collect()
     sample = np.asarray([r["embedding"] for r in sample_rows],
                         dtype=np.float32)
@@ -527,8 +532,8 @@ def ann_ivfpq_topk_df(corpus: DataFrame, queries: DataFrame, k: int = 10,
     driver list). Same codes, same ADC shortlist, same exact re-rank;
     bit-equal to the list variant on the same queries."""
     spark = corpus.sparkSession
-    src = corpus.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("embedding"))
+    src = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     sample_rows = src.orderBy("vec_id").limit(sample_size).collect()
     sample = np.asarray([r["embedding"] for r in sample_rows],
                         dtype=np.float32)
@@ -628,8 +633,9 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
     buckets = lsh_bucket_udf(dim, n_bits, bands, seed)
     # candidate generation on (id, bucket) ONLY: the vectors must not
     # ride the bands× bucket explode through the self-join shuffle
-    v = vectors.select(F.col(id_col).alias("id"),
-                       F.explode(buckets(F.col(vec_col))).alias("bucket"))
+    v = ensure_min_parallelism(vectors).select(
+        F.col(id_col).alias("id"),
+        F.explode(buckets(F.col(vec_col))).alias("bucket"))
     cand = _capped_candidates(v, ["bucket"], max_bucket)
     # join vectors back by id for exact-cosine verification — the pair
     # table is ≪ corpus, so this costs two id-keyed joins, not bands×
@@ -686,8 +692,8 @@ def embedding_near_dup_incremental(new_vecs: DataFrame,
                  F.col(id_col).alias("id"),
                  F.col(vec_col).alias("vec"),
                  F.lit(False).alias("is_new"))))
-    b = union.select("id", "is_new",
-                     F.explode(buckets(F.col("vec"))).alias("bucket"))
+    b = ensure_min_parallelism(union).select(
+        "id", "is_new", F.explode(buckets(F.col("vec"))).alias("bucket"))
     cand = (_capped_candidates(b, ["bucket"], max_bucket,
                                payload_cols=["is_new"])
             .filter(F.col("is_new_a") | F.col("is_new_b")))

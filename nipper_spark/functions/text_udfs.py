@@ -29,8 +29,10 @@ def whitespace_token_count(text: str | Column) -> Column:
 
 def bpe_ish_token_count(text: str | Column) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT), 0)) \
-        .alias("bpe_tokens")
+    # regexp_count == size(regexp_extract_all(.., 0)) for every input
+    # (same engine, same non-overlapping match walk; both 0 on empty)
+    # without materializing an array of every matched token
+    return F.regexp_count(c, F.lit(BPE_SPLIT)).alias("bpe_tokens")
 
 
 # ----------------------------------------------------------------------
@@ -48,7 +50,7 @@ def quality_columns(text: str | Column) -> list[Column]:
     n_chars = F.length(c)
     words = F.split(F.trim(c), r"\s+")
     n_words = F.size(words)
-    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[\.,;:!\?]"), 0))
+    n_punct = F.regexp_count(c, F.lit(r"[\.,;:!\?]"))
     stop_hits = F.size(F.filter(
         words, lambda w: F.lower(w).isin(*_STOPWORDS)))
     mean_word_len = (n_chars / F.greatest(n_words, F.lit(1))).cast("double")
