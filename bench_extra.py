@@ -116,7 +116,7 @@ def _job_rows(spark, since_ms: int) -> list[dict]:
         done = _ms(j.get("completionTime") or j["submissionTime"])
         rows.append({
             "job": j["jobId"],
-            "name": j["name"][:100],
+            "name": (j.get("description") or j["name"])[:100],
             "sub": round((sub - since_ms) / 1e3, 2),
             "wall_s": round((done - sub) / 1e3, 2),
             "tasks": j["numCompletedTasks"],

@@ -67,10 +67,18 @@ def bloom_sizing(n_items: int, bits_per_key: int = DEFAULT_BITS_PER_KEY) -> int:
 
 
 def _set_bits(bits: np.ndarray, idx: np.ndarray) -> None:
-    byte_idx = (idx >> np.uint64(3)).astype(np.int64).ravel()
-    bit = np.left_shift(
-        np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)).ravel()
-    np.bitwise_or.at(bits, byte_idx, bit)
+    """OR the addressed bits into ``bits`` (LSB-first within a byte —
+    bit k of byte j is global index j*8+k, the same layout
+    ``bloom_might_contain``'s ``1 << (idx & 7)`` probe reads).
+
+    Implementation: duplicate-safe boolean scatter + little-endian
+    ``packbits`` — ``np.bitwise_or.at`` computes the same thing but is
+    an order of magnitude slower (unbuffered per-element ufunc loop;
+    measured 0.13 s for one round's ~1.3e5 probe writes vs ~5 ms
+    here), and the bloom merge is on the round's critical write path."""
+    bools = np.zeros(len(bits) * 8, dtype=bool)
+    bools[idx.astype(np.int64).ravel()] = True
+    np.bitwise_or(bits, np.packbits(bools, bitorder="little"), out=bits)
 
 
 def bloom_build(urls, m_bits: int, k: int = DEFAULT_K) -> bytes:

@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 from nipper_spark.crawl import bloom as B
 from nipper_spark.crawl import cuckoo as CK
 from nipper_spark.crawl.politeness import (
-    CrawlPolicy, budgets_df, robots_filter, select_wave, wave_order,
-    wave_order_specs)
+    CrawlPolicy, _maybe_broadcast, budgets_df, robots_filter,
+    wave_order, wave_order_specs, wave_rank)
 from nipper_spark.crawl.state import (
     BLOOM_SCHEMA, FRONTIER_SCHEMA, ROUND_LOG_SCHEMA, SCHEDULE_SCHEMA,
     SEEN_SCHEMA, CrawlState)
@@ -138,6 +138,22 @@ class FrontierEngine:
         else:
             self._rules = rules
             self._rules_rows = rules.count()
+        # in-memory twins of COMMITTED state tables, keyed by round:
+        # round r+1's read of a table this engine instance just wrote
+        # (and committed) reuses the localCheckpoint blocks backing the
+        # write instead of re-listing/scanning the parquet it produced
+        # one second ago. The parquet stays the sole authority — the
+        # carry is set only after the write succeeded AND the round
+        # committed, and bootstrap/resume clear it, so any replay or a
+        # fresh engine reads disk. Content is identical by construction
+        # (the write job consumed exactly these checkpoint blocks).
+        self._carry: dict[str, tuple[int, DataFrame]] = {}
+
+    def _read_state(self, table: str, r: int, schema: str) -> DataFrame:
+        c = self._carry.get(table)
+        if c is not None and c[0] == r:
+            return c[1]
+        return self.state.read(table, r, schema)
 
     # ------------------------------------------------------------------
     def bootstrap(self, seeds: list[tuple[str, float]]) -> None:
@@ -185,9 +201,11 @@ class FrontierEngine:
             taken.add(canon)
             rows.append((canon, host, host_bucket(host, pol.n_buckets),
                          0, float(score), 0))
+        self._carry.clear()
         frontier = (self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
                     .repartition(pol.n_buckets, "host_bucket")
-                    .sortWithinPartitions("depth", F.desc("score"), "url"))
+                    .sortWithinPartitions("depth", F.desc("score"), "url")
+                    .localCheckpoint(eager=False))
         self.state.write("frontier", 0, frontier)
         seen = self.spark.createDataFrame(
             [(u, b, url_hash64(u), 0) for (u, h, b, d, s, r) in rows],
@@ -205,9 +223,11 @@ class FrontierEngine:
                                     pol.bloom_bits_per_key)
             payloads = [(b, B.bloom_build(urls, m_bits), len(urls))
                         for b, urls in sorted(by_bucket.items())]
-        self.state.write("bloom", 0,
-                         self.spark.createDataFrame(payloads, BLOOM_SCHEMA))
+        bloom_df = self.spark.createDataFrame(payloads, BLOOM_SCHEMA)
+        self.state.write("bloom", 0, bloom_df)
         self.state.commit_round(-1)
+        self._carry["frontier"] = (0, frontier)
+        self._carry["bloom"] = (0, bloom_df)
 
     # ------------------------------------------------------------------
     def bootstrap_from_df(self, seed_frontier: DataFrame) -> None:
@@ -223,6 +243,7 @@ class FrontierEngine:
         bloom/cuckoo payloads build in the same cogroup kernel that
         merges them every round."""
         pol = self.policy
+        self._carry.clear()
         seeds = (seed_frontier
                  .groupBy("url")
                  .agg(F.min("depth").alias("depth"),
@@ -253,6 +274,7 @@ class FrontierEngine:
     def resume_round(self) -> int:
         """Next round to run; cleans any uncommitted partial writes and
         finishes any crash-interrupted compaction."""
+        self._carry.clear()  # replay reads the committed parquet only
         self.state.recover_compaction()
         last = self.state.last_committed_round()
         nxt = last + 1
@@ -276,20 +298,23 @@ class FrontierEngine:
 
         st, pol = self.state, self.policy
         stats = RoundStats(round=r)
-        frontier = st.read("frontier", r, FRONTIER_SCHEMA)
+        frontier = self._read_state("frontier", r, FRONTIER_SCHEMA)
 
         if not known_nonempty and frontier.isEmpty():
             # terminal round: a zero-task plan emits no observation
             # metrics, so handle it before attaching observers
+            bloom_df = self._read_state("bloom", r, BLOOM_SCHEMA)
             st.write("schedule", r,
                      self.spark.createDataFrame([], SCHEDULE_SCHEMA))
             st.write("frontier", r + 1, frontier)
             st.write("seen", r + 1,
                      self.spark.createDataFrame([], SEEN_SCHEMA))
-            st.write("bloom", r + 1, st.read("bloom", r, BLOOM_SCHEMA))
+            st.write("bloom", r + 1, bloom_df)
             st.write_rows("round_log", r, self._log_rows(r, stats, []),
                           ROUND_LOG_SCHEMA)
             st.commit_round(r)
+            self._carry["frontier"] = (r + 1, frontier)
+            self._carry["bloom"] = (r + 1, bloom_df)
             return stats
 
         # every adaptive decision this round (plain window vs two-phase
@@ -308,16 +333,25 @@ class FrontierEngine:
             # dominates
             return df if big_wave else F.broadcast(df)
 
-        wave, residual = select_wave(frontier, self._budgets, pol,
-                                     wave_bound=bound,
-                                     budgets_rows=self._budgets_rows,
-                                     frontier_bound=bound)
-        wave = wave.cache()
-        # one count materializes the wave cache up front (it doubles as
-        # the scheduled counter), so the schedule write below can run
-        # CONCURRENTLY with the frontier chain — both read the cache,
-        # neither recomputes select_wave
-        stats.scheduled = wave.count()
+        # the wave is materialized ONCE as an eager localCheckpoint
+        # (with the scheduled counter riding an Observation on the same
+        # job): its four consumers — schedule seq, fetch join, residual
+        # anti-join, and the count — then all analyze/execute against a
+        # LEAF plan instead of a cache whose full ranking plan Catalyst
+        # re-canonicalizes per consumer. One job replaces cache+count.
+        obs_wave = Observation()
+        _sc = self.spark.sparkContext
+        _sc.setJobDescription(f"round {r}: wave select+count")
+        wave = (wave_rank(frontier, self._budgets, pol,
+                          budgets_rows=self._budgets_rows,
+                          frontier_bound=bound)
+                .observe(obs_wave, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True))
+        stats.scheduled = _obs_long(obs_wave, "n", wave.count)
+        residual = frontier.join(
+            _maybe_broadcast(wave.select("url"), bound,
+                             pol.broadcast_wave_threshold),
+            "url", "left_anti")
 
         # ordering record — the wave is bounded by Σ politeness budgets,
         # but at 10^10 URLs that is still millions of rows. Adaptive
@@ -340,15 +374,17 @@ class FrontierEngine:
                 "url", "host", "depth", "score")
 
         if stats.scheduled == 0:
+            bloom_df = self._read_state("bloom", r, BLOOM_SCHEMA)
             st.write("schedule", r, schedule)
             st.write("frontier", r + 1, frontier)
             st.write("seen", r + 1,
                      self.spark.createDataFrame([], SEEN_SCHEMA))
-            st.write("bloom", r + 1, st.read("bloom", r, BLOOM_SCHEMA))
+            st.write("bloom", r + 1, bloom_df)
             st.write_rows("round_log", r, self._log_rows(r, stats, []),
                           ROUND_LOG_SCHEMA)
             st.commit_round(r)
-            wave.unpersist()
+            self._carry["frontier"] = (r + 1, frontier)
+            self._carry["bloom"] = (r + 1, bloom_df)
             return stats
 
         # the schedule write is small once the wave cache is hot; run
@@ -403,7 +439,7 @@ class FrontierEngine:
 
         # bloom prefilter: bucket-cogrouped probe (state and candidates
         # share the host_bucket partitioning → no broadcast of payloads)
-        bloom_df = st.read("bloom", r, BLOOM_SCHEMA)
+        bloom_df = self._read_state("bloom", r, BLOOM_SCHEMA)
         obs_probe = Observation()
         probed = (cand.groupBy("host_bucket")
                   .cogroup(bloom_df.groupBy("host_bucket"))
@@ -436,6 +472,7 @@ class FrontierEngine:
         # once and resolves the fetch/probe observations, same as the
         # cache+count it replaces. The checkpointed table is
         # fresh-delta-sized; blocks free with the reference.
+        _sc.setJobDescription(f"round {r}: fetch+extract+probe+antijoin")
         fresh = definitely_new.unionByName(confirmed_new) \
             .localCheckpoint(eager=True)
 
@@ -446,11 +483,16 @@ class FrontierEngine:
         # internally (depth, -score, url)-ordered (north star: "host-
         # bucketed, depth/score-ordered table"), so the next round's
         # per-host top-k scans presorted bucket-local data
+        # lazy localCheckpoint: the write job below materializes the
+        # blocks, and round r+1's frontier read then reuses them via
+        # the carry (set only after commit) instead of re-scanning the
+        # parquet this round just wrote
         next_frontier = (residual.unionByName(
             fresh.select("url", "host", "host_bucket", "depth", "score",
                          F.lit(r + 1).alias("discovered_round")))
             .repartition(pol.n_buckets, "host_bucket")
-            .sortWithinPartitions("depth", F.desc("score"), "url"))
+            .sortWithinPartitions("depth", F.desc("score"), "url")
+            .localCheckpoint(eager=False))
 
         # ONE collect over the checkpointed fresh delta yields the
         # per-bucket counters AND the total (their sum) — the separate
@@ -461,9 +503,11 @@ class FrontierEngine:
         # preceding it. commit_round only after every write joined — a
         # failed write raises out of result() and the uncommitted round
         # replays on resume.
+        _sc.setJobDescription(f"round {r}: per-bucket fresh counters")
         per_bucket = [(row["host_bucket"], row["n"]) for row in
                       fresh.groupBy("host_bucket").agg(
                           F.count("*").alias("n")).collect()]
+        _sc.setJobDescription(None)
         stats.fresh = sum(n for _, n in per_bucket)
         stats.fetched = _obs_long(obs_fetch, "n", ext.count)
         stats.candidates = _obs_long(obs_probe, "candidates", probed.count)
@@ -478,9 +522,16 @@ class FrontierEngine:
         new_bloom = (fresh.groupBy("host_bucket")
                      .cogroup(bloom_df.groupBy("host_bucket"))
                      .applyInPandas(_make_merge_fn(pol.filter_kind),
-                                    schema=BLOOM_SCHEMA))
+                                    schema=BLOOM_SCHEMA)
+                     .localCheckpoint(eager=False))
+        # the seen table is sharded by host bucket like every other
+        # state table: one file per bucket per round instead of one per
+        # fresh-delta partition — the cumulative anti-join scan lists
+        # n_buckets files per round, not O(shuffle partitions)
         seen_delta = fresh.select(
-            "url", "host_bucket", "url_hash", F.lit(r + 1).alias("round"))
+            "url", "host_bucket", "url_hash",
+            F.lit(r + 1).alias("round")) \
+            .repartition(pol.n_buckets, "host_bucket")
 
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=3) as ex:
@@ -499,12 +550,14 @@ class FrontierEngine:
         _sched_write.result()
         _sched_pool.shutdown()
         st.commit_round(r)
+        # committed: round r+1 may reuse the materialized twins
+        self._carry["frontier"] = (r + 1, next_frontier)
+        self._carry["bloom"] = (r + 1, new_bloom)
 
         # periodic seen-delta compaction (crash-safe; bounds file count)
         if pol.compact_every and (r + 1) % pol.compact_every == 0:
             st.compact("seen", r + 1, SEEN_SCHEMA)
 
-        wave.unpersist()
         probed.unpersist()
         return stats
 

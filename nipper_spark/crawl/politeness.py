@@ -201,6 +201,24 @@ def select_wave(frontier: DataFrame, budgets: DataFrame,
     invariant. ``budgets_rows=None`` with a config-built dim defaults
     to broadcast via the callers that know its size.
     """
+    wave = wave_rank(frontier, budgets, policy,
+                     budgets_rows=budgets_rows,
+                     frontier_bound=frontier_bound)
+    residual = frontier.join(
+        _maybe_broadcast(wave.select("url"), wave_bound,
+                         policy.broadcast_wave_threshold),
+        "url", "left_anti")
+    return wave, residual
+
+
+def wave_rank(frontier: DataFrame, budgets: DataFrame,
+              policy: CrawlPolicy, budgets_rows: int | None = None,
+              frontier_bound: int | None = None) -> DataFrame:
+    """The wave half of :func:`select_wave` — budgets join + per-host
+    top-k only, no residual. Split out so the engine can materialize
+    the wave ONCE (localCheckpoint) and derive schedule/fetch/residual
+    from the materialized leaf instead of re-analyzing (or re-running)
+    the ranking pipeline per consumer."""
     f = frontier.join(
         _maybe_broadcast(budgets, budgets_rows,
                          policy.broadcast_dim_threshold),
@@ -213,12 +231,7 @@ def select_wave(frontier: DataFrame, budgets: DataFrame,
     ranked = topk_per_key(
         f, "host", wave_order(), F.col("_tokens"),
         salt=0 if small else policy.salt, rank_col="_rk")
-    wave = ranked.drop("_rk", "_tokens")
-    residual = frontier.join(
-        _maybe_broadcast(wave.select("url"), wave_bound,
-                         policy.broadcast_wave_threshold),
-        "url", "left_anti")
-    return wave, residual
+    return ranked.drop("_rk", "_tokens")
 
 
 def rules_df_from_policy(spark, policy: CrawlPolicy) -> DataFrame:

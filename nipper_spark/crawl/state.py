@@ -87,11 +87,19 @@ class CrawlState:
         return os.path.join(self.dir, table, "round=%d" % r)
 
     def write(self, table: str, r: int, df: DataFrame) -> None:
-        """Stage-then-rename: a half-written round is never visible."""
+        """Stage-then-rename: a half-written round is never visible.
+        Labeled (guide §1.5) — state writes run concurrently on driver
+        threads and the description is thread-local, so each write's
+        jobs are attributable in the UI/status store."""
         final = self._round_dir(table, r)
         tmp = final + ".staging"
         shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
+        sc = self.spark.sparkContext
+        sc.setJobDescription(f"state write {table}/round={r}")
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+        finally:
+            sc.setJobDescription(None)
         shutil.rmtree(final, ignore_errors=True)  # idempotent re-run
         os.replace(tmp, final)
 
