@@ -96,7 +96,18 @@ _LANG_PROFILES = {
 
 
 def lang_id_udf():
-    profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+    # semantic definition: hits(lang) = |{3-char substrings of s} ∩
+    # profile|. A profile trigram is in the document's trigram set iff
+    # it occurs in s as a substring, so the set build (≈2000 slice
+    # objects + set inserts per document — the q7 CPU hot spot) is
+    # replaced by ≤60 C-speed `in s` scans; profile entries that are
+    # not exactly 3 chars can never equal a trigram and are dropped up
+    # front (same dead-entry behavior the frozenset-∩ had). Profile
+    # iteration order is preserved — ties keep the earlier language.
+    import re as _re
+    profiles = [(k, tuple(dict.fromkeys(p for p in v if len(p) == 3)))
+                for k, v in _LANG_PROFILES.items()]
+    cjk = _re.compile("[一-鿿]")
 
     @F.pandas_udf("string")
     def _lang(text: pd.Series) -> pd.Series:
@@ -106,13 +117,15 @@ def lang_id_udf():
                 out.append("und")
                 continue
             s = " " + str(t)[:2000].lower() + " "
-            if any(0x4E00 <= ord(ch) <= 0x9FFF for ch in s[:200]):
+            if cjk.search(s[:200]):
                 out.append("zh")
                 continue
-            tris = {s[i:i + 3] for i in range(len(s) - 2)}
             best, best_hits = "und", 2  # need ≥3 profile hits to claim
-            for lang, prof in profiles.items():
-                hits = len(tris & prof)
+            for lang, prof in profiles:
+                hits = 0
+                for p in prof:
+                    if p in s:
+                        hits += 1
                 if hits > best_hits:
                     best, best_hits = lang, hits
             out.append(best)
