@@ -131,7 +131,7 @@ class DedupStore:
 
 def dedup_store_oracle(batches: list, num_perm: int = 64,
                        bands: int = 16, ngram: int = 3,
-                       threshold: float = 0.5, seed: int = 42,
+                       threshold: float = 0.9, seed: int = 42,
                        max_bucket: int = 64) -> list:
     """Single-threaded twin of successive ``ingest_batch`` calls:
     ``batches`` is [[(doc_id, text), ...], ...] in batch order; returns
@@ -144,7 +144,12 @@ def dedup_store_oracle(batches: list, num_perm: int = 64,
         minhash_lsh_incremental_oracle)
 
     def norm_md5(t: str) -> str:
-        n = re.sub(r"\s+", " ", t.strip()).lower()
+        # operation-identical to Spark's normalized_text: trim strips
+        # SPACES only, Java \s is the ASCII class [ \t\n\x0B\f\r] (no
+        # NBSP), collapse BEFORE lower — a Python str.strip()/re \s
+        # (Unicode-aware) twin hashes \xa0/unicode-space text
+        # differently and breaks the hash-exact invariant
+        n = re.sub(r"[ \t\n\x0b\f\r]+", " ", t.strip(" ")).lower()
         return hashlib.md5(n.encode("utf-8")).hexdigest()
 
     seen: set = set()

@@ -683,6 +683,9 @@ def embedding_near_dup_incremental(new_vecs: DataFrame,
     """
     from .dedup import _capped_candidates
     sample = new_vecs.select(vec_col).first()
+    if sample is None:  # empty incremental batch → no pairs by contract
+        return new_vecs.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double")
     dim = len(sample[0])
     buckets = lsh_bucket_udf(dim, n_bits, bands, seed)
     union = (new_vecs.select(F.col(id_col).alias("id"),

@@ -136,8 +136,11 @@ class TestDedup:
         got = {(r["text_hash"], r["n_dups"]) for r in
                exact_dup_groups(docs).collect()}
         con = duckdb.connect()
+        # op order mirrors normalized_text exactly: trim BEFORE the
+        # \s+ collapse (the reversed order differs on docs with
+        # leading/trailing non-space whitespace)
         exp = set(con.execute(f"""
-            SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))),
                    count(*) FROM '{SF_DIR}/documents.parquet'
             GROUP BY 1 HAVING count(*) > 1""").fetchall())
         assert got == exp
@@ -1743,6 +1746,10 @@ class TestDedupStore:
         b1 = spark.createDataFrame(self.B1, "doc_id long, text string")
         store.ingest_batch(1, b0)
         store.ingest_batch(2, b1)
+        # snapshot the uninterrupted run's final state BEFORE rolling
+        # back, so the replay-equality assertion compares something
+        uninterrupted = sorted(r["text_hash"] for r in
+                               store.seen_hashes(2).collect())
         # simulate the crash: roll the manifest back to batch 1 (the
         # batch-2 deltas are on disk but uncommitted)
         store.state.commit_round(1)
@@ -1757,8 +1764,7 @@ class TestDedupStore:
                       23: "exact_dup"}
         # final state identical to the uninterrupted run
         assert sorted(r["text_hash"] for r in
-                      store.seen_hashes(2).collect()) == sorted(
-            r["text_hash"] for r in store.seen_hashes(2).collect())
+                      store.seen_hashes(2).collect()) == uninterrupted
         assert store.sig_store(2).count() == 5  # 4 kept b0 + 1 kept b1
 
     def test_compaction_preserves_state(self, spark, tmp_path_factory):
@@ -1812,3 +1818,16 @@ class TestEmbeddingIncrementalDedup:
                        .alias("embedding")))
         assert embedding_near_dup_incremental(
             new, store, threshold=0.98).count() == 0
+
+    def test_empty_incremental_batch_yields_empty_pairs(self, spark,
+                                                        emb):
+        """An empty new-vector batch must return an empty pair table,
+        not raise while probing the batch for the embedding dim."""
+        from nipper_spark.functions.similarity import (
+            embedding_near_dup_incremental)
+        store = emb.select("vec_id", "embedding")
+        empty = store.filter(F.lit(False))
+        out = embedding_near_dup_incremental(empty, store,
+                                             threshold=0.98)
+        assert out.columns == ["id_a", "id_b", "cosine"]
+        assert out.count() == 0
