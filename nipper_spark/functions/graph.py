@@ -68,29 +68,67 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
           .select("node", F.coalesce("outdeg", F.lit(0)).cast("long")
                   .alias("outdeg"))
           .localCheckpoint())
-    n_nodes = nt.count()  # bounded: one scalar, outside the loop
+    # one setup aggregate: node count AND dangling-node count (ranks
+    # start uniform at S, so iteration 1's dangling mass is exactly
+    # n_dangling·S — no separate aggregation job needed)
+    n_nodes, n_dangling = nt.agg(
+        F.count("*"),
+        F.sum((F.col("outdeg") == 0).cast("long"))).collect()[0]
+    n_nodes, n_dangling = int(n_nodes), int(n_dangling or 0)
 
     ranks = nt.select("node", "outdeg",
                       F.lit(s_unit).cast("long").alias("rank_q"))
+    dangling = n_dangling * s_unit
+    from pyspark.sql import Observation
     for _ in range(iters):
         contribs = (ranks.filter(F.col("outdeg") > 0)
                     .join(e, ranks["node"] == e["src"])
                     .select(F.col("dst").alias("node"),
                             F.expr("rank_q div outdeg").alias("c"))
                     .groupBy("node").agg(F.sum("c").alias("contrib")))
-        dangling = (ranks.filter(F.col("outdeg") == 0)
-                    .agg(F.coalesce(F.sum("rank_q"), F.lit(0))
-                         .alias("_dng")))
-        ranks = (nt.join(contribs, "node", "left")
-                 .crossJoin(F.broadcast(dangling))
-                 .select(
-                     "node", "outdeg",
-                     (F.lit(teleport) + F.expr(
-                         f"({damping_num} * (coalesce(contrib, 0) "
-                         f"+ _dng div {n_nodes})) div {damping_den}"))
-                     .cast("long").alias("rank_q")))
+        # the dangling mass enters as a LITERAL: it is an exact long
+        # carried between iterations by an Observation riding the
+        # checkpoint we materialize anyway (the frontier's free-counter
+        # pattern) — the old scalar-subquery crossJoin cost one extra
+        # broadcast job per iteration for the same number
+        new_ranks = (nt.join(contribs, "node", "left")
+                     .select(
+                         "node", "outdeg",
+                         (F.lit(teleport) + F.expr(
+                             f"({damping_num} * (coalesce(contrib, 0) "
+                             f"+ {dangling}L div {n_nodes}L)) "
+                             f"div {damping_den}"))
+                         .cast("long").alias("rank_q")))
         if checkpoint:
-            ranks = ranks.localCheckpoint()
+            obs = Observation()
+            ranks = (new_ranks.observe(
+                obs, F.sum(F.when(F.col("outdeg") == 0,
+                                  F.col("rank_q"))).alias("dng"))
+                .localCheckpoint(eager=True))
+            try:
+                v = obs.get["dng"]
+            except Exception:  # noqa: BLE001 — AQE pruned the metrics
+                v = None
+            dangling = int(v) if v is not None else int(
+                ranks.filter(F.col("outdeg") == 0)
+                .agg(F.coalesce(F.sum("rank_q"), F.lit(0)))
+                .collect()[0][0])
+        else:
+            # plan-inspection mode: no per-iteration action resolves an
+            # observation, so the dangling total stays a broadcast
+            # scalar subquery in the plan (identical arithmetic)
+            dng = (ranks.filter(F.col("outdeg") == 0)
+                   .agg(F.coalesce(F.sum("rank_q"), F.lit(0))
+                        .alias("_dng")))
+            ranks = (nt.join(contribs, "node", "left")
+                     .crossJoin(F.broadcast(dng))
+                     .select(
+                         "node", "outdeg",
+                         (F.lit(teleport) + F.expr(
+                             f"({damping_num} * (coalesce(contrib, 0) "
+                             f"+ _dng div {n_nodes})) "
+                             f"div {damping_den}"))
+                         .cast("long").alias("rank_q")))
     return ranks.select("node", "outdeg", "rank_q")
 
 
