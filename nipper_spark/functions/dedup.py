@@ -767,7 +767,9 @@ def minhash_lsh_incremental(new_docs: DataFrame, store: DataFrame,
                             text_col: str = "text", num_perm: int = 64,
                             bands: int = 16, ngram: int = 3,
                             threshold: float = 0.5, seed: int = 42,
-                            max_bucket: int = 64) -> DataFrame:
+                            max_bucket: int = 64,
+                            new_sig: DataFrame | None = None
+                            ) -> DataFrame:
     """Near-dup pairs for an INCREMENTAL batch: each pair touches at
     least one new document (new-vs-store and new-vs-new; store-vs-
     store pairs were already emitted by earlier runs and are skipped).
@@ -785,10 +787,16 @@ def minhash_lsh_incremental(new_docs: DataFrame, store: DataFrame,
     not O(|store|²).
 
     Output: (id_a, id_b, n_sig_matches), id_a < id_b.
+
+    ``new_sig``: optionally a precomputed (id, sig) signature table for
+    the new batch (e.g. a materialized `minhash_store` output a caller
+    also persists as its state delta) — the signature UDF then runs
+    once per batch instead of once per consumer.
     """
-    new_sig = (minhash_store(new_docs, id_col, text_col, num_perm,
-                             ngram, seed)
-               .select("id", "sig", F.lit(True).alias("is_new")))
+    if new_sig is None:
+        new_sig = minhash_store(new_docs, id_col, text_col, num_perm,
+                                ngram, seed)
+    new_sig = new_sig.select("id", "sig", F.lit(True).alias("is_new"))
     old_sig = store.select("id", "sig", F.lit(False).alias("is_new"))
     rows_per_band = num_perm // bands
     banded = new_sig.unionByName(old_sig).select(

@@ -91,28 +91,50 @@ class DedupStore:
         (whole-partition overwrites)."""
         c = self.cfg
         upto = k - 1
+        # materialize the small per-batch intermediates once: flags
+        # feeds three consumers (fresh ids, the exact delta, the
+        # disposition join), the signature table two (the incremental
+        # candidate pass AND the state delta) and losers two — without
+        # the checkpoints each consumer re-ran the whole upstream
+        # subtree, so the signature UDF executed twice per batch and
+        # the exact-incremental join three times
         flags = dedup_exact_incremental(docs, self.seen_hashes(upto),
-                                        id_col, text_col)
+                                        id_col, text_col) \
+            .localCheckpoint()
         fresh_ids = flags.filter(F.col("is_new")).select(F.col(id_col))
         fresh_docs = docs.join(fresh_ids, id_col)
+        new_sig = minhash_store(
+            fresh_docs, id_col, text_col,
+            num_perm=c["num_perm"], ngram=c["ngram"], seed=c["seed"]) \
+            .localCheckpoint()
         pairs = minhash_lsh_incremental(
             fresh_docs, self.sig_store(upto), id_col, text_col,
             num_perm=c["num_perm"], bands=c["bands"], ngram=c["ngram"],
             threshold=c["threshold"], seed=c["seed"],
-            max_bucket=c["max_bucket"])
+            max_bucket=c["max_bucket"], new_sig=new_sig)
         # monotone ids ⇒ the higher side of every pair is the loser
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        survivors = fresh_docs.join(losers, id_col, "left_anti")
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct() \
+            .localCheckpoint()
 
         # classes first seen in this batch (near-dup losers included:
         # their exact class is now seen either way)
         exact_delta = (flags.filter(F.col("is_new"))
                        .select("text_hash").distinct())
-        sig_delta = minhash_store(
-            survivors, id_col, text_col,
-            num_perm=c["num_perm"], ngram=c["ngram"], seed=c["seed"])
-        self.state.write("exact_seen", k, exact_delta)
-        self.state.write("minhash_sigs", k, sig_delta)
+        # survivors' signatures = the materialized batch signatures
+        # minus the losers (no second signature pass over the text)
+        sig_delta = new_sig.join(
+            losers.select(F.col(id_col).alias("id")), "id", "left_anti")
+        # both deltas stage concurrently; a failed write raises out of
+        # result() BEFORE the commit, so the batch replays on resume —
+        # the commit-after-both-deltas invariant is unchanged
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            w_exact = ex.submit(self.state.write, "exact_seen", k,
+                                exact_delta)
+            w_sig = ex.submit(self.state.write, "minhash_sigs", k,
+                              sig_delta)
+            w_exact.result()
+            w_sig.result()
         self.state.commit_round(k)
 
         loser_ids = losers
