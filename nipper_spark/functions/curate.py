@@ -44,6 +44,13 @@ def _score_and_budget(deduped: DataFrame, min_quality: float,
         bpe_ish_token_count(text_col).cast("int").alias("bpe_tokens"),
         quality_score(text_col),
     ).filter(F.col("quality") >= min_quality)
+    # materialize the NARROW scored table (id + two numerics — the
+    # text is already projected away) before the two-phase running
+    # sum: its boundary sample and both compute branches are separate
+    # actions over this input, and without a leaf here each re-ran the
+    # whole filter→dedup pipeline upstream (cumsum.py's documented
+    # "cache explicitly" contract)
+    scored = scored.localCheckpoint()
     budgeted = running_sum(scored,
                            [("quality", "desc"), ("doc_id", "asc")],
                            "bpe_tokens", "running_tokens")
@@ -152,6 +159,10 @@ def curate_web_corpus(docs: DataFrame, token_budget: int = 20_000,
         F.col("n_kept").alias("n_kept_paras"),
         F.size(words).cast("int").alias("tokens"),
         "clean_md5")
+    # see _score_and_budget: leaf the narrow per-doc stats so the
+    # running sum's sample + compute actions don't re-run the
+    # C4→Gopher→paragraph-dedup chain once each
+    scored = scored.localCheckpoint()
     budgeted = running_sum(scored, [("doc_id", "asc")], "tokens",
                            "running_tokens")
     return (budgeted

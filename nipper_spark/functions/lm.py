@@ -179,6 +179,11 @@ def perplexity_buckets(scored: DataFrame) -> DataFrame:
     (empty docs) → tail."""
     from nipper_spark.operators.cumsum import row_sequence
 
+    # leaf the narrow per-doc scores first: the tertile machinery is
+    # FOUR separate consumers (boundary sample, total count, ranked
+    # compute, the NULL-logloss union branch) and each would otherwise
+    # re-run the LM-scoring UDF over the corpus
+    scored = scored.localCheckpoint()
     nn = scored.filter(F.col("logloss").isNotNull())
     n_tot = nn.agg(F.count("*").alias("_n"))
     ranked = row_sequence(nn, [("logloss", "asc"), ("doc_id", "asc")],
