@@ -300,7 +300,17 @@ class FrontierEngine:
         stats = RoundStats(round=r)
         frontier = self._read_state("frontier", r, FRONTIER_SCHEMA)
 
-        if not known_nonempty and frontier.isEmpty():
+        # every adaptive decision this round (plain window vs two-phase
+        # seq; broadcast vs shuffle joins of the wave) keys off one
+        # upper bound on the wave size: the previous round's
+        # frontier_next (free — wave ⊆ frontier), or one count job on
+        # the frontier right after a resume. That same count doubles as
+        # the emptiness probe — the separate isEmpty() job is folded
+        # away (a caller-supplied bound of 0 means empty by contract:
+        # the bound is the previous round's exact frontier_next).
+        bound = wave_bound if wave_bound is not None else \
+            frontier.count()
+        if not known_nonempty and bound == 0:
             # terminal round: a zero-task plan emits no observation
             # metrics, so handle it before attaching observers
             bloom_df = self._read_state("bloom", r, BLOOM_SCHEMA)
@@ -317,12 +327,6 @@ class FrontierEngine:
             self._carry["bloom"] = (r + 1, bloom_df)
             return stats
 
-        # every adaptive decision this round (plain window vs two-phase
-        # seq; broadcast vs shuffle joins of the wave) keys off one
-        # upper bound on the wave size: the previous round's
-        # frontier_next (free — wave ⊆ frontier), or one count job on
-        # the frontier right after a resume
-        bound = wave_bound if wave_bound is not None else frontier.count()
         big_wave = bound > pol.broadcast_wave_threshold
 
         def _wave_side(df: DataFrame) -> DataFrame:
