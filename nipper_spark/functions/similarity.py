@@ -95,15 +95,13 @@ def lsh_bucket_udf(dim: int, n_bits: int = 16, bands: int = 4,
     def _buckets(vec: pd.Series) -> pd.Series:
         m = _as_matrix(vec)
         signs = (m @ planes) > 0  # (n, n_bits)
-        out = []
         weights = (1 << np.arange(bits_per_band)).astype(np.int64)
-        for row in signs:
-            codes = []
-            for b in range(bands):
-                chunk = row[b * bits_per_band:(b + 1) * bits_per_band]
-                codes.append(int((chunk * weights).sum()) + (b << 24))
-            out.append(codes)
-        return pd.Series(out)
+        # one reshape+matmul replaces the per-row/per-band Python loop:
+        # row-chunk b is exactly signs[i, b*bpb:(b+1)*bpb], so the
+        # codes are identical to the scalar formulation
+        codes = (signs.reshape(len(m), bands, bits_per_band) @ weights
+                 + (np.arange(bands, dtype=np.int64) << 24)[None, :])
+        return pd.Series(list(codes.astype(np.int32)))
 
     return _buckets
 
