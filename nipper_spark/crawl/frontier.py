@@ -148,6 +148,17 @@ class FrontierEngine:
         # fresh engine reads disk. Content is identical by construction
         # (the write job consumed exactly these checkpoint blocks).
         self._carry: dict[str, tuple[int, DataFrame]] = {}
+        # driver mirror of the bloom/cuckoo state, (round, {bucket:
+        # (payload, n_items)}), maintained only while the total payload
+        # bytes stay under policy.broadcast_bloom_bytes: the per-round
+        # probe/merge then broadcast the payloads instead of exchanging
+        # candidates AND state by bucket (two exchanges + a cogroup
+        # stage). Established at list-bootstrap (payloads are built on
+        # the driver there anyway), refreshed from the written state
+        # after each commit, dropped on resume/df-bootstrap or when the
+        # size guard trips — the cogroup path is always the fallback
+        # and stays oracle-pinned by the forced-thresholds crawl test.
+        self._bloom_driver: tuple[int, dict] | None = None
 
     def _read_state(self, table: str, r: int, schema: str) -> DataFrame:
         c = self._carry.get(table)
@@ -202,6 +213,7 @@ class FrontierEngine:
             rows.append((canon, host, host_bucket(host, pol.n_buckets),
                          0, float(score), 0))
         self._carry.clear()
+        self._bloom_driver = None
         frontier = (self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
                     .repartition(pol.n_buckets, "host_bucket")
                     .sortWithinPartitions("depth", F.desc("score"), "url")
@@ -228,6 +240,10 @@ class FrontierEngine:
         self.state.commit_round(-1)
         self._carry["frontier"] = (0, frontier)
         self._carry["bloom"] = (0, bloom_df)
+        if sum(len(p) for _, p, _ in payloads) <= \
+                pol.broadcast_bloom_bytes:
+            self._bloom_driver = (0, {int(b): (bytes(p), int(n))
+                                      for b, p, n in payloads})
 
     # ------------------------------------------------------------------
     def bootstrap_from_df(self, seed_frontier: DataFrame) -> None:
@@ -244,6 +260,7 @@ class FrontierEngine:
         merges them every round."""
         pol = self.policy
         self._carry.clear()
+        self._bloom_driver = None
         seeds = (seed_frontier
                  .groupBy("url")
                  .agg(F.min("depth").alias("depth"),
@@ -275,6 +292,7 @@ class FrontierEngine:
         """Next round to run; cleans any uncommitted partial writes and
         finishes any crash-interrupted compaction."""
         self._carry.clear()  # replay reads the committed parquet only
+        self._bloom_driver = None
         self.state.recover_compaction()
         last = self.state.last_committed_round()
         nxt = last + 1
@@ -325,6 +343,9 @@ class FrontierEngine:
             st.commit_round(r)
             self._carry["frontier"] = (r + 1, frontier)
             self._carry["bloom"] = (r + 1, bloom_df)
+            if self._bloom_driver is not None \
+                    and self._bloom_driver[0] == r:
+                self._bloom_driver = (r + 1, self._bloom_driver[1])
             return stats
 
         big_wave = bound > pol.broadcast_wave_threshold
@@ -389,6 +410,9 @@ class FrontierEngine:
             st.commit_round(r)
             self._carry["frontier"] = (r + 1, frontier)
             self._carry["bloom"] = (r + 1, bloom_df)
+            if self._bloom_driver is not None \
+                    and self._bloom_driver[0] == r:
+                self._bloom_driver = (r + 1, self._bloom_driver[1])
             return stats
 
         # the schedule write is small once the wave cache is hot; run
@@ -441,15 +465,34 @@ class FrontierEngine:
                              rules_rows=self._rules_rows).filter(
             F.col("depth") <= pol.max_depth)
 
-        # bloom prefilter: bucket-cogrouped probe (state and candidates
-        # share the host_bucket partitioning → no broadcast of payloads)
+        # bloom prefilter. Two size-guarded regimes, identical results
+        # (both route through the same bloom/cuckoo probe kernels):
+        # - driver-mirrored state under broadcast_bloom_bytes: the
+        #   payload dict broadcasts and the probe is a column UDF over
+        #   the candidates IN PLACE — no candidate exchange, no state
+        #   exchange, no cogroup stage;
+        # - above the guard (10^10-URL regime): bucket-cogrouped probe,
+        #   state and candidates sharing the host_bucket partitioning.
         bloom_df = self._read_state("bloom", r, BLOOM_SCHEMA)
+        bdrv = self._bloom_driver \
+            if self._bloom_driver is not None \
+            and self._bloom_driver[0] == r else None
         obs_probe = Observation()
-        probed = (cand.groupBy("host_bucket")
-                  .cogroup(bloom_df.groupBy("host_bucket"))
-                  .applyInPandas(_make_probe_fn(pol.filter_kind), schema=(
-                      "url string, depth int, score double, host string, "
-                      "host_bucket int, url_hash long, bloom_hit boolean"))
+        if bdrv is not None:
+            bc_payloads = self.spark.sparkContext.broadcast(bdrv[1])
+            probed = cand.withColumn(
+                "bloom_hit",
+                _broadcast_probe_udf(bc_payloads, pol.filter_kind)(
+                    "host_bucket", "url"))
+        else:
+            probed = (cand.groupBy("host_bucket")
+                      .cogroup(bloom_df.groupBy("host_bucket"))
+                      .applyInPandas(
+                          _make_probe_fn(pol.filter_kind), schema=(
+                              "url string, depth int, score double, "
+                              "host string, host_bucket int, "
+                              "url_hash long, bloom_hit boolean")))
+        probed = (probed
                   .observe(obs_probe,
                            F.count(F.lit(1)).alias("candidates"),
                            F.sum(F.col("bloom_hit").cast("long"))
@@ -523,11 +566,28 @@ class FrontierEngine:
         # present on either side, so it alone produces exactly one row
         # per bucket: fresh-only → new payload, both → merged, bloom-only
         # → old payload echoed.
-        new_bloom = (fresh.groupBy("host_bucket")
-                     .cogroup(bloom_df.groupBy("host_bucket"))
-                     .applyInPandas(_make_merge_fn(pol.filter_kind),
-                                    schema=BLOOM_SCHEMA)
-                     .localCheckpoint(eager=False))
+        if bdrv is not None:
+            # buckets that received fresh keys merge against the
+            # broadcast payloads (one exchange: the fresh groupBy);
+            # untouched buckets echo their carried rows — the same
+            # one-row-per-present-bucket output the cogroup produces
+            touched = [int(b) for b, _ in per_bucket]
+            merged = (fresh.groupBy("host_bucket")
+                      .applyInPandas(
+                          _make_broadcast_merge_fn(bc_payloads,
+                                                   pol.filter_kind),
+                          schema=BLOOM_SCHEMA))
+            untouched = bloom_df.filter(
+                ~F.col("host_bucket").isin(touched)) if touched \
+                else bloom_df
+            new_bloom = merged.unionByName(untouched) \
+                .localCheckpoint(eager=False)
+        else:
+            new_bloom = (fresh.groupBy("host_bucket")
+                         .cogroup(bloom_df.groupBy("host_bucket"))
+                         .applyInPandas(_make_merge_fn(pol.filter_kind),
+                                        schema=BLOOM_SCHEMA)
+                         .localCheckpoint(eager=False))
         # the seen table is sharded by host bucket like every other
         # state table: one file per bucket per round instead of one per
         # fresh-delta partition — the cumulative anti-join scan lists
@@ -557,6 +617,24 @@ class FrontierEngine:
         # committed: round r+1 may reuse the materialized twins
         self._carry["frontier"] = (r + 1, next_frontier)
         self._carry["bloom"] = (r + 1, new_bloom)
+        if bdrv is not None:
+            # refresh the driver mirror from the written state (reads
+            # the checkpoint blocks — one tiny bounded job: the mirror
+            # only exists while total bytes are under the guard, and a
+            # failure here only demotes to the cogroup path)
+            try:
+                rows = new_bloom.collect()
+                total = sum(len(row["payload"]) for row in rows)
+                if total <= pol.broadcast_bloom_bytes:
+                    self._bloom_driver = (r + 1, {
+                        int(row["host_bucket"]):
+                        (bytes(row["payload"]), int(row["n_items"]))
+                        for row in rows})
+                else:
+                    self._bloom_driver = None
+            except Exception:  # noqa: BLE001 — optimization mirror only
+                self._bloom_driver = None
+            bc_payloads.unpersist()
 
         # periodic seen-delta compaction (crash-safe; bounds file count)
         if pol.compact_every and (r + 1) % pol.compact_every == 0:
@@ -685,6 +763,60 @@ def _crawl_extract(fetched: DataFrame,
 # ----------------------------------------------------------------------
 # cogrouped pandas kernels (bucket-local: one host bucket per call)
 # ----------------------------------------------------------------------
+
+def _broadcast_probe_udf(bc_payloads, filter_kind: str):
+    """Column-UDF twin of `_make_probe_fn` for the driver-mirrored
+    regime: payloads arrive via broadcast, candidates stay in place (no
+    bucket exchange). Same kernels, same False-means-definitely-unseen
+    contract; an absent bucket has no keys, so every probe is False."""
+    def _probe_bucket(payload: bytes, urls: list):
+        if filter_kind == "cuckoo":
+            return CK.cuckoo_might_contain(payload, urls)
+        return B.bloom_might_contain(payload, urls)
+
+    import numpy as np
+
+    @F.pandas_udf("boolean")
+    def _probe(bucket: pd.Series, url: pd.Series) -> pd.Series:
+        payloads = bc_payloads.value
+        out = np.zeros(len(url), dtype=bool)
+        if len(url):
+            b_arr = bucket.to_numpy()
+            for b in np.unique(b_arr):
+                ent = payloads.get(int(b))
+                if ent is None:
+                    continue
+                idx = np.nonzero(b_arr == b)[0]
+                out[idx] = _probe_bucket(ent[0],
+                                         [url.iat[i] for i in idx])
+        return pd.Series(out)
+
+    return _probe
+
+
+def _make_broadcast_merge_fn(bc_payloads, filter_kind: str):
+    """Grouped twin of `_make_merge_fn`'s fresh-side branches for the
+    driver-mirrored regime: the old payload comes from the broadcast
+    dict instead of the cogrouped state rows (bloom-only buckets are
+    echoed by the caller's union, exactly the rows the cogroup would
+    emit). Same build/insert kernels, same n_items accounting."""
+    def _merge(fresh: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(fresh["host_bucket"].iloc[0])
+        urls = list(fresh["url"])
+        ent = bc_payloads.value.get(bucket)
+        payload, n_old = (ent if ent is not None else (None, 0))
+        if filter_kind == "cuckoo":
+            new = CK.cuckoo_add(payload, urls,
+                                n_items_hint=max(len(urls) * 4, 1024))
+        elif payload is not None:
+            new = B.bloom_add(payload, urls, len(payload) * 8)
+        else:
+            new = B.bloom_build(urls, B.bloom_sizing(max(len(urls) * 4,
+                                                         1024)))
+        return pd.DataFrame({"host_bucket": [bucket], "payload": [new],
+                             "n_items": [n_old + len(urls)]})
+    return _merge
+
 
 def _make_probe_fn(filter_kind: str):
     """Bucket-local prefilter probe (bloom or cuckoo payloads, same

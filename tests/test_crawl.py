@@ -204,6 +204,7 @@ class TestShuffleJoinRegime:
                              for k, v in POLICY.robots_disallow.items()},
             broadcast_wave_threshold=0,   # always take the shuffle join
             broadcast_dim_threshold=0,
+            broadcast_bloom_bytes=0,      # bucket-cogrouped probe/merge
             seq_window_threshold=0)       # salted top-k + two-phase seq
         state_dir = str(tmp_path_factory.mktemp("crawl_state_shuffle"))
         eng = FrontierEngine(spark, pages, state_dir, pol)
