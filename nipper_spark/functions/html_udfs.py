@@ -274,12 +274,24 @@ def extract_records(pages: DataFrame, row_selector: str,
         row_m = _matcher(row_selector)
         field_ms = [(name, _matcher(sel), op, arg)
                     for name, (sel, op, arg) in field_items]
+        # parse-once-per-distinct-page: crawls refetch byte-identical
+        # pages constantly (mirrors, pagination templates, retries) and
+        # every extraction here is read-only (select/iter/text/attr),
+        # so an identical adjacent page can reuse the previous parse.
+        # One entry — O(1) memory at any batch width; a miss costs one
+        # (early-exiting) string compare against a ~KB page.
+        last: tuple[str, Document] | None = None
         for pdf in batches:
             data: dict[str, list] = {"url": [], "seq": []}
             for name, _, _, _ in field_ms:
                 data[name] = []
             for url, h in zip(pdf["url"], pdf["html"]):
-                doc = Document.from_html(_to_text(h))
+                text = _to_text(h)
+                if last is not None and last[0] == text:
+                    doc = last[1]
+                else:
+                    doc = Document.from_html(text)
+                    last = (text, doc)
                 for seq, row in enumerate(doc.select_matcher(row_m).iter()):
                     data["url"].append(url)
                     data["seq"].append(seq)
