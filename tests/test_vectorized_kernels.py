@@ -40,6 +40,12 @@ class TestModM61:
 
 
 class TestBatchEqualsScalar:
+    @pytest.fixture(autouse=True)
+    def _force_batch_path(self, monkeypatch):
+        # the adaptive kernels fall back to the scalar loop below
+        # _BATCH_MIN_DOCS; these pins must exercise the BATCH path
+        monkeypatch.setattr(D, "_BATCH_MIN_DOCS", 0)
+
     def test_minhash_batch_bit_identical(self):
         texts = _texts()
         params = D._minhash_params(64)
@@ -57,6 +63,18 @@ class TestBatchEqualsScalar:
         monkeypatch.setattr(D, "_SIG_CHUNK_SHINGLES", 37)
         tiny = D.minhash_signatures_batch(texts, 32, 3, params, {})
         assert (tiny == full).all()
+
+    def test_small_batch_fallback_identical(self, monkeypatch):
+        # the adaptive scalar fallback must agree with the batch path
+        texts = _texts()
+        params = D._minhash_params(32)
+        batch = D.minhash_signatures_batch(texts, 32, 3, params, {})
+        sbatch = D.simhash_batch(texts, 2, {})
+        monkeypatch.setattr(D, "_BATCH_MIN_DOCS", 10 ** 9)
+        scal = D.minhash_signatures_batch(texts, 32, 3, params, {})
+        sscal = D.simhash_batch(texts, 2, {})
+        assert (scal == batch).all()
+        assert (sscal == sbatch).all()
 
     def test_simhash_batch_bit_identical(self, monkeypatch):
         texts = _texts()
